@@ -1,0 +1,353 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A12) over the testdata
+star schema.
+
+Decimal discipline: sums of money-like doubles are accumulated as
+DECIMAL (exact, order-independent) then cast to DOUBLE at the very
+end, so Spark's partition-parallel accumulation and DuckDB's serial
+accumulation produce bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.testdata import load_table
+
+# money columns arrive as DOUBLE in the parquet; they carry 2-4 decimal
+# digits, so DECIMAL(18,6) captures them exactly.
+DEC = "decimal(18,6)"
+
+
+def dsum(col: str):
+    """Exact, order-independent sum of a money-like double column."""
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+# DuckDB-side equivalent of ``dsum``
+def _osum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum('l_quantity')} AS sum_qty,
+           {_osum('l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE)
+             AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ref="A1 hash agg MIN/MAX/SUM/COUNT (sql/transforms/06-proposals.sql:85-117)",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical A1 hash
+    aggregate with map-side partial aggregation (verify with
+    .explain(): HashAggregate(partial) below the shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_group_stats",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    survey_ref="A1+A2 group stats & COUNT DISTINCT (sql/transforms/09-policies.sql:41-63)",
+)
+def agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key MIN/MAX/SUM/COUNT + COUNT(DISTINCT) -- the certificate
+    group-stats pattern (one row per GroupId in the reference)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        dsum("o_totalprice").alias("total_spend"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+           SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_bulk,
+           CAST(SUM(CASE WHEN l_tax = 0
+                         THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             AS taxfree_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ref="A3 conditional aggregation (sql/transforms/08-analyze-conformance.sql:138-141)",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(CASE WHEN ...) conformance-count pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
+        F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("n_bulk"),
+        F.sum(
+            F.when(F.col("l_tax") == 0, F.col("l_extendedprice").cast(DEC)).otherwise(
+                F.lit(0).cast(DEC)
+            )
+        )
+        .cast("double")
+        .alias("taxfree_price"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 2 AND COUNT(DISTINCT o_orderstatus) = 1
+    """,
+    survey_ref="A4 HAVING on agg (sql/transforms/06a-proposals-simple-groups.sql:82-92)",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-filtered aggregate: the 'single-config groups' pattern
+    (HAVING COUNT(DISTINCT ConfigJson)=1)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+        )
+        .filter((F.col("n_orders") >= 2) & (F.col("n_status") == 1))
+        .select("o_custkey", "n_orders")
+    )
+
+
+@query(
+    "agg_string_agg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    survey_ref="A5 ordered STRING_AGG (sql/transforms/03-products.sql:135)",
+)
+def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING_AGG(x, ',') WITHIN GROUP (ORDER BY x) == sorted
+    collect_list joined -- the AllowedStates / structure-signature
+    pattern."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "agg_dedup_normalized_key",
+    oracle="""
+    SELECT trim(p_type) AS norm_type, COUNT(*) AS n_parts,
+           CAST(MIN(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS min_price
+    FROM part
+    GROUP BY trim(p_type)
+    """,
+    survey_ref="A6 dedup-by-normalized-key (sql/transforms/03-products.sql:208-217)",
+)
+def agg_dedup_normalized_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY LTRIM(RTRIM(...)): whitespace-insensitive dedupe."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy(F.trim(F.col("p_type")).alias("norm_type")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min(F.col("p_retailprice").cast(DEC)).cast("double").alias("min_price"),
+    )
+
+
+@query(
+    "agg_min_per_key_prefiltered",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(MIN(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS min_pos_discount
+    FROM lineitem
+    WHERE l_discount > 0
+    GROUP BY l_suppkey
+    """,
+    survey_ref="A7 MIN-per-key rate extraction (sql/calc/run-calculation.sql:265-273)",
+)
+def agg_min_per_key_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min positive value per key -- the certificate-level
+    RealCommissionRate extraction pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_discount") > 0)
+        .groupBy("l_suppkey")
+        .agg(
+            F.min(F.col("l_discount").cast(DEC)).cast("double").alias("min_pos_discount")
+        )
+    )
+
+
+@query(
+    "agg_conformance_banding",
+    oracle="""
+    WITH stats AS (
+      SELECT o_custkey,
+             COUNT(*) AS total,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, total, finished,
+           CAST(finished * 100.0 / NULLIF(total, 0) AS DOUBLE) AS pct_finished,
+           CASE WHEN finished * 100.0 / NULLIF(total, 0) = 100.0 THEN 'FULL'
+                WHEN finished * 100.0 / NULLIF(total, 0) >= 50.0 THEN 'MAJORITY'
+                ELSE 'MINORITY' END AS band
+    FROM stats
+    """,
+    survey_ref="A9 conformance % + banding (sql/transforms/08-analyze-conformance.sql:132-169)",
+)
+def agg_conformance_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent = x*100.0/NULLIF(total,0) + 3-way CASE banding."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("finished"),
+    )
+    pct = F.col("finished") * 100.0 / F.nullif(F.col("total"), F.lit(0))
+    return stats.select(
+        "o_custkey",
+        "total",
+        "finished",
+        pct.cast("double").alias("pct_finished"),
+        F.when(pct == 100.0, "FULL")
+        .when(pct >= 50.0, "MAJORITY")
+        .otherwise("MINORITY")
+        .alias("band"),
+    )
+
+
+@query(
+    "agg_entropy_routing",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), totals AS (
+      SELECT user_id, SUM(c) AS total, COUNT(*) AS n_types
+      FROM counts GROUP BY user_id
+    )
+    SELECT c.user_id,
+           t.n_types,
+           CAST(ROUND(-SUM((c.c * 1.0 / t.total) * log2(c.c * 1.0 / t.total)), 6)
+                AS DOUBLE) AS entropy,
+           CAST(MAX(c.c) * 1.0 / t.total AS DOUBLE) AS dominant_coverage
+    FROM counts c JOIN totals t ON c.user_id = t.user_id
+    GROUP BY c.user_id, t.n_types, t.total
+    """,
+    survey_ref="A10 group-config entropy routing (scripts/proposal-builder.ts:802-873)",
+)
+def agg_entropy_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy -sum(p*log2 p) per group over value distribution
+    + dominant-cluster coverage: the builder's entropy-routing math as
+    pure DataFrame aggregation (no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("user_id").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c") * 1.0 / F.col("total")
+    return (
+        counts.join(totals, "user_id")
+        .groupBy("user_id", "n_types", "total")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).cast("double").alias("entropy"),
+            (F.max("c") * 1.0 / F.col("total")).cast("double").alias(
+                "dominant_coverage"
+            ),
+        )
+        .select("user_id", "n_types", "entropy", "dominant_coverage")
+    )
+
+
+@query(
+    "agg_collect_accumulate",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+           CAST(MIN(o_orderdate) AS DATE) AS date_from,
+           CAST(MAX(o_orderdate) AS DATE) AS date_to
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    survey_ref="A11 grouped set accumulation (scripts/proposal-builder.ts:886-1011)",
+)
+def agg_collect_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + min/max date accumulation: the proposal builder's
+    per-(GroupId, ConfigHash) criteria merge."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.min(F.col("o_orderdate").cast("date")).alias("date_from"),
+        F.max(F.col("o_orderdate").cast("date")).alias("date_to"),
+    )
+
+
+@query(
+    "agg_summary_union_counts",
+    oracle="""
+    SELECT 'orders' AS stage, COUNT(*) AS n FROM orders
+    UNION ALL SELECT 'lineitem' AS stage, COUNT(*) AS n FROM lineitem
+    UNION ALL SELECT 'customer' AS stage, COUNT(*) AS n FROM customer
+    """,
+    survey_ref="A12 summary UNION ALL of counts (sql/calc/run-calculation.sql:621-632)",
+)
+def agg_summary_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage row-count report as a union of counts."""
+    dfs = []
+    for name in ("orders", "lineitem", "customer"):
+        t = load_table(spark, sf_dir, name)
+        dfs.append(
+            t.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(name).alias("stage"), "n"
+            )
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Configuration stance (designed for a 1000-executor cluster, tested on
+local[N]):
+
+- AQE on: runtime coalescing, skew-join splitting. The reference hints
+  at heavy employer-group skew (entropy routing exists because a few
+  groups dominate certificate volume) -- AQE skew handling is the
+  first line of defense before manual salting.
+- ANSI off: T-SQL ``TRY_CAST`` semantics (null on failure) are the
+  contract of the prep layer (ref sql/02-input-tables.sql:245-251).
+- Arrow on: every pandas interchange (the two ordered per-group folds
+  use applyInPandas) goes through Arrow batches, never pickled rows.
+- UTC session timezone: date arithmetic must not depend on the host.
+- shuffle.partitions is a knob: ~2-3x total cores locally; on a real
+  cluster leave AQE to coalesce from a high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "apl-commissions-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back
+    to ``local[*]``) so tests, bench.py and the driver harness share
+    one code path.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apl_commissions_etl_spark.registry import all_queries
+from apl_commissions_etl_spark.session import get_spark
+
+# Headline set: exercised per-round by the driver. Keep it covering the
+# heavy operator classes (scan-agg, shuffle join, window, domain calc,
+# dedup/similarity) without running every registry entry.
+HEADLINE = [
+    "agg_pricing_summary",
+    "agg_group_stats",
+    "agg_entropy_routing",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm the JVM + parquet footer cache so timings measure the query
+    qs[names[0]].spark_fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name].spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs every registered query on Spark and its oracle on DuckDB at the
+given sf dir, and compares row-count, column names, and an
+order-insensitive value comparison (sorted columns, sorted rows,
+exact equality for non-floats, tight tolerance report for floats --
+the real driver hashes, so we flag ANY float mismatch loudly).
+
+Usage: python scripts/check_oracle.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from apl_commissions_etl_spark.registry import all_queries
+from apl_commissions_etl_spark.session import get_spark
+from apl_commissions_etl_spark.sources.testdata import TABLES
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return v
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(norm_cell(x) for x in v)
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        return v.item()
+    if hasattr(v, "isoformat"):  # date/datetime
+        return v.isoformat()[:26]
+    return v
+
+
+def rows_of(df_pandas):
+    cols = sorted(df_pandas.columns)
+    out = []
+    for t in df_pandas[cols].itertuples(index=False, name=None):
+        out.append(tuple(norm_cell(v) for v in t))
+    return cols, sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        if fa == fb:
+            return True
+        # exact mismatch -> report; driver hashes exact values
+        return ("FLOAT_NEAR", abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb)))
+    return a == b
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    spark = get_spark("check-oracle")
+    qs = all_queries()
+    names = [n for n in qs if not filters or any(f in n for f in filters)]
+    n_pass = n_fail = n_noor = 0
+    for name in names:
+        q = qs[name]
+        t0 = time.time()
+        try:
+            sdf = q.spark_fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"SKIP {name}: no oracle (rows-only) rows={len(sdf)}")
+            n_noor += 1
+            continue
+        try:
+            cur = con.execute(q.oracle)
+            ocols_raw = [d[0] for d in cur.description]
+            orows_raw = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        scols, srows = rows_of(sdf)
+        order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
+        ocols = [ocols_raw[i] for i in order]
+        orows = sorted(
+            (tuple(norm_cell(r[i]) for i in order) for r in orows_raw),
+            key=lambda r: tuple((x is None, str(x)) for x in r),
+        )
+        dt = time.time() - t0
+        if scols != ocols:
+            print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            n_fail += 1
+            continue
+        bad = near = 0
+        example = None
+        for sr, orow in zip(srows, orows):
+            for c, (a, b) in zip(scols, zip(sr, orow)):
+                eq = cells_equal(a, b)
+                if eq is True:
+                    continue
+                if isinstance(eq, tuple) and eq[1]:
+                    near += 1
+                    if example is None:
+                        example = (c, a, b, "near")
+                else:
+                    bad += 1
+                    if example is None or example[3] == "near":
+                        example = (c, a, b, "bad")
+        if bad:
+            print(f"FAIL {name}: {bad} cell mismatches, e.g. {example}")
+            n_fail += 1
+        elif near:
+            print(
+                f"WARN {name}: exact-equal except {near} float cells within 1e-9 "
+                f"(driver hash may flag) e.g. {example} [{dt:.1f}s]"
+            )
+            n_pass += 1
+        else:
+            print(f"PASS {name}: rows={len(srows)} [{dt:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noor} rows-only, of {len(names)}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,26 @@
+"""Smoke: the driver contract works end-to-end at sf0.001."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert "sum_qty" in df.columns
+
+
+def test_queries_and_oracles_aligned():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 11
+
+
+def test_all_queries_run_smoke(spark, sf_dir):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        df.limit(5).collect()
