@@ -1,1 +1,223 @@
-"""Populated incrementally; see registry.py."""
+"""Window operators (SURVEY.md §2.5 W1-W5) and sort/limit/top-k
+(§2.6 O1-O3).
+
+Scale note (W1): the reference mints surrogate ids with a GLOBAL
+``ROW_NUMBER() OVER (ORDER BY ...)`` -- a single-partition bottleneck
+at 100 TB. We demonstrate it on a dim-sized input only; fact-scale id
+minting uses deterministic hash keys instead (see
+``functions/hashing.py`` and the ``func_deterministic_keys`` query),
+which is the engine's replacement for W1/W6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import query
+from ..sources.testdata import load_table
+
+
+@query(
+    "win_global_rownumber_dim",
+    oracle="""
+    SELECT n_name,
+           ROW_NUMBER() OVER (ORDER BY n_name) AS surrogate_id
+    FROM nation
+    """,
+    survey_ref="W1 global ROW_NUMBER surrogate key (sql/transforms/01-brokers.sql:214)",
+)
+def win_global_rownumber_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row_number -- acceptable ONLY on dim-sized inputs (this
+    is a 25-row table). Fact-scale ids use sha2 keys instead."""
+    n = load_table(spark, sf_dir, "nation")
+    w = W.orderBy("n_name")
+    return n.select("n_name", F.row_number().over(w).alias("surrogate_id"))
+
+
+@query(
+    "win_partitioned_seq",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS seq
+    FROM orders
+    """,
+    survey_ref="W2 partitioned ROW_NUMBER sequence (sql/transforms/06-proposals.sql:66)",
+)
+def win_partitioned_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence within group (split sequence by SplitPercent DESC
+    shape). Deterministic tiebreak on the unique key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("seq"))
+
+
+@query(
+    "win_dedup_keep_latest",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           CAST(o_orderdate AS DATE) AS latest_date
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    survey_ref="W3 dedup keep-latest rn=1 (sql/transforms/07-deprecated-hierarchies.sql:281-309)",
+)
+def win_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest row per key: the reference's
+    latest-participant / best-proposal dedup."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").cast("date").alias("latest_date"),
+        )
+    )
+
+
+@query(
+    "win_lead_normalize_ranges",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS effective_from,
+           CAST(LEAD(o_orderdate) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ) - INTERVAL 1 DAY AS DATE) AS effective_to
+    FROM orders
+    """,
+    survey_ref="W4 LEAD date-range normalization (06g-normalize-proposal-date-ranges.sql:23-64)",
+)
+def win_lead_normalize_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """next.EffectiveFrom - 1 day becomes current.EffectiveTo; NULL on
+    the last row = open-ended range."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("effective_from"),
+        F.date_sub(F.lead("o_orderdate").over(w).cast("date"), 1).alias(
+            "effective_to"
+        ),
+    )
+
+
+@query(
+    "win_lag_gap_detection",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     LAG(o_orderdate) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap_days
+    FROM orders
+    QUALIFY gap_days > 365
+    """,
+    survey_ref="W5 LAG gap detection (06g-normalize-proposal-date-ranges.sql:75-109)",
+)
+def win_lag_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """previous end vs current start -> gap report (only gaps > 1yr)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag("o_orderdate").over(w).cast("date"),
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days") > 365)
+    )
+
+
+@query(
+    "win_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    survey_ref="§2.5 note: ROWS frames unused by reference -- provided as engine surface",
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame (capability the
+    reference lacks; exact decimal accumulation keeps it
+    order-stable)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "ord_topn",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    survey_ref="O2 TOP N report samples (sql/transforms/03-products.sql:238-252)",
+)
+def ord_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP N with a deterministic tiebreak (unique key) so the result
+    set is well-defined under order-insensitive comparison. Spark
+    plans this as TakeOrderedAndProject -- per-partition top-N then a
+    driver-side merge, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("price"))
+    )
+
+
+@query(
+    "ord_deterministic_sample",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) IN ('00', '01', '02')
+    """,
+    survey_ref="O3 ORDER BY NEWID() random sample -> deterministic hash sample "
+    "(scripts/validate-certificate-resolution.ts:135-156)",
+)
+def ord_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference samples with ORDER BY NEWID(); distributed
+    engines need reproducible sampling, so we hash the key and take a
+    hex-prefix slice (~1.2% here). Seeded F.rand works too but is not
+    cross-engine reproducible."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    return o.filter(bucket.isin("00", "01", "02")).select(
+        "o_orderkey", "o_orderstatus"
+    )

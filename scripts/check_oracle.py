@@ -29,7 +29,8 @@ def norm_cell(v):
     if v is None:
         return None
     if isinstance(v, float):
-        return v
+        # all-null numeric columns surface as NaN through pandas
+        return None if math.isnan(v) else v
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(norm_cell(x) for x in v)
     if hasattr(v, "item") and type(v).__module__ == "numpy":
