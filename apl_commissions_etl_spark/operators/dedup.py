@@ -1,0 +1,201 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine.
+
+Scale design (100 TB):
+- exact dedup = hash-groupBy on a fingerprint -- one shuffle on a
+  32-hex key, heavily combinable map-side;
+- n-gram Jaccard / MinHash avoid the O(n²) all-pairs comparison:
+  candidate pairs come from an equi-join on shingle / LSH-band keys
+  (shuffle on the band key), and only candidates get verified;
+- every hash is MD5/SHA of deterministic strings -- reproducible
+  across engines, partitions and runs (no JVM hashCode, no seed
+  drift), which also makes the operators DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textanalysis import fingerprint_bow, normalize_text
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (id, shingle)."""
+    w = F.split(normalize_text(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + off) for off in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one canonical row (min id) per bag-of-words fingerprint;
+    report group size. Hash-groupBy: one combinable shuffle."""
+    fp = df.select(
+        F.col(id_col), fingerprint_bow(text_col).alias("fingerprint")
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def _pair_jaccard(shingles: DataFrame, id_col: str) -> DataFrame:
+    """All candidate pairs sharing >= 1 shingle with exact Jaccard.
+    The shingle equi-join IS the candidate generator -- no cartesian."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                * F.lit(1.0)
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard >= threshold."""
+    sh = word_shingles(df, id_col, text_col, n)
+    return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature: h_j = MIN(md5('<j>:' || shingle)). MD5-as-
+    permutation is deterministic and engine-independent; one groupBy
+    computes all K mins."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding: signatures -> band keys -> equi-join on
+    band -> verify candidates with exact Jaccard. At scale only the
+    band join shuffles; candidate verification touches a tiny subset."""
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(df, id_col, text_col, n)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("|", *cols)).alias(f"band{b}")
+        )
+    banded = sigs.select(F.col(id_col), *band_cols)
+
+    candidates = None
+    for b in range(bands):
+        left = banded.select(F.col(id_col).alias("id_a"), F.col(f"band{b}").alias("bk"))
+        right = banded.select(F.col(id_col).alias("id_b"), F.col(f"band{b}").alias("bk"))
+        cand = (
+            left.join(right, "bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        candidates = cand if candidates is None else candidates.unionByName(cand)
+    candidates = candidates.distinct()
+
+    jac = _pair_jaccard(sh, id_col)
+    return candidates.join(jac, ["id_a", "id_b"]).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+#: hex digits with odd parity (low bit set) -- used for MD5-char-parity
+#: SimHash bits, reproducible in any engine with md5 + substr.
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def simhash_signature(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash over tokens: bit_i = sign of sum over token occurrences
+    of ±1, where ±1 is the parity of hex digit i of md5(token).
+    Returns the signature as a bit-string column (cross-engine-stable;
+    Hamming distance = count of differing chars)."""
+    w = F.split(normalize_text(text_col), " ")
+    tokens = df.select(F.col(id_col), F.explode(w).alias("tok"))
+    h = F.md5(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.substring(h, i + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = tokens.groupBy(id_col).agg(*bit_sums)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+    Brute-force all-pairs -- correctness baseline; the LSH-bucketed
+    variant in similarity.py is the scale path."""
+    from .similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

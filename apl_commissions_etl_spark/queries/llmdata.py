@@ -1,1 +1,316 @@
-"""Populated incrementally; see registry.py."""
+"""LLM-training-data pipeline operators over documents/embeddings:
+dedup families, similarity search, text analysis, multimodal plumbing.
+
+Every hash is md5/sha256 of deterministic strings, so even MinHash
+and SimHash are reproduced exactly by the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, textanalysis as ta
+from ..registry import query
+from ..sources.testdata import load_table
+
+# Shared oracle CTE fragments ------------------------------------------------
+
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+_SHINGLES_CTE = f"""
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, greatest(len({_WORDS}) - 1, 1)),
+        i -> concat({_WORDS}[i], ' ', {_WORDS}[i+1], ' ', {_WORDS}[i+2]))) AS s
+    FROM documents))
+"""
+
+_PAIR_JACCARD_SQL = """
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT p.id_a, p.id_b,
+         CAST(round(p.inter * 1.0 / (x.n + y.n - p.inter), 6) AS DOUBLE) AS jaccard
+  FROM pairs p
+  JOIN sizes x ON p.id_a = x.doc_id
+  JOIN sizes y ON p.id_b = y.doc_id)
+"""
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_WORDS}) AS n_tokens_ws,
+           len(list_filter(string_split_regex(trim(text), '[^A-Za-z0-9]+'),
+                           x -> x <> '')) AS n_tokens_bpe_ish,
+           n_chars
+    FROM documents
+    """,
+    survey_ref="north-star: token counting (whitespace + BPE-ish regex)",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ta.token_count_ws("text").alias("n_tokens_ws"),
+        ta.token_count_bpe_ish("text").alias("n_tokens_bpe_ish"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(trim(text)) AS n,
+             {_WORDS} AS w
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             least(n / 200.0, 1.0) AS len_score,
+             len(list_filter(w, x -> x IN ('the','a','of','and','in','to')))
+               * 1.0 / len(w) AS sw,
+             list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS wl
+      FROM t)
+    SELECT doc_id,
+           CAST(round(greatest(0.0,
+             len_score * 0.4
+             + greatest(1.0 - abs(sw - 0.15) * 2, 0.0) * 0.3
+             + (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3
+           ), 6) AS DOUBLE) AS quality
+    FROM m
+    """,
+    survey_ref="north-star: quality scoring (length/stopword/word-len ratios)",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", ta.quality_score("text").alias("quality"))
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang AS labeled_lang,
+        len(list_filter({_WORDS}, x -> x IN ('the','a','of','and','value'))) AS en_s,
+        len(list_filter({_WORDS}, x -> x IN ('el','la','de','que','los'))) AS es_s,
+        len(list_filter({_WORDS}, x -> x IN ('de5','le5','shi4','zai4','he2'))) AS zh_s
+      FROM documents)
+    SELECT doc_id, labeled_lang,
+           CASE WHEN greatest(en_s, es_s, zh_s) = 0 THEN 'und'
+                WHEN es_s > en_s AND zh_s <= es_s THEN 'es'
+                WHEN zh_s > en_s AND zh_s > es_s THEN 'zh'
+                ELSE 'en' END AS detected_lang
+    FROM s
+    """,
+    survey_ref="north-star: language-ID n-gram/marker heuristic",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-hit argmax with alphabetical tie priority (en < es < zh),
+    mirrored exactly by the oracle's CASE ladder."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        ta.lang_id("text").alias("detected_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM}) AS fp_exact,
+           md5(array_to_string(list_sort({_WORDS}), ' ')) AS fp_bow
+    FROM documents
+    """,
+    survey_ref="north-star: document fingerprinting (normalized + bag-of-words)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ta.fingerprint_exact("text").alias("fp_exact"),
+        ta.fingerprint_bow("text").alias("fp_bow"),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5(array_to_string(list_sort({_WORDS}), ' ')) AS fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    survey_ref="north-star: exact dedup via hash-groupBy",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_PAIR_JACCARD_SQL}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+    survey_ref="north-star: n-gram Jaccard near-dup (shingle join, no cartesian)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, {_PAIR_JACCARD_SQL},
+    sigs AS (
+      SELECT doc_id,
+             MIN(md5(concat('0:', s))) AS h0, MIN(md5(concat('1:', s))) AS h1,
+             MIN(md5(concat('2:', s))) AS h2, MIN(md5(concat('3:', s))) AS h3,
+             MIN(md5(concat('4:', s))) AS h4, MIN(md5(concat('5:', s))) AS h5,
+             MIN(md5(concat('6:', s))) AS h6, MIN(md5(concat('7:', s))) AS h7
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id,
+             md5(concat_ws('|', h0, h1, h2, h3)) AS band0,
+             md5(concat_ws('|', h4, h5, h6, h7)) AS band1
+      FROM sigs),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id
+      FROM banded a JOIN banded b
+        ON a.band1 = b.band1 AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b, j.jaccard
+    FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+    WHERE j.jaccard >= 0.5
+    """,
+    survey_ref="north-star: MinHash+LSH (md5-permutation minhash, band join, verify)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=2, threshold=0.5
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+    s AS (
+      SELECT doc_id,
+        {", ".join(
+            f"SUM(CASE WHEN substr(hx, {i+1}, 1) IN "
+            f"('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s{i}"
+            for i in range(16)
+        )}
+      FROM h GROUP BY doc_id)
+    SELECT doc_id,
+           concat({", ".join(
+               f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(16)
+           )}) AS simhash
+    FROM s
+    """,
+    survey_ref="north-star: SimHash (md5-hex-parity bits, engine-independent)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_signature(d, "doc_id", "text", bits=16)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+             AS DOUBLE) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.45
+    """,
+    survey_ref="north-star: embedding-cosine near-dup (brute-force baseline)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(list_dot_product(embedding::DOUBLE[], (SELECT qe FROM q))
+                / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   * sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q))))
+             AS DOUBLE) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    survey_ref="north-star: ANN brute-force cosine top-k baseline",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").limit(1).collect()[0][0]
+    )
+    qcol = F.lit(qvec).cast("array<double>")
+    return similarity.cosine_topk_bruteforce(emb, qcol, k=10)
+
+
+@query(
+    "ann_topk_lsh",
+    oracle=None,  # approximate operator: verified by recall test vs brute force
+    survey_ref="north-star: ANN sign-LSH bucketed scale path",
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").limit(1).collect()[0][0]
+    )
+    qcol = F.lit(qvec).cast("array<double>")
+    return similarity.cosine_topk_lsh(emb, qcol, k=10, planes=8)
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS content_hash,
+           CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
+           CAST(64 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
+    FROM documents
+    """,
+    survey_ref="north-star: multimodal binary decode via Arrow mapInPandas (stubbed)",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real mapInPandas over a binary payload column; decode stubbed
+    deterministically (see operators/multimodal.py) so the Arrow
+    plumbing is oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_binary_payload(d, "text")
+    return multimodal.decode_features(with_payload, "doc_id")
