@@ -20,10 +20,11 @@ from apl_commissions_etl_spark.registry import all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the pricing-summary
-    aggregate (hash agg + exact decimal accumulation)."""
+    """Flagship query on /root/testdata/sf0.001: GL journal entries out
+    of the full 8-stage commission cascade (SURVEY.md §7.2 minimum
+    end-to-end slice — every join class, agg, rounding, and union)."""
     qs = all_queries()
-    return qs["agg_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001")
+    return qs["calc_gl_entries"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

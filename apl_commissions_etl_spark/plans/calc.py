@@ -1,0 +1,327 @@
+"""The 8-stage commission calculation (ref sql/calc/run-calculation.sql)
+as one chained, lazily-planned DataFrame DAG.
+
+Reference semantics per stage (SURVEY.md §2.9), Spark-first execution:
+
+- the premium fact flows through all 8 stages in ONE Catalyst plan --
+  no per-stage materialization (the reference truncates+inserts 11
+  calc tables; here columns just flow, checkpoint only for audit);
+- every dimension side (proposals, split versions/participants,
+  hierarchy versions/participants, schedules, assignment versions/
+  recipients, certificate rates) is broadcast: group-scale tables are
+  orders of magnitude smaller than the premium facts, so the fact side
+  NEVER shuffles through stages 2-8;
+- date-band joins are equi-key + residual range predicates (J3);
+- money math: operands cast to bounded DECIMAL before multiplying so
+  both Spark and the oracle compute exact, identically-typed decimals
+  (no precision-loss rounding divergence), ROUND half-away-from-zero
+  == T-SQL ROUND on positive amounts;
+- row-explosion cardinality is preserved exactly: a premium matching
+  two proposals yields two rows (the reference keeps both and dedups
+  only in traceability -- run-calculation.sql:509-525).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MONEY = "decimal(12,2)"
+RATE = "decimal(8,4)"
+
+
+def pct_of(amount: F.Column, pct: F.Column) -> F.Column:
+    """ROUND(amount * pct / 100, 2) with engine-stable decimal typing:
+    (12,2) x (8,4) x (3,2) = exact DECIMAL(25,8), then HALF_UP round."""
+    return F.round(
+        amount.cast(MONEY) * pct.cast(RATE) * F.lit("0.01").cast("decimal(3,2)"), 2
+    ).cast(MONEY)
+
+
+def stage1_premium_context(premiums: DataFrame, policies: DataFrame) -> DataFrame:
+    """premiums ⋈ policies; derive IsFirstYear / BasisYear
+    (ref run-calculation.sql:58-78). T-SQL DATEDIFF(YEAR) counts
+    year boundaries: BasisYear = GREATEST(1, year(txn)-year(eff)+1)."""
+    p = premiums.filter(F.col("PremiumAmount") > 0)
+    return (
+        p.join(policies, "CertificateId")
+        .select(
+            p["*"],
+            policies["GroupId"],
+            policies["ProductCode"],
+            policies["EffectiveDate"],
+            policies["GroupSize"],
+        )
+        .withColumn(
+            "IsFirstYear",
+            (F.col("TransactionDate") < F.add_months(F.col("EffectiveDate"), 12)).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "BasisYear",
+            F.greatest(
+                F.lit(1),
+                F.year("TransactionDate") - F.year("EffectiveDate") + 1,
+            ),
+        )
+    )
+
+
+def stage2_proposals_resolved(s1: DataFrame, proposals: DataFrame) -> DataFrame:
+    """⟕ proposals on GroupId + date-band; miss -> ErrorMessage
+    (ref run-calculation.sql:93-110)."""
+    pr = proposals.select(
+        "ProposalId", F.col("GroupId").alias("p_GroupId"),
+        "LeadBrokerId", "EffectiveDateFrom", "EffectiveDateTo",
+    )
+    cond = (
+        (s1.GroupId == pr.p_GroupId)
+        & (s1.TransactionDate >= pr.EffectiveDateFrom)
+        & (pr.EffectiveDateTo.isNull() | (s1.TransactionDate <= pr.EffectiveDateTo))
+    )
+    return (
+        s1.join(F.broadcast(pr), cond, "left")
+        .drop("p_GroupId", "EffectiveDateFrom", "EffectiveDateTo")
+        .withColumn(
+            "ErrorMessage",
+            F.when(
+                F.col("ProposalId").isNull(),
+                "No active proposal found for group on transaction date",
+            ),
+        )
+    )
+
+
+def stage3_splits_applied(
+    s2: DataFrame, split_versions: DataFrame, split_participants: DataFrame
+) -> DataFrame:
+    """⋈ active split version (date-band) ⋈ participants (1:N row
+    explosion); SplitPremium = ROUND(amt*pct/100, 2)
+    (ref run-calculation.sql:125-147)."""
+    sv = split_versions.filter(F.col("Status") == 1).select(
+        "SplitVersionId",
+        F.col("ProposalId").alias("sv_ProposalId"),
+        F.col("EffectiveFrom").alias("sv_From"),
+        F.col("EffectiveTo").alias("sv_To"),
+    )
+    sp = split_participants.select(
+        "SplitParticipantId", "SplitVersionId", "Sequence",
+        "SplitPercent", "HierarchyId", "WritingBrokerId",
+    )
+    vcond = (
+        (s2.ProposalId == sv.sv_ProposalId)
+        & (s2.TransactionDate >= sv.sv_From)
+        & (sv.sv_To.isNull() | (s2.TransactionDate <= sv.sv_To))
+    )
+    return (
+        s2.join(F.broadcast(sv), vcond)
+        .drop("sv_ProposalId", "sv_From", "sv_To")
+        .join(F.broadcast(sp), "SplitVersionId")
+        .withColumn("SplitPremium", pct_of(F.col("PremiumAmount"), F.col("SplitPercent")))
+    )
+
+
+def stage4_hierarchies_resolved(s3: DataFrame, hierarchy_versions: DataFrame) -> DataFrame:
+    """⟕ active hierarchy version (ref run-calculation.sql:162-179)."""
+    hv = hierarchy_versions.filter(F.col("Status") == 1).select(
+        "HierarchyVersionId", "HierarchyId"
+    )
+    return s3.join(F.broadcast(hv), "HierarchyId", "left")
+
+
+def stage5_participants_expanded(
+    s4: DataFrame, hierarchy_participants: DataFrame
+) -> DataFrame:
+    """⋈ hierarchy participants: tier explosion (1:N)
+    (ref run-calculation.sql:194-217)."""
+    hp = hierarchy_participants.select(
+        "HierarchyParticipantId", "HierarchyVersionId",
+        "EntityId", "TierLevel", "ScheduleCode", "ParticipantRate",
+    )
+    return s4.join(F.broadcast(hp), "HierarchyVersionId")
+
+
+def stage6_rates_applied(
+    s5: DataFrame, certificate_rates: DataFrame, schedule_rates: DataFrame
+) -> DataFrame:
+    """3-level rate fallback cert > participant > schedule, with
+    RateSource provenance (ref run-calculation.sql:232-297).
+    Schedule lookup: (ScheduleCode, ProductCode, wildcard state,
+    GroupSize band); FirstYearRate vs RenewalRate by IsFirstYear
+    (ref sql/transforms/04-schedules.sql:128-141)."""
+    cr = certificate_rates.select("CertificateId", "CertificateRate")
+    sr = schedule_rates.select(
+        F.col("ScheduleCode").alias("sr_Code"),
+        F.col("ProductCode").alias("sr_Product"),
+        F.col("State").alias("sr_State"),
+        "GroupSizeFrom", "GroupSizeTo", "FirstYearRate", "RenewalRate",
+    )
+    scond = (
+        (s5.ScheduleCode == sr.sr_Code)
+        & (s5.ProductCode == sr.sr_Product)
+        & (sr.sr_State == "*")
+        & (s5.GroupSize >= sr.GroupSizeFrom)
+        & (s5.GroupSize <= sr.GroupSizeTo)
+    )
+    schedule_rate = F.when(
+        F.col("IsFirstYear") == 1, F.col("FirstYearRate")
+    ).otherwise(F.col("RenewalRate"))
+    return (
+        s5.join(F.broadcast(cr), "CertificateId", "left")
+        .join(F.broadcast(sr), scond, "left")
+        .withColumn("ScheduleRate", schedule_rate)
+        .withColumn(
+            "AppliedRate",
+            F.coalesce(
+                F.col("CertificateRate"),
+                F.col("ParticipantRate"),
+                F.col("ScheduleRate"),
+                F.lit(0).cast(RATE),
+            ).cast(RATE),
+        )
+        .withColumn(
+            "RateSource",
+            F.when(F.col("CertificateRate").isNotNull(), "CertificateRate")
+            .when(F.col("ParticipantRate").isNotNull(), "ParticipantRate")
+            .when(F.col("ScheduleRate").isNotNull(), "ScheduleLookup")
+            .otherwise("NoRate"),
+        )
+        .drop("sr_Code", "sr_Product", "sr_State", "GroupSizeFrom", "GroupSizeTo",
+              "FirstYearRate", "RenewalRate")
+    )
+
+
+def stage7_commissions(s6: DataFrame) -> DataFrame:
+    """Commission = ROUND(SplitPremium * rate/100, 2)
+    (ref run-calculation.sql:312-331)."""
+    return s6.withColumn(
+        "Commission", pct_of(F.col("SplitPremium"), F.col("AppliedRate"))
+    )
+
+
+def stage8_assignments_applied(
+    s7: DataFrame, assignment_versions: DataFrame, recipients: DataFrame
+) -> DataFrame:
+    """⟕ assignment version (broker + proposal-or-__DEFAULT__ +
+    date-band, Status=0) ⟕ recipients; Assigned = ROUND(c*pct/100,2),
+    Retained = c - Assigned (ref run-calculation.sql:346-377)."""
+    av = assignment_versions.filter(F.col("Status") == 0).select(
+        "AssignmentVersionId",
+        F.col("BrokerId").alias("av_BrokerId"),
+        F.col("ProposalId").alias("av_ProposalId"),
+        F.col("EffectiveFrom").alias("av_From"),
+        F.col("EffectiveTo").alias("av_To"),
+    )
+    rc = recipients.select(
+        "AssignmentVersionId", "RecipientBrokerId", "RecipientPercent"
+    )
+    acond = (
+        (s7.EntityId == av.av_BrokerId)
+        & ((av.av_ProposalId == s7.ProposalId) | (av.av_ProposalId == "__DEFAULT__"))
+        & (s7.TransactionDate >= av.av_From)
+        & (av.av_To.isNull() | (s7.TransactionDate <= av.av_To))
+    )
+    assigned = F.when(
+        F.col("RecipientBrokerId").isNotNull(),
+        pct_of(F.col("Commission"), F.col("RecipientPercent")),
+    ).otherwise(F.lit(0).cast(MONEY))
+    return (
+        s7.join(F.broadcast(av), acond, "left")
+        .join(F.broadcast(rc), "AssignmentVersionId", "left")
+        .drop("av_BrokerId", "av_ProposalId", "av_From", "av_To")
+        .withColumn("AssignedCommission", assigned)
+        .withColumn(
+            "RetainedCommission",
+            (F.col("Commission").cast(MONEY) - F.col("AssignedCommission")).cast(MONEY),
+        )
+    )
+
+
+def gl_entries(s8: DataFrame) -> DataFrame:
+    """Original (retained, original broker) ∪ Assigned (assigned
+    amount, recipient broker) with deterministic GL ids
+    (ref run-calculation.sql:391-456; NEWID() replaced by composite
+    natural key -- SURVEY §7.1)."""
+    original = s8.select(
+        F.concat_ws(
+            "-", F.lit("GL"), "PremiumTransactionId", "HierarchyParticipantId",
+            F.lit("O"),
+        ).alias("GlEntryId"),
+        "PremiumTransactionId",
+        F.col("EntityId").alias("BrokerId"),
+        F.lit("Original").alias("EntryType"),
+        F.col("RetainedCommission").cast("double").alias("Amount"),
+    )
+    assigned = s8.filter(
+        F.col("RecipientBrokerId").isNotNull() & (F.col("AssignedCommission") != 0)
+    ).select(
+        F.concat_ws(
+            "-", F.lit("GL"), "PremiumTransactionId", "HierarchyParticipantId",
+            F.lit("A"),
+        ).alias("GlEntryId"),
+        "PremiumTransactionId",
+        F.col("RecipientBrokerId").alias("BrokerId"),
+        F.lit("Assigned").alias("EntryType"),
+        F.col("AssignedCommission").cast("double").alias("Amount"),
+    )
+    return original.unionByName(assigned)
+
+
+def traceability(s2: DataFrame, s8: DataFrame) -> DataFrame:
+    """Per-premium rollup + failure diagnosis (ref
+    run-calculation.sql:470-561): every premium appears exactly once;
+    premiums that died mid-pipeline carry a status explaining where."""
+    rollup = s8.groupBy("PremiumTransactionId").agg(
+        F.sum(F.col("Commission").cast(MONEY)).cast("double").alias("TotalCommission"),
+        F.countDistinct("HierarchyParticipantId").alias("ParticipantCount"),
+    )
+    # group (not dropDuplicates) so the surviving row is deterministic
+    # when a premium matched several proposals (duplicate-preservation
+    # semantics, SURVEY §7.4 hard part #3)
+    base = s2.groupBy("PremiumTransactionId").agg(
+        F.max(F.col("PremiumAmount").cast("double")).alias("PremiumAmount"),
+        F.min("ErrorMessage").alias("ErrorMessage"),
+    )
+    return base.join(rollup, "PremiumTransactionId", "left").select(
+        "PremiumTransactionId",
+        "PremiumAmount",
+        F.coalesce("TotalCommission", F.lit(0.0)).alias("TotalCommission"),
+        F.coalesce("ParticipantCount", F.lit(0)).alias("ParticipantCount"),
+        F.when(F.col("ErrorMessage").isNotNull(), "ProposalResolutionFailed")
+        .when(F.col("TotalCommission").isNull(), "NoParticipantsExpanded")
+        .otherwise("Calculated")
+        .alias("TraceStatus"),
+    )
+
+
+def run_calc(staging: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Chain all stages; returns every intermediate + outputs keyed by
+    stage name (the reference materializes each as calc_N -- callers
+    can checkpoint any of these for audit parity)."""
+    s1 = stage1_premium_context(
+        staging["stg_premium_transactions"], staging["stg_policies"]
+    )
+    s2 = stage2_proposals_resolved(s1, staging["stg_proposals"])
+    s3 = stage3_splits_applied(
+        s2,
+        staging["stg_premium_split_versions"],
+        staging["stg_premium_split_participants"],
+    )
+    s4 = stage4_hierarchies_resolved(s3, staging["stg_hierarchy_versions"])
+    s5 = stage5_participants_expanded(s4, staging["stg_hierarchy_participants"])
+    s6 = stage6_rates_applied(
+        s5, staging["stg_certificate_rates"], staging["stg_schedule_rates"]
+    )
+    s7 = stage7_commissions(s6)
+    s8 = stage8_assignments_applied(
+        s7,
+        staging["stg_commission_assignment_versions"],
+        staging["stg_commission_assignment_recipients"],
+    )
+    return {
+        "s1": s1, "s2": s2, "s3": s3, "s4": s4,
+        "s5": s5, "s6": s6, "s7": s7, "s8": s8,
+        "gl": gl_entries(s8),
+        "trace": traceability(s2, s8),
+    }

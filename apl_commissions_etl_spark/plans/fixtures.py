@@ -3,7 +3,10 @@ testdata, in ANSI SQL shared VERBATIM between Spark and the DuckDB
 oracle.
 
 Mapping (FIXTURES.md §B shapes):
-    lineitem -> stg_premium_transactions (premium rows)
+    lineitem -> stg_premium_transactions (premium rows; the testdata
+                plants duplicate (orderkey, linenumber) pairs, so the
+                premium id also folds in partkey/suppkey/floor(price)
+                -- unique at every sf)
     orders   -> stg_policies (one policy per order, group = customer)
     customer -> groups -> stg_proposals / split versions / participants
     derived  -> hierarchies, schedules+rates, cert rates, assignments
@@ -17,7 +20,7 @@ Planted scenario strata (FIXTURES.md §C):
     - orderkey % 7 == 0   -> certificate-level rate (RateSource
       precedence: cert > participant > schedule)
     - hierarchy broker % 5 == 0 and level 1 -> participant rate 7.5
-    - broker % 4 == 0     -> 50% commission assignment to broker+1
+    - broker % 7 == 1     -> 50% commission assignment to broker+1
 """
 
 from __future__ import annotations
@@ -33,11 +36,15 @@ FIXTURE_VIEWS: list[tuple[str, str]] = [
         "stg_premium_transactions",
         """
         SELECT 'PT-' || CAST(l_orderkey AS VARCHAR(20)) || '-'
-                 || CAST(l_linenumber AS VARCHAR(20)) AS PremiumTransactionId,
+                 || CAST(l_linenumber AS VARCHAR(20)) || '-'
+                 || CAST(l_partkey AS VARCHAR(20)) || '-'
+                 || CAST(l_suppkey AS VARCHAR(20)) || '-'
+                 || CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR(20))
+               AS PremiumTransactionId,
                l_orderkey AS CertificateId,
                CAST(l_shipdate AS DATE) AS TransactionDate,
-               CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6)) / 100, 2)
-                    AS DECIMAL(18,2)) AS PremiumAmount
+               CAST(CAST(FLOOR(l_extendedprice) AS DECIMAL(18,0))
+                    * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS PremiumAmount
         FROM lineitem
         WHERE l_extendedprice > 0
         """,
@@ -173,7 +180,7 @@ FIXTURE_VIEWS: list[tuple[str, str]] = [
                CAST(NULL AS DATE) AS EffectiveTo,
                CAST(50 AS DECIMAL(18,4)) AS TotalAssignedPercent
         FROM (SELECT DISTINCT EntityId FROM stg_hierarchy_participants) hb
-        WHERE EntityId % 4 = 0
+        WHERE EntityId % 7 = 1
         """,
     ),
     (

@@ -1,1 +1,302 @@
-"""Populated incrementally; see registry.py."""
+"""The 8-stage commission calculation as driver-checkable queries.
+
+Spark side: ``plans/fixtures.py`` registers staging views (shared ANSI
+SQL) and ``plans/calc.py`` chains the stages in the DataFrame API.
+Oracle side: the SAME fixture SQL as CTEs + hand-written stage CTEs
+mirroring run-calculation.sql semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import calc
+from ..plans.fixtures import FIXTURE_VIEWS, fixtures_cte_sql, register_fixture_views
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# Oracle stage CTEs (mirror plans/calc.py; money math uses the same
+# bounded-decimal casts so both engines compute identical exact values)
+# ---------------------------------------------------------------------------
+
+_PCT = (
+    "ROUND(CAST({amt} AS DECIMAL(12,2)) * CAST({pct} AS DECIMAL(8,4))"
+    " * CAST(0.01 AS DECIMAL(3,2)), 2)"
+)
+
+STAGE_CTES = f"""
+s1 AS (
+  SELECT pt.PremiumTransactionId, pt.CertificateId, pt.TransactionDate,
+         pt.PremiumAmount, po.GroupId, po.ProductCode, po.EffectiveDate,
+         po.GroupSize,
+         CASE WHEN pt.TransactionDate < po.EffectiveDate + INTERVAL 12 MONTH
+              THEN 1 ELSE 0 END AS IsFirstYear,
+         GREATEST(1, EXTRACT(YEAR FROM pt.TransactionDate)
+                     - EXTRACT(YEAR FROM po.EffectiveDate) + 1) AS BasisYear
+  FROM stg_premium_transactions pt
+  JOIN stg_policies po ON pt.CertificateId = po.CertificateId
+  WHERE pt.PremiumAmount > 0
+),
+s2 AS (
+  SELECT s1.*, pr.ProposalId, pr.LeadBrokerId,
+         CASE WHEN pr.ProposalId IS NULL
+              THEN 'No active proposal found for group on transaction date'
+         END AS ErrorMessage
+  FROM s1
+  LEFT JOIN stg_proposals pr
+    ON s1.GroupId = pr.GroupId
+   AND s1.TransactionDate >= pr.EffectiveDateFrom
+   AND (pr.EffectiveDateTo IS NULL OR s1.TransactionDate <= pr.EffectiveDateTo)
+),
+s3 AS (
+  SELECT s2.*, sv.SplitVersionId, sp.SplitParticipantId, sp.Sequence,
+         sp.SplitPercent, sp.HierarchyId, sp.WritingBrokerId,
+         {_PCT.format(amt="s2.PremiumAmount", pct="sp.SplitPercent")} AS SplitPremium
+  FROM s2
+  JOIN stg_premium_split_versions sv
+    ON s2.ProposalId = sv.ProposalId AND sv.Status = 1
+   AND s2.TransactionDate >= sv.EffectiveFrom
+   AND (sv.EffectiveTo IS NULL OR s2.TransactionDate <= sv.EffectiveTo)
+  JOIN stg_premium_split_participants sp
+    ON sp.SplitVersionId = sv.SplitVersionId
+),
+s4 AS (
+  SELECT s3.*, hv.HierarchyVersionId
+  FROM s3
+  LEFT JOIN stg_hierarchy_versions hv
+    ON s3.HierarchyId = hv.HierarchyId AND hv.Status = 1
+),
+s5 AS (
+  SELECT s4.*, hp.HierarchyParticipantId, hp.EntityId, hp.TierLevel,
+         hp.ScheduleCode, hp.ParticipantRate
+  FROM s4
+  JOIN stg_hierarchy_participants hp
+    ON s4.HierarchyVersionId = hp.HierarchyVersionId
+),
+s6 AS (
+  SELECT s5.*, cr.CertificateRate,
+         CASE WHEN s5.IsFirstYear = 1 THEN sr.FirstYearRate
+              ELSE sr.RenewalRate END AS ScheduleRate,
+         CAST(COALESCE(cr.CertificateRate, s5.ParticipantRate,
+                CASE WHEN s5.IsFirstYear = 1 THEN sr.FirstYearRate
+                     ELSE sr.RenewalRate END,
+                0) AS DECIMAL(8,4)) AS AppliedRate,
+         CASE WHEN cr.CertificateRate IS NOT NULL THEN 'CertificateRate'
+              WHEN s5.ParticipantRate IS NOT NULL THEN 'ParticipantRate'
+              WHEN (CASE WHEN s5.IsFirstYear = 1 THEN sr.FirstYearRate
+                         ELSE sr.RenewalRate END) IS NOT NULL THEN 'ScheduleLookup'
+              ELSE 'NoRate' END AS RateSource
+  FROM s5
+  LEFT JOIN stg_certificate_rates cr ON s5.CertificateId = cr.CertificateId
+  LEFT JOIN stg_schedule_rates sr
+    ON s5.ScheduleCode = sr.ScheduleCode
+   AND s5.ProductCode = sr.ProductCode
+   AND sr.State = '*'
+   AND s5.GroupSize >= sr.GroupSizeFrom
+   AND s5.GroupSize <= sr.GroupSizeTo
+),
+s7 AS (
+  SELECT s6.*, {_PCT.format(amt="s6.SplitPremium", pct="s6.AppliedRate")} AS Commission
+  FROM s6
+),
+s8 AS (
+  SELECT s7.*, av.AssignmentVersionId, rc.RecipientBrokerId, rc.RecipientPercent,
+         CASE WHEN rc.RecipientBrokerId IS NOT NULL
+              THEN {_PCT.format(amt="s7.Commission", pct="rc.RecipientPercent")}
+              ELSE CAST(0 AS DECIMAL(12,2)) END AS AssignedCommission,
+         CAST(CAST(s7.Commission AS DECIMAL(12,2))
+              - (CASE WHEN rc.RecipientBrokerId IS NOT NULL
+                      THEN {_PCT.format(amt="s7.Commission", pct="rc.RecipientPercent")}
+                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(12,2))
+           AS RetainedCommission
+  FROM s7
+  LEFT JOIN stg_commission_assignment_versions av
+    ON s7.EntityId = av.BrokerId AND av.Status = 0
+   AND (av.ProposalId = s7.ProposalId OR av.ProposalId = '__DEFAULT__')
+   AND s7.TransactionDate >= av.EffectiveFrom
+   AND (av.EffectiveTo IS NULL OR s7.TransactionDate <= av.EffectiveTo)
+  LEFT JOIN stg_commission_assignment_recipients rc
+    ON av.AssignmentVersionId = rc.AssignmentVersionId
+)
+"""
+
+
+def _oracle(final_select: str) -> str:
+    return f"WITH {fixtures_cte_sql()},\n{STAGE_CTES}\n{final_select}"
+
+
+def _staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    register_fixture_views(spark, sf_dir)
+    return {name: spark.table(name) for name, _ in FIXTURE_VIEWS}
+
+
+def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return calc.run_calc(_staging(spark, sf_dir))
+
+
+@query(
+    "calc_stage1_premium_context",
+    oracle=_oracle("""
+    SELECT PremiumTransactionId, CertificateId, TransactionDate,
+           CAST(PremiumAmount AS DOUBLE) AS PremiumAmount,
+           GroupId, ProductCode, EffectiveDate, GroupSize,
+           IsFirstYear, BasisYear
+    FROM s1"""),
+    survey_ref="§2.9 stage 1 premium_context (run-calculation.sql:58-78)",
+)
+def calc_stage1_premium_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    return s["s1"].select(
+        "PremiumTransactionId", "CertificateId", "TransactionDate",
+        F.col("PremiumAmount").cast("double").alias("PremiumAmount"),
+        "GroupId", "ProductCode", "EffectiveDate", "GroupSize",
+        "IsFirstYear", "BasisYear",
+    )
+
+
+@query(
+    "calc_stage2_proposals_resolved",
+    oracle=_oracle("""
+    SELECT PremiumTransactionId, GroupId, ProposalId, LeadBrokerId, ErrorMessage
+    FROM s2"""),
+    survey_ref="§2.9 stage 2 proposals_resolved, J2+J3 (run-calculation.sql:93-110)",
+)
+def calc_stage2_proposals_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    return s["s2"].select(
+        "PremiumTransactionId", "GroupId", "ProposalId", "LeadBrokerId",
+        "ErrorMessage",
+    )
+
+
+@query(
+    "calc_stage3_splits_applied",
+    oracle=_oracle("""
+    SELECT PremiumTransactionId, SplitParticipantId, Sequence,
+           CAST(SplitPercent AS DOUBLE) AS SplitPercent,
+           HierarchyId, WritingBrokerId,
+           CAST(SplitPremium AS DOUBLE) AS SplitPremium
+    FROM s3"""),
+    survey_ref="§2.9 stage 3 splits_applied, J5 fan-out (run-calculation.sql:125-147)",
+)
+def calc_stage3_splits_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    return s["s3"].select(
+        "PremiumTransactionId", "SplitParticipantId", "Sequence",
+        F.col("SplitPercent").cast("double").alias("SplitPercent"),
+        "HierarchyId", "WritingBrokerId",
+        F.col("SplitPremium").cast("double").alias("SplitPremium"),
+    )
+
+
+@query(
+    "calc_stage5_participants_expanded",
+    oracle=_oracle("""
+    SELECT PremiumTransactionId, SplitParticipantId, HierarchyParticipantId,
+           EntityId, TierLevel, ScheduleCode
+    FROM s5"""),
+    survey_ref="§2.9 stages 4-5 hierarchy resolution + tier explosion "
+    "(run-calculation.sql:162-217)",
+)
+def calc_stage5_participants_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    return s["s5"].select(
+        "PremiumTransactionId", "SplitParticipantId", "HierarchyParticipantId",
+        "EntityId", "TierLevel", "ScheduleCode",
+    )
+
+
+@query(
+    "calc_stage6_rates_applied",
+    oracle=_oracle("""
+    SELECT PremiumTransactionId, HierarchyParticipantId,
+           CAST(AppliedRate AS DOUBLE) AS AppliedRate, RateSource
+    FROM s6"""),
+    survey_ref="§2.9 stage 6 rate fallback cert>participant>schedule, J6 "
+    "(run-calculation.sql:232-297)",
+)
+def calc_stage6_rates_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    return s["s6"].select(
+        "PremiumTransactionId", "HierarchyParticipantId",
+        F.col("AppliedRate").cast("double").alias("AppliedRate"), "RateSource",
+    )
+
+
+@query(
+    "calc_stage8_assignments",
+    oracle=_oracle("""
+    SELECT PremiumTransactionId, HierarchyParticipantId, EntityId,
+           CAST(Commission AS DOUBLE) AS Commission,
+           AssignmentVersionId, RecipientBrokerId,
+           CAST(AssignedCommission AS DOUBLE) AS AssignedCommission,
+           CAST(RetainedCommission AS DOUBLE) AS RetainedCommission
+    FROM s8"""),
+    survey_ref="§2.9 stages 7-8 commission + assignments "
+    "(run-calculation.sql:312-377)",
+)
+def calc_stage8_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    return s["s8"].select(
+        "PremiumTransactionId", "HierarchyParticipantId", "EntityId",
+        F.col("Commission").cast("double").alias("Commission"),
+        "AssignmentVersionId", "RecipientBrokerId",
+        F.col("AssignedCommission").cast("double").alias("AssignedCommission"),
+        F.col("RetainedCommission").cast("double").alias("RetainedCommission"),
+    )
+
+
+@query(
+    "calc_gl_entries",
+    oracle=_oracle("""
+    SELECT 'GL-' || PremiumTransactionId || '-' || HierarchyParticipantId || '-O'
+             AS GlEntryId,
+           PremiumTransactionId,
+           EntityId AS BrokerId,
+           'Original' AS EntryType,
+           CAST(RetainedCommission AS DOUBLE) AS Amount
+    FROM s8
+    UNION ALL
+    SELECT 'GL-' || PremiumTransactionId || '-' || HierarchyParticipantId || '-A',
+           PremiumTransactionId,
+           RecipientBrokerId,
+           'Assigned',
+           CAST(AssignedCommission AS DOUBLE)
+    FROM s8
+    WHERE RecipientBrokerId IS NOT NULL AND AssignedCommission <> 0"""),
+    survey_ref="§2.9 GL output: retained ∪ assigned w/ swapped broker "
+    "(run-calculation.sql:391-456); deterministic ids replace NEWID()",
+)
+def calc_gl_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship domain query: full 8-stage cascade -> GL journal."""
+    s = _stages(spark, sf_dir)
+    return s["gl"]
+
+
+@query(
+    "calc_traceability",
+    oracle=_oracle("""
+    , rollup AS (
+      SELECT PremiumTransactionId,
+             SUM(CAST(Commission AS DECIMAL(12,2))) AS TotalCommission,
+             COUNT(DISTINCT HierarchyParticipantId) AS ParticipantCount
+      FROM s8 GROUP BY 1),
+    base AS (
+      SELECT PremiumTransactionId,
+             MAX(CAST(PremiumAmount AS DOUBLE)) AS PremiumAmount,
+             MIN(ErrorMessage) AS ErrorMessage
+      FROM s2 GROUP BY 1)
+    SELECT b.PremiumTransactionId, b.PremiumAmount,
+           CAST(COALESCE(r.TotalCommission, 0) AS DOUBLE) AS TotalCommission,
+           COALESCE(r.ParticipantCount, 0) AS ParticipantCount,
+           CASE WHEN b.ErrorMessage IS NOT NULL THEN 'ProposalResolutionFailed'
+                WHEN r.TotalCommission IS NULL THEN 'NoParticipantsExpanded'
+                ELSE 'Calculated' END AS TraceStatus
+    FROM base b LEFT JOIN rollup r ON b.PremiumTransactionId = r.PremiumTransactionId"""),
+    survey_ref="§2.9 traceability rollup + failure diagnosis "
+    "(run-calculation.sql:470-561)",
+)
+def calc_traceability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    return s["trace"]

@@ -23,6 +23,13 @@ HEADLINE = [
     "agg_pricing_summary",
     "agg_group_stats",
     "agg_entropy_routing",
+    "calc_gl_entries",
+    "calc_traceability",
+    "join_date_band",
+    "join_rate_fallback",
+    "win_dedup_keep_latest",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
 ]
 
 

@@ -9,7 +9,7 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 1
-    assert "sum_qty" in df.columns
+    assert {"GlEntryId", "BrokerId", "EntryType", "Amount"} <= set(df.columns)
 
 
 def test_queries_and_oracles_aligned():
