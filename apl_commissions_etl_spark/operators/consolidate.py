@@ -1,0 +1,158 @@
+"""Proposal consolidation: the reference's strict ordered fold
+(scripts/transforms/consolidate-proposals.ts:130-245) as a grouped-map
+pandas UDF — SURVEY.md §2.9 composite #3 and §2.11's sanctioned
+applyInPandas case (the ONE place the accumulated state feeds the next
+step's decision, so no window rewrite exists).
+
+Rules, per group, over proposals sorted by (EffectiveDateFrom,
+SplitConfigurationMD5, Id — Id added as a deterministic tiebreak; the
+reference relies on engine sort stability):
+
+    R1 new group                 -> close retained, start new
+    R2 config MD5 differs        -> close retained, start new
+       (compared against the RUN-OPENING proposal's MD5 — the retained
+       MD5 is never mutated by merges)
+    R3 plan-code conflict        -> close retained, start new
+       conflict := no '*' wildcard on either side AND the sets
+       partially overlap (disjoint or identical sets are fine);
+       incoming is compared against the ACCUMULATED plan set
+    R4 same config               -> merge into retained:
+       EffectiveDateFrom/DateRangeFrom := min
+       EffectiveDateTo: incoming NULL  -> keep retained (even if open)
+                        retained NULL  -> take incoming (closes it!)
+                        else           -> max
+       DateRangeTo:     incoming NULL  -> NULL (re-opens!)
+                        retained NULL  -> take incoming
+                        else           -> max
+       (the two null-asymmetries are faithful to the reference,
+        :180-186 vs :196-209)
+       plan/product codes := set union
+
+Scale posture: one fold per GroupId via applyInPandas — groups are
+small (a handful of proposals each) and the shuffle key is the natural
+partition key, so this parallelizes across every group at 100 TB.
+
+Code lists are comma-joined strings with '*' sentinel; output lists
+are canonically sorted-distinct-joined on BOTH engines.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+RESULT_SCHEMA = (
+    "GroupId string, RetainedId string, EffectiveDateFrom date, "
+    "EffectiveDateTo date, DateRangeFrom int, DateRangeTo int, "
+    "ProductCodes string, PlanCodes string, ConsumedCount int"
+)
+
+
+def parse_codes(s) -> set[str]:
+    """'*' -> wildcard set; else comma-split (ref parseCodesIntoSet,
+    consolidate-proposals.ts:265-282, JSON-array path)."""
+    if s is None or pd.isna(s):
+        return set()
+    s = str(s)
+    if s == "*":
+        return {"*"}
+    return {c for c in s.split(",") if c != ""}
+
+
+def has_plan_conflict(s1: set[str], s2: set[str]) -> bool:
+    """Partial overlap without wildcard (ref :250-260)."""
+    if "*" in s1 or "*" in s2:
+        return False
+    inter = s1 & s2
+    if not inter:
+        return False
+    if len(inter) == len(s1) and len(inter) == len(s2):
+        return False
+    return True
+
+
+def _null(v):
+    return v is None or pd.isna(v)
+
+
+def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(
+        ["EffectiveDateFrom", "SplitConfigurationMD5", "Id"]
+    ).reset_index(drop=True)
+    out: list[dict] = []
+    cur: dict | None = None
+    plans: set[str] = set()
+    prods: set[str] = set()
+
+    def close():
+        if cur is not None:
+            out.append(
+                {
+                    "GroupId": cur["GroupId"],
+                    "RetainedId": cur["Id"],
+                    "EffectiveDateFrom": cur["EffectiveDateFrom"],
+                    "EffectiveDateTo": None
+                    if _null(cur["EffectiveDateTo"])
+                    else cur["EffectiveDateTo"],
+                    "DateRangeFrom": int(cur["DateRangeFrom"]),
+                    "DateRangeTo": None
+                    if _null(cur["DateRangeTo"])
+                    else int(cur["DateRangeTo"]),
+                    "ProductCodes": ",".join(sorted(prods)),
+                    "PlanCodes": ",".join(sorted(plans)),
+                    "ConsumedCount": cur["consumed"],
+                }
+            )
+
+    for row in pdf.to_dict("records"):
+        incoming_plans = parse_codes(row["PlanCodes"])
+        if (
+            cur is None
+            or cur["SplitConfigurationMD5"] != row["SplitConfigurationMD5"]  # R2
+            or has_plan_conflict(plans, incoming_plans)  # R3
+        ):
+            close()
+            cur = dict(row)
+            cur["consumed"] = 0
+            plans = incoming_plans
+            prods = parse_codes(row["ProductCodes"])
+            continue
+        # R4 merge
+        cur["EffectiveDateFrom"] = min(cur["EffectiveDateFrom"], row["EffectiveDateFrom"])
+        if not _null(row["EffectiveDateTo"]):
+            cur["EffectiveDateTo"] = (
+                row["EffectiveDateTo"]
+                if _null(cur["EffectiveDateTo"])
+                else max(cur["EffectiveDateTo"], row["EffectiveDateTo"])
+            )
+        cur["DateRangeFrom"] = min(cur["DateRangeFrom"], row["DateRangeFrom"])
+        if _null(row["DateRangeTo"]):
+            cur["DateRangeTo"] = None
+        elif _null(cur["DateRangeTo"]):
+            cur["DateRangeTo"] = row["DateRangeTo"]
+        else:
+            cur["DateRangeTo"] = max(cur["DateRangeTo"], row["DateRangeTo"])
+        plans |= incoming_plans
+        prods |= parse_codes(row["ProductCodes"])
+        cur["consumed"] += 1
+    close()
+
+    res = pd.DataFrame(
+        out,
+        columns=[
+            "GroupId", "RetainedId", "EffectiveDateFrom", "EffectiveDateTo",
+            "DateRangeFrom", "DateRangeTo", "ProductCodes", "PlanCodes",
+            "ConsumedCount",
+        ],
+    )
+    res["DateRangeFrom"] = res["DateRangeFrom"].astype("Int32")
+    res["DateRangeTo"] = res["DateRangeTo"].astype("Int32")
+    res["ConsumedCount"] = res["ConsumedCount"].astype("Int32")
+    return res
+
+
+def consolidate_proposals(prestage: DataFrame) -> DataFrame:
+    """Fold each group's prestage proposals into retained proposals."""
+    return prestage.groupBy("GroupId").applyInPandas(
+        lambda pdf: _fold_group(pdf), RESULT_SCHEMA
+    )

@@ -1,0 +1,287 @@
+"""Spark-native proposal builder (ref scripts/proposal-builder.ts,
+4 191 LoC of single-threaded Node) re-expressed as a lazily-planned
+DataFrame DAG — SURVEY.md §2.9 composite #2.
+
+The reference loads every certificate row into the driver heap, groups
+in JS Maps, hashes configs with SHA-256, and writes 16 entity arrays
+back. Here the same semantics are pure shuffle-group aggregation:
+
+    cert rows --groupBy(cert,split)--> split configs + hierarchy hash
+              --groupBy(cert)-------> selection criteria + config hash
+              --route--------------> PHA records | conformant
+              --groupBy(grp,cfg)---> proposals
+              --window LEAD--------> overlap fix + continuations
+
+Scale posture: every step is a keyed aggregation over the certificate
+fact — no driver round-trip, no collect, no Python row UDFs. The
+overlap fix needs NO applyInPandas: the reference's per-group loop
+(proposal-builder.ts:1503-1620) only ever compares ADJACENT proposals
+using their ORIGINAL product+plan pair sets (truncation feeds nothing
+back), so it is exactly a LEAD window + array set-ops.
+
+Determinism deviations from the reference (documented, SURVEY §7.1):
+    - ProposalId = 'PROP-{group}-{sha256(config)[:8]}' replaces the
+      driver-side global counter (proposal-builder.ts:925) — a scale
+      blocker and insertion-order-dependent;
+    - the proposal's representative broker is the writing broker of
+      the LOWEST CertificateId (the reference takes Map insertion
+      order, proposal-builder.ts:929-933);
+    - overlap-fix ordering tiebreaks on ProposalId (the reference's
+      sort is unstable on equal EffectiveDateFrom).
+
+Canonical hash serialization (SURVEY §2.8 caveat): explicit
+'|'/';'/':'/'@'-joined strings — NOT engine JSON — so Spark and the
+DuckDB oracle produce byte-identical sha256 inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: separator inside a product+plan pair key (ref uses '||',
+#: proposal-builder.ts:918)
+PAIR_SEP = "~"
+
+CONT_TO = "2099-01-01"  # continuation open-end (proposal-builder.ts:1604)
+
+
+def invalid_group(col: Column) -> Column:
+    """null / empty / all-zeros / G+zeros (ref proposal-builder.ts:1994-2001)."""
+    t = F.trim(col)
+    return (
+        col.isNull() | (t == "") | t.rlike("^0+$") | t.rlike("^G0+$")
+    )
+
+
+def split_hierarchies(certs: DataFrame) -> DataFrame:
+    """One row per (certificate, split): ordered tier list, canonical
+    hierarchy string + SHA-256 (ref proposal-builder.ts:665-714).
+    GroupId is folded into the hash so hierarchies are never shared
+    across groups (the reference's fixed bug, :684-688)."""
+    tier = F.struct("SplitBrokerSeq", "SplitBrokerId", "ScheduleCode")
+    return (
+        certs.groupBy(
+            "GroupId", "GroupName", "CertificateId", "CertEffectiveDate",
+            "ProductCode", "PlanCode", "SitusState",
+            "CertSplitSeq", "CertSplitPercent",
+        )
+        .agg(F.array_sort(F.collect_list(tier)).alias("tiers"))
+        .withColumn(
+            "TiersCanonical",
+            F.array_join(
+                F.transform(
+                    "tiers",
+                    lambda t: F.concat_ws(
+                        ":",
+                        t["SplitBrokerSeq"].cast("string"),
+                        t["SplitBrokerId"],
+                        t["ScheduleCode"],
+                    ),
+                ),
+                ";",
+            ),
+        )
+        .withColumn(
+            "HierarchyCanonical",
+            F.concat_ws(
+                "|",
+                F.lit("HIER"),
+                "GroupId",
+                F.col("CertSplitPercent").cast("string"),
+                "TiersCanonical",
+            ),
+        )
+        .withColumn("HierarchyHash", F.sha2("HierarchyCanonical", 256))
+        .withColumn("WritingBrokerId", F.element_at("tiers", 1)["SplitBrokerId"])
+        .drop("tiers")
+    )
+
+
+def selection_criteria(certs: DataFrame) -> DataFrame:
+    """One row per (group, certificate): split config hash, total split
+    percent, writing broker (ref extractSelectionCriteria,
+    proposal-builder.ts:601-734). splitSeq is EXCLUDED from the config
+    hash body (only pct@hierHash in seq order, :1005-1012)."""
+    per_split = split_hierarchies(certs)
+    return (
+        per_split.groupBy(
+            "GroupId", "GroupName", "CertificateId", "CertEffectiveDate",
+            "ProductCode", "PlanCode", "SitusState",
+        )
+        .agg(
+            F.sum("CertSplitPercent").cast("int").alias("TotalSplitPercent"),
+            F.count("*").cast("int").alias("SplitCount"),
+            F.concat_ws(
+                ";",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "CertSplitSeq", "CertSplitPercent", "HierarchyHash"
+                            )
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        "@",
+                        s["CertSplitPercent"].cast("string"),
+                        s["HierarchyHash"],
+                    ),
+                ),
+            ).alias("ConfigBody"),
+            F.min_by("WritingBrokerId", "CertSplitSeq").alias("WritingBrokerId"),
+        )
+        .withColumn(
+            "ConfigHash", F.sha2(F.concat(F.lit("CFG|"), F.col("ConfigBody")), 256)
+        )
+        .drop("ConfigBody")
+    )
+
+
+def pha_routing(criteria: DataFrame) -> DataFrame:
+    """Non-conformant routing, early-detection order preserved: split
+    mismatch first (ref :750-763, removes the criteria), then invalid
+    group among the remainder (ref buildProposals :906-916)."""
+    mismatch = criteria.filter(F.col("TotalSplitPercent") != 100).select(
+        "GroupId", "CertificateId", F.col("CertEffectiveDate").alias("EffectiveDate"),
+        F.lit("NonConformant-CertificateSplitMismatch").alias("Reason"),
+        F.lit(1).alias("EntryType"),
+    )
+    invalid = (
+        criteria.filter(F.col("TotalSplitPercent") == 100)
+        .filter(invalid_group(F.col("GroupId")))
+        .select(
+            "GroupId", "CertificateId",
+            F.col("CertEffectiveDate").alias("EffectiveDate"),
+            F.lit("Invalid GroupId (null/empty/zeros)").alias("Reason"),
+            F.lit(2).alias("EntryType"),
+        )
+    )
+    return mismatch.unionByName(invalid)
+
+
+def conformant_criteria(criteria: DataFrame) -> DataFrame:
+    return criteria.filter(
+        (F.col("TotalSplitPercent") == 100) & ~invalid_group(F.col("GroupId"))
+    )
+
+
+def build_proposals(criteria: DataFrame) -> DataFrame:
+    """Merge criteria into proposals per (GroupId, ConfigHash),
+    accumulating plan/product codes, product+plan pairs, date range,
+    certificate count (ref buildProposals :886-1011)."""
+    ok = conformant_criteria(criteria)
+    pair = F.concat_ws(PAIR_SEP, "ProductCode", "PlanCode")
+    return (
+        ok.groupBy("GroupId", "ConfigHash")
+        .agg(
+            F.min("CertEffectiveDate").alias("EffectiveDateFrom"),
+            F.max("CertEffectiveDate").alias("EffectiveDateTo"),
+            F.array_join(F.array_sort(F.collect_set("PlanCode")), ",").alias(
+                "PlanCodes"
+            ),
+            F.array_join(F.array_sort(F.collect_set("ProductCode")), ",").alias(
+                "ProductCodes"
+            ),
+            F.array_sort(F.collect_set(pair)).alias("ProductPlanPairs"),
+            F.countDistinct("CertificateId").cast("int").alias("CertificateCount"),
+            F.min_by("WritingBrokerId", "CertificateId").alias("PrimaryBrokerId"),
+            F.min_by("GroupName", "CertificateId").alias("GroupName"),
+            F.min_by("SitusState", "CertificateId").alias("SitusState"),
+        )
+        .withColumn(
+            "ProposalId",
+            F.concat_ws(
+                "-", F.lit("PROP"), "GroupId", F.substring("ConfigHash", 1, 8)
+            ),
+        )
+    )
+
+
+def fix_overlapping_date_ranges(proposals: DataFrame) -> DataFrame:
+    """The reference's per-group overlap loop (:1503-1620) as a LEAD
+    window: for consecutive proposals in a group (by EffectiveDateFrom)
+    whose product+plan pair sets intersect, truncate the earlier one to
+    next.From - 1 day; pairs only in the earlier proposal spawn a
+    '-CONT' continuation carrying them past the cutoff."""
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("GroupId").orderBy("EffectiveDateFrom", "ProposalId")
+    annotated = (
+        proposals.withColumn("NextFrom", F.lead("EffectiveDateFrom").over(win))
+        .withColumn("NextPairs", F.lead("ProductPlanPairs").over(win))
+        .withColumn(
+            "OverlapPairs",
+            F.when(
+                F.col("NextPairs").isNotNull(),
+                F.array_intersect("ProductPlanPairs", "NextPairs"),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "OnlyCurrentPairs", F.array_except("ProductPlanPairs", F.coalesce(
+                "NextPairs", F.array().cast("array<string>")))
+        )
+        .withColumn("HasOverlap", F.size("OverlapPairs") > 0)
+    )
+    base = annotated.select(
+        F.col("ProposalId").alias("Id"),
+        "GroupId",
+        "EffectiveDateFrom",
+        F.when(
+            F.col("HasOverlap"), F.date_sub(F.col("NextFrom"), 1)
+        ).otherwise(F.col("EffectiveDateTo")).alias("EffectiveDateTo"),
+        "ProductCodes",
+        "PlanCodes",
+        F.lit(0).alias("IsContinuation"),
+    )
+    pair_part = lambda n: F.transform(  # noqa: E731
+        "OnlyCurrentPairs", lambda p: F.split_part(p, F.lit(PAIR_SEP), F.lit(n))
+    )
+    cont = (
+        annotated.filter(F.col("HasOverlap") & (F.size("OnlyCurrentPairs") > 0))
+        .select(
+            F.concat(F.col("ProposalId"), F.lit("-CONT")).alias("Id"),
+            "GroupId",
+            F.col("NextFrom").alias("EffectiveDateFrom"),
+            F.lit(CONT_TO).cast("date").alias("EffectiveDateTo"),
+            F.array_join(F.array_sort(F.array_distinct(pair_part(1))), ",").alias(
+                "ProductCodes"
+            ),
+            F.array_join(F.array_sort(F.array_distinct(pair_part(2))), ",").alias(
+                "PlanCodes"
+            ),
+            F.lit(1).alias("IsContinuation"),
+        )
+    )
+    return base.unionByName(cont)
+
+
+def broker_assignments(certs: DataFrame) -> DataFrame:
+    """Broker-level assignments: tier rows where the paid broker
+    differs from the split broker; keep the most recent per source
+    broker (ref :644-662). Deterministic tiebreak: (date, certificate,
+    recipient) descending — the reference keeps first-seen on ties."""
+    from pyspark.sql.window import Window
+
+    cand = certs.filter(
+        F.col("SplitBrokerId").isNotNull()
+        & F.col("PaidBrokerId").isNotNull()
+        & (F.trim("SplitBrokerId") != "")
+        & (F.trim("PaidBrokerId") != "")
+        & (F.col("SplitBrokerId") != F.col("PaidBrokerId"))
+    )
+    w = Window.partitionBy("SplitBrokerId").orderBy(
+        F.col("CertEffectiveDate").desc(),
+        F.col("CertificateId").desc(),
+        F.col("PaidBrokerId").desc(),
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("SplitBrokerId").alias("SourceBrokerId"),
+            F.col("SplitBrokerName").alias("SourceBrokerName"),
+            F.col("PaidBrokerId").alias("RecipientBrokerId"),
+            F.col("CertEffectiveDate").alias("EffectiveDate"),
+        )
+    )
