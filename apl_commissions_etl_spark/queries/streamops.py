@@ -1,0 +1,104 @@
+"""Streaming-surface transforms run in batch mode for the driver's
+oracle gate (SURVEY.md §2.10). ``F.window``/``F.session_window`` are
+plain grouping expressions in batch, so the SAME functions the
+streaming pipeline uses are hash-checked against DuckDB here;
+``tests/test_streaming.py`` separately proves streaming == batch via
+``trigger(availableNow=True)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..sources.testdata import load_table
+from ..streaming import windows as sw
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3""",
+    survey_ref="§2.10 streaming (new surface): 1h tumbling window agg, "
+    "epoch-aligned; exact-decimal sums",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sw.tumbling_counts(_events(spark, sf_dir))
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+             user_id
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+             user_id
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM buckets GROUP BY 1""",
+    survey_ref="§2.10 streaming (new surface): 1h/30min sliding window "
+    "(each event in exactly 2 windows)",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sw.sliding_counts(_events(spark, sf_dir))
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id""",
+    survey_ref="§2.10 streaming (new surface): 30min-gap session "
+    "windows; oracle = gaps-and-islands CTE with end = last + gap",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sw.session_stats(_events(spark, sf_dir))
+
+
+@query(
+    "stream_dedup_keep_first",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1""",
+    survey_ref="§2.10 streaming (new surface): watermarked dedup; batch "
+    "equivalent = deterministic argmin keep-first (W3 inverted)",
+)
+def stream_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sw.dedup_keep_first(_events(spark, sf_dir))

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         llmdata,
         scalars,
         setops,
+        streamops,
         windows,
     )
 
