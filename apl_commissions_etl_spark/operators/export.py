@@ -1,0 +1,57 @@
+"""Export-layer sink semantics (SURVEY.md §2.1 S9/S10/S11).
+
+The reference's export scripts are idempotent INSERT-missing-rows
+(``WHERE Id NOT IN (SELECT Id FROM prod)``, ref
+sql/export/05-export-groups.sql:11-38, 07-export-proposals.sql:57)
+and in-place UPDATE-joins (``UPDATE t SET ... FROM t JOIN ...``, ref
+sql/transforms/09-policies.sql:128-137). Spark-first equivalents on
+immutable storage:
+
+    - upsert_missing: left_anti then append (or Delta MERGE where a
+      transactional table format is available — the anti-join is the
+      format-agnostic core)
+    - update_join: recompute the column via join + select — the
+      immutable rewrite of UPDATE...FROM
+
+Scale posture: the anti-join's build side is the EXISTING KEY SET
+only (select the key column before joining), so the shuffle carries
+keys, not rows; with a broadcastable key set Catalyst picks a
+broadcast anti-join and the new-rows scan never shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert_missing(
+    new_rows: DataFrame, existing: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Rows of ``new_rows`` whose key is absent from ``existing`` —
+    append these to the production table for the reference's
+    idempotent export (S9). Key-project before the anti-join so only
+    keys shuffle/broadcast."""
+    existing_keys = existing.select(*keys).distinct()
+    return new_rows.join(existing_keys, on=list(keys), how="left_anti")
+
+
+def update_join(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    set_cols: dict[str, Column],
+) -> DataFrame:
+    """Immutable UPDATE-join (S10): left-join the update source and
+    recompute each target column; unmatched rows keep their value.
+
+    ``set_cols`` maps target column name -> expression over the joined
+    frame (reference the update side's columns directly)."""
+    joined = target.join(updates, on=list(keys), how="left")
+    out_cols: list[Column] = [
+        set_cols[c].alias(c) if c in set_cols else target[c].alias(c)
+        for c in target.columns
+    ]
+    return joined.select(*out_cols)

@@ -1,0 +1,120 @@
+"""Raw-layer fixtures for the dimension transforms (brokers,
+schedules), in ANSI SQL shared VERBATIM between Spark and DuckDB.
+
+All columns are STRINGS — these model the reference's raw_* layer
+(every column NVARCHAR, ref sql/01-raw-tables.sql) so the transforms
+exercise the TRY_CAST / trim / zero-as-missing paths on both engines.
+
+Planted dirt:
+    - suppkey % 37 == 1  -> junk PartyUniqueId 'PX…' (bigint cast
+      fails -> NULL Id kept on individual rows, filtered on later
+      sources — the reference's asymmetry)
+    - suppkey % 11 == 3  -> individual missing (filled by later source)
+    - suppkey % 5 == 0   -> empty HireDate string
+    - partkey strata     -> Year1/Year2/Year66/Level blank, '0', or
+      non-numeric 'N/A' (zero-as-missing fallback,
+      ref 04-schedules.sql:128-141)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..sources.testdata import load_table
+
+DIM_VIEWS: list[tuple[str, str]] = [
+    (
+        "raw_individual_brokers",
+        """
+        SELECT 'P' || CAST(s_suppkey * 10 AS VARCHAR(20)) AS PartyUniqueId,
+               'First' || CAST(s_suppkey AS VARCHAR(20)) AS IndividualFirstName,
+               'Last' || CAST(s_suppkey AS VARCHAR(20)) AS IndividualLastName,
+               CASE s_suppkey % 4 WHEN 0 THEN 'Active'
+                    WHEN 1 THEN 'Terminated'
+                    WHEN 2 THEN 'Terminated Residuals'
+                    ELSE 'Unknown' END AS CurrentStatus,
+               'b' || CAST(s_suppkey AS VARCHAR(20)) || '@x.com' AS EmailAddress,
+               CASE WHEN s_suppkey % 5 = 0 THEN ''
+                    ELSE '2010-01-15' END AS HireDate
+        FROM supplier
+        WHERE s_suppkey % 11 <> 3
+        UNION ALL
+        SELECT 'PX' || CAST(s_suppkey AS VARCHAR(20)),
+               'JunkF' || CAST(s_suppkey AS VARCHAR(20)),
+               'JunkL' || CAST(s_suppkey AS VARCHAR(20)),
+               'Active', '', ''
+        FROM supplier
+        WHERE s_suppkey % 37 = 1
+        """,
+    ),
+    (
+        "raw_org_brokers",
+        """
+        SELECT 'P' || CAST(c_custkey * 10 AS VARCHAR(20)) AS PartyUniqueId,
+               'Org ' || CAST(c_custkey AS VARCHAR(20)) AS OrganizationName,
+               CASE c_custkey % 3 WHEN 0 THEN 'Active'
+                    WHEN 1 THEN 'Terminated' ELSE '' END AS CurrentStatus,
+               'o' || CAST(c_custkey AS VARCHAR(20)) || '@x.com' AS EmailAddress,
+               '2012-03-01' AS HireDate
+        FROM customer
+        WHERE c_custkey % 2 = 0
+        """,
+    ),
+    (
+        "ref_active_brokers",
+        """
+        SELECT 'P' || CAST(n_nationkey * 10 + 5 AS VARCHAR(20)) AS BrokerId
+        FROM nation
+        UNION ALL
+        SELECT 'P' || CAST(s_suppkey * 10 AS VARCHAR(20))
+        FROM supplier WHERE s_suppkey % 7 = 0
+        """,
+    ),
+    (
+        "raw_schedule_rates",
+        """
+        SELECT CASE WHEN p_partkey % 7 = 0
+                    THEN '  SCH-' || CAST(p_partkey % 40 AS VARCHAR(20)) || '  '
+                    ELSE 'SCH-' || CAST(p_partkey % 40 AS VARCHAR(20)) END
+                 AS ScheduleName,
+               CASE WHEN p_partkey % 5 = 0 THEN '' ELSE p_brand END AS Category,
+               'Desc ' || CAST(p_partkey % 40 AS VARCHAR(20))
+                 AS ScheduleDescription,
+               p_type AS ProductCode,
+               CASE WHEN p_partkey % 11 = 3 THEN ''
+                    WHEN p_partkey % 11 = 7 THEN '0'
+                    WHEN p_partkey % 13 = 1 THEN 'N/A'
+                    ELSE CAST(10 + p_partkey % 8 AS VARCHAR(20)) || '.25' END
+                 AS Year1,
+               CASE WHEN p_partkey % 9 = 2 THEN ''
+                    WHEN p_partkey % 9 = 5 THEN '0'
+                    ELSE CAST(2 + p_partkey % 6 AS VARCHAR(20)) END AS Year2,
+               CASE WHEN p_partkey % 6 = 1 THEN ''
+                    ELSE CAST(1 + p_partkey % 4 AS VARCHAR(20)) || '.5' END
+                 AS Year66,
+               CASE WHEN p_partkey % 17 = 4 THEN ''
+                    ELSE CAST(5 + p_partkey % 5 AS VARCHAR(20)) END AS LevelRate,
+               '199' || CAST(3 + p_partkey % 5 AS VARCHAR(2)) || '-01-15'
+                 AS EffectiveStartDate,
+               CASE WHEN p_partkey % 4 = 0 THEN ''
+                    ELSE '1999-12-31' END AS EffectiveEndDate,
+               CAST(1 + (p_partkey % 3) * 50 AS VARCHAR(20)) AS GroupSizeFrom,
+               CAST((1 + p_partkey % 3) * 50 AS VARCHAR(20)) AS GroupSizeTo,
+               'Band' || CAST(p_partkey % 3 AS VARCHAR(20)) AS GroupSize,
+               CASE WHEN p_partkey % 2 = 0 THEN 'TX' ELSE '*' END AS State,
+               '' AS OffGroupLetterDescription
+        FROM part
+        """,
+    ),
+]
+
+
+def dims_cte_sql() -> str:
+    return ",\n".join(f"{name} AS ({sql})" for name, sql in DIM_VIEWS)
+
+
+def register_dim_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in ("supplier", "customer", "nation", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    for name, sql in DIM_VIEWS:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")

@@ -1,0 +1,256 @@
+"""Dimension transforms: brokers (multi-source priority union) and
+schedules (wide year-rate fallback) — SURVEY.md §7.3 build-order #3.
+
+The raw layer is all-string (ref sql/01-raw-tables.sql), so these
+exercise P1/P2/P3 (trim, TRY_CAST-null-on-failure, safe date parse)
+inside real domain transforms. ``LevelRate`` is the reference's
+``[Level]`` column (renamed: double-quoted identifiers are not shared
+Spark/DuckDB syntax).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.dims_fixtures import dims_cte_sql, register_dim_views
+from ..registry import query
+
+
+def _oracle(final_select: str) -> str:
+    return f"WITH {dims_cte_sql()}\n{final_select}"
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    register_dim_views(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Brokers (ref sql/transforms/01-brokers.sql:20-195)
+# ---------------------------------------------------------------------------
+
+_STATUS = """CASE CurrentStatus WHEN 'Active' THEN 'Active'
+    WHEN 'Terminated' THEN 'Terminated'
+    WHEN 'Terminated Residuals' THEN 'TerminatedResiduals'
+    ELSE 'Active' END"""
+
+
+def _status(col: F.Column) -> F.Column:
+    return (
+        F.when(col == "Active", "Active")
+        .when(col == "Terminated", "Terminated")
+        .when(col == "Terminated Residuals", "TerminatedResiduals")
+        .otherwise("Active")
+    )
+
+
+def _pid_to_id(col: F.Column) -> F.Column:
+    """TRY_CAST(REPLACE(pid,'P','') AS BIGINT) (ref 01-brokers.sql:33);
+    ANSI off => cast returns null on junk, matching TRY_CAST."""
+    return F.regexp_replace(col, "P", "").cast("long")
+
+
+@query(
+    "dim_brokers",
+    oracle=_oracle("""
+    , ind AS (
+      SELECT TRY_CAST(REPLACE(PartyUniqueId, 'P', '') AS BIGINT) AS Id,
+             PartyUniqueId AS ExternalPartyId,
+             IndividualLastName || ', ' || IndividualFirstName AS Name,
+             'Individual' AS BrokerType, """ + _STATUS + """ AS Status,
+             EmailAddress AS Email,
+             TRY_CAST(NULLIF(HireDate, '') AS DATE) AS HireDate,
+             1 AS SourcePriority
+      FROM raw_individual_brokers
+      WHERE PartyUniqueId IS NOT NULL AND PartyUniqueId <> ''
+    ),
+    org AS (
+      SELECT TRY_CAST(REPLACE(PartyUniqueId, 'P', '') AS BIGINT),
+             PartyUniqueId, OrganizationName, 'Organization',
+             """ + _STATUS + """, EmailAddress,
+             TRY_CAST(NULLIF(HireDate, '') AS DATE), 2
+      FROM raw_org_brokers
+      WHERE PartyUniqueId IS NOT NULL AND PartyUniqueId <> ''
+    ),
+    ph AS (
+      SELECT TRY_CAST(REPLACE(BrokerId, 'P', '') AS BIGINT),
+             BrokerId, 'Broker ' || BrokerId, 'Individual', 'Active',
+             CAST(NULL AS VARCHAR), CAST(NULL AS DATE), 3
+      FROM (SELECT DISTINCT BrokerId FROM ref_active_brokers)
+      WHERE TRY_CAST(REPLACE(BrokerId, 'P', '') AS BIGINT) IS NOT NULL
+    ),
+    unioned AS (
+      SELECT * FROM ind UNION ALL SELECT * FROM org UNION ALL SELECT * FROM ph
+    )
+    SELECT Id, ExternalPartyId, Name, BrokerType, Status, Email, HireDate,
+           SourcePriority
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ExternalPartyId
+              ORDER BY SourcePriority) AS rn FROM unioned)
+    WHERE rn = 1"""),
+    survey_ref="§7.3 #3 brokers: multi-source priority union replacing "
+    "sequential NOT-IN inserts (01-brokers.sql:20-195) with ONE window "
+    "dedup — same result, one shuffle; P2/P7 id normalization; J8",
+)
+def dim_brokers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    ind = spark.table("raw_individual_brokers").filter(
+        F.col("PartyUniqueId").isNotNull() & (F.col("PartyUniqueId") != "")
+    ).select(
+        _pid_to_id(F.col("PartyUniqueId")).alias("Id"),
+        F.col("PartyUniqueId").alias("ExternalPartyId"),
+        F.concat_ws(", ", "IndividualLastName", "IndividualFirstName").alias("Name"),
+        F.lit("Individual").alias("BrokerType"),
+        _status(F.col("CurrentStatus")).alias("Status"),
+        F.col("EmailAddress").alias("Email"),
+        F.nullif(F.col("HireDate"), F.lit("")).cast("date").alias("HireDate"),
+        F.lit(1).alias("SourcePriority"),
+    )
+    org = spark.table("raw_org_brokers").filter(
+        F.col("PartyUniqueId").isNotNull() & (F.col("PartyUniqueId") != "")
+    ).select(
+        _pid_to_id(F.col("PartyUniqueId")).alias("Id"),
+        F.col("PartyUniqueId").alias("ExternalPartyId"),
+        F.col("OrganizationName").alias("Name"),
+        F.lit("Organization").alias("BrokerType"),
+        _status(F.col("CurrentStatus")).alias("Status"),
+        F.col("EmailAddress").alias("Email"),
+        F.nullif(F.col("HireDate"), F.lit("")).cast("date").alias("HireDate"),
+        F.lit(2).alias("SourcePriority"),
+    )
+    ph = (
+        spark.table("ref_active_brokers")
+        .select("BrokerId")
+        .distinct()
+        .filter(_pid_to_id(F.col("BrokerId")).isNotNull())
+        .select(
+            _pid_to_id(F.col("BrokerId")).alias("Id"),
+            F.col("BrokerId").alias("ExternalPartyId"),
+            F.concat(F.lit("Broker "), "BrokerId").alias("Name"),
+            F.lit("Individual").alias("BrokerType"),
+            F.lit("Active").alias("Status"),
+            F.lit(None).cast("string").alias("Email"),
+            F.lit(None).cast("date").alias("HireDate"),
+            F.lit(3).alias("SourcePriority"),
+        )
+    )
+    unioned = ind.unionByName(org).unionByName(ph)
+    w = Window.partitionBy("ExternalPartyId").orderBy("SourcePriority")
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schedules (ref sql/transforms/04-schedules.sql:48-156)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dim_schedules",
+    oracle=_oracle("""
+    SELECT TRIM(ScheduleName) AS ExternalId,
+           CASE WHEN NULLIF(TRIM(MAX(Category)), '') IS NOT NULL
+                THEN NULLIF(TRIM(MAX(Category)), '') || ' - '
+                     || TRIM(ScheduleName)
+                ELSE TRIM(ScheduleName) END AS Name,
+           MAX(TRIM(ScheduleDescription)) AS Description,
+           MIN(TRY_CAST(EffectiveStartDate AS DATE)) AS EffectiveDate,
+           MAX(TRY_CAST(NULLIF(EffectiveEndDate, '') AS DATE)) AS EndDate,
+           CAST(COUNT(DISTINCT TRIM(ProductCode)) AS INT) AS ProductCount
+    FROM raw_schedule_rates
+    WHERE TRIM(ScheduleName) <> '' AND ScheduleName IS NOT NULL
+    GROUP BY TRIM(ScheduleName)"""),
+    survey_ref="§7.3 #3 schedules: trim-keyed dedup agg A6 + conditional "
+    "name concat + safe date bounds (04-schedules.sql:48-77); "
+    "deterministic ExternalId key replaces ROW_NUMBER W1",
+)
+def dim_schedules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    r = spark.table("raw_schedule_rates")
+    sname = F.trim("ScheduleName")
+    cat = F.nullif(F.trim(F.max("Category")), F.lit(""))
+    return (
+        r.filter((sname != "") & F.col("ScheduleName").isNotNull())
+        .withColumn("ExternalId", sname)
+        .groupBy("ExternalId")
+        .agg(
+            F.when(
+                cat.isNotNull(),
+                F.concat(cat, F.lit(" - "), F.col("ExternalId")),
+            )
+            .otherwise(F.col("ExternalId"))
+            .alias("Name"),
+            F.max(F.trim("ScheduleDescription")).alias("Description"),
+            F.min(F.col("EffectiveStartDate").cast("date")).alias("EffectiveDate"),
+            F.max(
+                F.nullif(F.col("EffectiveEndDate"), F.lit("")).cast("date")
+            ).alias("EndDate"),
+            F.countDistinct(F.trim("ProductCode")).cast("int").alias("ProductCount"),
+        )
+    )
+
+
+_RATE = "decimal(18,4)"
+
+
+def _zero_null(col: F.Column) -> F.Column:
+    """NULLIF(TRY_CAST(NULLIF(TRIM(x),'')), 0): blank, junk, and ZERO
+    all mean 'no rate here' (ref 04-schedules.sql:131-141)."""
+    return F.nullif(
+        F.nullif(F.trim(col), F.lit("")).cast(_RATE), F.lit(0).cast(_RATE)
+    )
+
+
+@query(
+    "dim_schedule_rate_fallback",
+    oracle=_oracle("""
+    SELECT TRIM(ScheduleName) AS ScheduleExternalId,
+           TRIM(ProductCode) AS ProductCode,
+           TRIM(State) AS State,
+           TRY_CAST(GroupSizeFrom AS INT) AS GroupSizeFrom,
+           TRY_CAST(GroupSizeTo AS INT) AS GroupSizeTo,
+           CAST(COALESCE(TRY_CAST(LevelRate AS DECIMAL(18,4)), 0) AS DOUBLE)
+             AS RateValue,
+           CAST(COALESCE(
+             NULLIF(TRY_CAST(NULLIF(TRIM(Year1), '') AS DECIMAL(18,4)), 0),
+             TRY_CAST(NULLIF(TRIM(LevelRate), '') AS DECIMAL(18,4)),
+             0) AS DOUBLE) AS FirstYearRate,
+           CAST(COALESCE(
+             NULLIF(TRY_CAST(NULLIF(TRIM(Year2), '') AS DECIMAL(18,4)), 0),
+             NULLIF(TRY_CAST(NULLIF(TRIM(Year66), '') AS DECIMAL(18,4)), 0),
+             TRY_CAST(NULLIF(TRIM(LevelRate), '') AS DECIMAL(18,4)),
+             0) AS DOUBLE) AS RenewalRate
+    FROM raw_schedule_rates
+    WHERE TRIM(ProductCode) <> ''"""),
+    survey_ref="§7.3 #3 schedule rates: wide year-column fallback "
+    "Year1->Level / Year2->Year66->Level with ZERO-as-missing "
+    "(04-schedules.sql:128-141); P1/P2 safe casts",
+)
+def dim_schedule_rate_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    r = spark.table("raw_schedule_rates").filter(F.trim("ProductCode") != "")
+    level = F.nullif(F.trim("LevelRate"), F.lit("")).cast(_RATE)
+    return r.select(
+        F.trim("ScheduleName").alias("ScheduleExternalId"),
+        F.trim("ProductCode").alias("ProductCode"),
+        F.trim("State").alias("State"),
+        F.col("GroupSizeFrom").cast("int").alias("GroupSizeFrom"),
+        F.col("GroupSizeTo").cast("int").alias("GroupSizeTo"),
+        F.coalesce(F.col("LevelRate").cast(_RATE), F.lit(0).cast(_RATE))
+        .cast("double")
+        .alias("RateValue"),
+        F.coalesce(_zero_null(F.col("Year1")), level, F.lit(0).cast(_RATE))
+        .cast("double")
+        .alias("FirstYearRate"),
+        F.coalesce(
+            _zero_null(F.col("Year2")),
+            _zero_null(F.col("Year66")),
+            level,
+            F.lit(0).cast(_RATE),
+        )
+        .cast("double")
+        .alias("RenewalRate"),
+    )

@@ -51,6 +51,7 @@ def all_queries() -> dict[str, Query]:
         aggregates,
         builder,
         calcdomain,
+        dims,
         joins,
         llmdata,
         scalars,

@@ -1,0 +1,45 @@
+"""Bronze CSV ingest: header sanitization, all-string schema, glob
+multi-file reads (SURVEY.md §2.1 S1/S2/S7)."""
+
+from __future__ import annotations
+
+from apl_commissions_etl_spark.sources.csv_ingest import (
+    read_raw_csv,
+    sanitize_column,
+    sanitize_columns,
+)
+
+
+def test_sanitize_rules():
+    # ref load-csv.ts:155-165
+    assert sanitize_column("﻿Group ID", 0) == "Group_ID"
+    assert sanitize_column("  Rate (%)  ", 1) == "Rate____"
+    assert sanitize_column("2024Premium", 2) == "Col_2024Premium"
+    assert sanitize_column("", 3) == "Column3"
+    assert sanitize_columns(["a b", "a-b", "ok"]) == ["a_b", "a_b_1", "ok"]
+
+
+def test_read_csv_all_string_with_sanitized_header(spark, tmp_path):
+    p = tmp_path / "Cert_2024.csv"
+    p.write_text(
+        "﻿Cert ID,Premium $,2024 Flag\n"
+        "1,100.50,Y\n"
+        "2,,N\n"
+    )
+    df = read_raw_csv(spark, str(p))
+    assert df.columns == ["Cert_ID", "Premium__", "Col_2024_Flag"]
+    assert all(t == "string" for _, t in df.dtypes)
+    rows = df.orderBy("Cert_ID").collect()
+    assert rows[0].Cert_ID == "1" and rows[0].Premium__ == "100.50"
+    assert rows[1].Premium__ is None  # empty cell -> null, typed later
+
+
+def test_glob_reads_many_files_as_one_table(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"CommissionsDetail_{i}.csv").write_text(
+            "Id,Amt\n" + f"{i},10\n"
+        )
+    (tmp_path / "Other.csv").write_text("Id,Amt\nx,1\n")
+    df = read_raw_csv(spark, str(tmp_path / "CommissionsDetail_*.csv"))
+    assert df.count() == 3
+    assert sorted(r.Id for r in df.collect()) == ["0", "1", "2"]
