@@ -23,17 +23,22 @@ from .textanalysis import fingerprint_bow, normalize_text
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles, one row per (id, shingle)."""
-    w = F.split(normalize_text(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    """Distinct word n-gram shingles, one row per (id, shingle).
+
+    The token array is materialized as a projected column FIRST:
+    inlining ``split(normalize(...))`` into the per-shingle lambda
+    makes Catalyst re-evaluate the split O(tokens*n) times per row
+    (measured 10x slower at sf0.1)."""
+    toks = df.select(F.col(id_col), F.split(normalize_text(text_col), " ").alias("toks"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0)))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + off) for off in range(n)]
+            " ", *[F.element_at(F.col("toks"), i + off) for off in range(n)]
         ),
     )
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        toks.select(F.col(id_col), F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -94,6 +99,12 @@ def ngram_jaccard_pairs(
     return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
+def shingle_sets(shingles: DataFrame, id_col: str) -> DataFrame:
+    """One row per id with its distinct-shingle ARRAY — the single
+    shuffle every MinHash/LSH stage downstream reuses as a projection."""
+    return shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 8
 ) -> DataFrame:
@@ -116,35 +127,55 @@ def minhash_lsh_pairs(
     bands: int = 2,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash + LSH banding: signatures -> band keys -> equi-join on
-    band -> verify candidates with exact Jaccard. At scale only the
-    band join shuffles; candidate verification touches a tiny subset."""
+    """MinHash + LSH banding, ONE shuffle to build state then pure
+    projections: shingle sets (groupBy) -> signatures = array_min of a
+    per-set transform (no second aggregation) -> band keys -> band
+    equi-join proposes candidates -> candidates verified with exact
+    Jaccard via array_intersect on the two shingle ARRAYS (only
+    candidate pairs pay the set comparison — the all-pairs shingle
+    self-join never happens)."""
     rows_per_band = num_hashes // bands
-    sh = word_shingles(df, id_col, text_col, n)
-    sigs = minhash_signatures(sh, id_col, num_hashes)
+    sets = shingle_sets(word_shingles(df, id_col, text_col, n), id_col)
+
+    sig_cols = [
+        F.array_min(
+            F.transform("sh", lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    banded = sets.select(F.col(id_col), F.col("sh"), *sig_cols)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.md5(F.concat_ws("|", *cols)).alias(f"band{b}")
-        )
-    banded = sigs.select(F.col(id_col), *band_cols)
+        band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band{b}"))
+    banded = banded.select(F.col(id_col), F.col("sh"), *band_cols)
 
     candidates = None
     for b in range(bands):
-        left = banded.select(F.col(id_col).alias("id_a"), F.col(f"band{b}").alias("bk"))
-        right = banded.select(F.col(id_col).alias("id_b"), F.col(f"band{b}").alias("bk"))
+        left = banded.select(
+            F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+            F.col(f"band{b}").alias("bk"),
+        )
+        right = banded.select(
+            F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+            F.col(f"band{b}").alias("bk"),
+        )
         cand = (
             left.join(right, "bk")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            .select("id_a", "id_b", "sh_a", "sh_b")
         )
         candidates = cand if candidates is None else candidates.unionByName(cand)
-    candidates = candidates.distinct()
+    candidates = candidates.dropDuplicates(["id_a", "id_b"])
 
-    jac = _pair_jaccard(sh, id_col)
-    return candidates.join(jac, ["id_a", "id_b"]).filter(
-        F.col("jaccard") >= threshold
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.select(
+            "id_a", "id_b",
+            F.round(inter * F.lit(1.0) / union, 6).cast("double").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -161,11 +192,14 @@ def simhash_signature(
     Returns the signature as a bit-string column (cross-engine-stable;
     Hamming distance = count of differing chars)."""
     w = F.split(normalize_text(text_col), " ")
-    tokens = df.select(F.col(id_col), F.explode(w).alias("tok"))
-    h = F.md5(F.col("tok"))
+    # materialize md5 once per token; inlining it into the 16 substring
+    # expressions would hash each token `bits` times
+    tokens = df.select(F.col(id_col), F.explode(w).alias("tok")).select(
+        F.col(id_col), F.md5("tok").alias("h")
+    )
     bit_sums = [
         F.sum(
-            F.when(F.substring(h, i + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
+            F.when(F.substring(F.col("h"), i + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
         ).alias(f"s{i}")
         for i in range(bits)
     ]

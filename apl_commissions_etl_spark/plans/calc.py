@@ -242,30 +242,43 @@ def gl_entries(s8: DataFrame) -> DataFrame:
     """Original (retained, original broker) ∪ Assigned (assigned
     amount, recipient broker) with deterministic GL ids
     (ref run-calculation.sql:391-456; NEWID() replaced by composite
-    natural key -- SURVEY §7.1)."""
-    original = s8.select(
-        F.concat_ws(
-            "-", F.lit("GL"), "PremiumTransactionId", "HierarchyParticipantId",
-            F.lit("O"),
-        ).alias("GlEntryId"),
-        "PremiumTransactionId",
-        F.col("EntityId").alias("BrokerId"),
-        F.lit("Original").alias("EntryType"),
-        F.col("RetainedCommission").cast("double").alias("Amount"),
+    natural key -- SURVEY §7.1).
+
+    Single-pass: a UNION of two selects over s8 would execute the
+    whole 10-join cascade twice (the branches differ, so no exchange
+    reuse); instead each s8 row emits a 1-2 element entry array that
+    explodes in the same stage."""
+    gl_id = lambda tag: F.concat_ws(  # noqa: E731
+        "-", F.lit("GL"), "PremiumTransactionId", "HierarchyParticipantId",
+        F.lit(tag),
     )
-    assigned = s8.filter(
-        F.col("RecipientBrokerId").isNotNull() & (F.col("AssignedCommission") != 0)
-    ).select(
-        F.concat_ws(
-            "-", F.lit("GL"), "PremiumTransactionId", "HierarchyParticipantId",
-            F.lit("A"),
-        ).alias("GlEntryId"),
-        "PremiumTransactionId",
-        F.col("RecipientBrokerId").alias("BrokerId"),
-        F.lit("Assigned").alias("EntryType"),
-        F.col("AssignedCommission").cast("double").alias("Amount"),
+    entry = lambda tag, broker, amount: F.struct(  # noqa: E731
+        gl_id(tag).alias("GlEntryId"),
+        F.lit("Original" if tag == "O" else "Assigned").alias("EntryType"),
+        broker.alias("BrokerId"),
+        amount.cast("double").alias("Amount"),
     )
-    return original.unionByName(assigned)
+    entries = F.array(
+        entry("O", F.col("EntityId"), F.col("RetainedCommission")),
+        F.when(
+            F.col("RecipientBrokerId").isNotNull()
+            & (F.col("AssignedCommission") != 0),
+            entry("A", F.col("RecipientBrokerId"), F.col("AssignedCommission")),
+        ),
+    )
+    return (
+        s8.select(
+            "PremiumTransactionId",
+            F.explode(F.filter(entries, lambda e: e.isNotNull())).alias("e"),
+        )
+        .select(
+            F.col("e.GlEntryId").alias("GlEntryId"),
+            "PremiumTransactionId",
+            F.col("e.BrokerId").alias("BrokerId"),
+            F.col("e.EntryType").alias("EntryType"),
+            F.col("e.Amount").alias("Amount"),
+        )
+    )
 
 
 def traceability(s2: DataFrame, s8: DataFrame) -> DataFrame:

