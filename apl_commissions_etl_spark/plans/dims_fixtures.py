@@ -71,6 +71,39 @@ DIM_VIEWS: list[tuple[str, str]] = [
         """,
     ),
     (
+        "raw_fees",
+        """
+        SELECT 'PRD' || CAST(o_orderkey AS VARCHAR(20)) AS PRDNUM,
+               CASE WHEN o_orderkey % 13 = 4 THEN ''
+                    ELSE 'P' || CAST(o_custkey * 10 AS VARCHAR(20)) END
+                 AS PartyUniqueId,
+               CASE o_orderkey % 7
+                    WHEN 0 THEN 'Fee per Certificate $ Per Month'
+                    WHEN 1 THEN 'Flat Fee $ Per Month'
+                    WHEN 2 THEN 'One Time Flat Fee $'
+                    WHEN 3 THEN 'New Annual Production Fee Per Month'
+                    WHEN 4 THEN 'Percent of Collected Premium Per Month'
+                    WHEN 5 THEN 'Percent of Collected Premium Per Year'
+                    ELSE 'Unknown Method' END AS FormattedFeeCalcMethod,
+               CASE WHEN o_orderkey % 11 = 5 THEN ''
+                    WHEN o_orderkey % 11 = 8 THEN 'N/A'
+                    ELSE CAST(100 + o_orderkey % 900 AS VARCHAR(20)) || '.50'
+                    END AS AMOUNT,
+               CASE WHEN o_orderkey % 9 = 2 THEN ''
+                    ELSE '0.0' || CAST(1 + o_orderkey % 8 AS VARCHAR(20)) END
+                 AS FormattedAmount,
+               CASE WHEN o_orderkey % 5 = 0 THEN '13/45/2020'
+                    ELSE LPAD(CAST(1 + o_orderkey % 12 AS VARCHAR(20)), 2, '0')
+                         || '/'
+                         || LPAD(CAST(1 + o_orderkey % 28 AS VARCHAR(20)), 2, '0')
+                         || '/201' || CAST(o_orderkey % 10 AS VARCHAR(20)) END
+                 AS DATESTART,
+               CASE WHEN o_orderkey % 3 = 0 THEN '' ELSE '12/31/2025' END
+                 AS DATEEND
+        FROM orders
+        """,
+    ),
+    (
         "raw_schedule_rates",
         """
         SELECT CASE WHEN p_partkey % 7 = 0
@@ -114,7 +147,7 @@ def dims_cte_sql() -> str:
 
 
 def register_dim_views(spark: SparkSession, sf_dir: str) -> None:
-    for t in ("supplier", "customer", "nation", "part"):
+    for t in ("supplier", "customer", "nation", "part", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     for name, sql in DIM_VIEWS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")

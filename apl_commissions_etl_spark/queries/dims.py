@@ -254,3 +254,85 @@ def dim_schedule_rate_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("RenewalRate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fees (ref sql/transforms/11-fees.sql:195-260)
+# ---------------------------------------------------------------------------
+
+_AMOUNT_METHODS = (
+    "Fee per Certificate $ Per Month",
+    "Flat Fee $ Per Month",
+    "One Time Flat Fee $",
+)
+_PERCENT_METHODS = (
+    "New Annual Production Fee Per Month",
+    "Percent of Collected Premium Per Month",
+    "Percent of Collected Premium Per Year",
+)
+
+_SQL_AMOUNT = ", ".join(f"'{m}'" for m in _AMOUNT_METHODS)
+_SQL_PERCENT = ", ".join(f"'{m}'" for m in _PERCENT_METHODS)
+
+
+@query(
+    "dim_fees_classified",
+    oracle=_oracle(f"""
+    SELECT TRIM(PRDNUM) AS ProductNumber,
+           TRIM(FormattedFeeCalcMethod) AS Notes,
+           CASE WHEN TRIM(FormattedFeeCalcMethod) IN ({_SQL_AMOUNT})
+                THEN CAST(TRY_CAST(NULLIF(TRIM(AMOUNT), '')
+                          AS DECIMAL(18,2)) AS DOUBLE)
+           END AS Amount,
+           CASE WHEN TRIM(FormattedFeeCalcMethod) IN ({_SQL_PERCENT})
+                THEN CAST(TRY_CAST(NULLIF(TRIM(FormattedAmount), '')
+                          AS DECIMAL(5,2)) * 100 AS DOUBLE)
+           END AS FeePercent,
+           try_strptime(DATESTART, '%m/%d/%Y') AS EffectiveDate,
+           try_strptime(NULLIF(DATEEND, ''), '%m/%d/%Y') AS EndDate,
+           CASE WHEN TRIM(PartyUniqueId) LIKE 'P%'
+                THEN TRY_CAST(SUBSTR(TRIM(PartyUniqueId), 2) AS BIGINT)
+           END AS RecipientBrokerId,
+           TRIM(PartyUniqueId) AS RecipientBrokerExternalId
+    FROM raw_fees
+    WHERE TRIM(PRDNUM) <> '' AND TRIM(PartyUniqueId) <> ''
+      AND TRIM(FormattedFeeCalcMethod) <> ''"""),
+    survey_ref="§7.3 #7 fees: calc-method bucket classification "
+    "(Amount vs Percent*100), style-101 MM/DD/YYYY safe parse P3, "
+    "P-prefix broker id extraction P7 (11-fees.sql:195-260)",
+)
+def dim_fees_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    r = spark.table("raw_fees")
+    method = F.trim("FormattedFeeCalcMethod")
+    party = F.trim("PartyUniqueId")
+    return (
+        r.filter(
+            (F.trim("PRDNUM") != "") & (party != "") & (method != "")
+        )
+        .select(
+            F.trim("PRDNUM").alias("ProductNumber"),
+            method.alias("Notes"),
+            F.when(
+                method.isin(*_AMOUNT_METHODS),
+                F.nullif(F.trim("AMOUNT"), F.lit("")).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("Amount"),
+            F.when(
+                method.isin(*_PERCENT_METHODS),
+                F.nullif(F.trim("FormattedAmount"), F.lit(""))
+                .cast("decimal(5,2)")
+                * 100,
+            )
+            .cast("double")
+            .alias("FeePercent"),
+            F.to_timestamp("DATESTART", "MM/dd/yyyy").alias("EffectiveDate"),
+            F.to_timestamp(F.nullif(F.col("DATEEND"), F.lit("")), "MM/dd/yyyy")
+            .alias("EndDate"),
+            F.when(
+                party.like("P%"), F.substring(party, 2, 1000).cast("long")
+            ).alias("RecipientBrokerId"),
+            party.alias("RecipientBrokerExternalId"),
+        )
+    )

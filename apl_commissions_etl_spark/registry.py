@@ -49,6 +49,7 @@ def all_queries() -> dict[str, Query]:
     # Importing the query modules populates REGISTRY.
     from .queries import (  # noqa: F401
         aggregates,
+        auditq,
         builder,
         calcdomain,
         dims,

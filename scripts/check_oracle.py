@@ -36,6 +36,10 @@ def norm_cell(v):
     if hasattr(v, "item") and type(v).__module__ == "numpy":
         return v.item()
     if hasattr(v, "isoformat"):  # date/datetime
+        import pandas as pd
+
+        if pd.isna(v):  # NaT
+            return None
         return v.isoformat()[:26]
     return v
 

@@ -90,3 +90,15 @@ def test_traceability_covers_every_premium(stages, spark):
     statuses = {r["TraceStatus"] for r in trace.select("TraceStatus").distinct().collect()}
     assert statuses <= {"Calculated", "ProposalResolutionFailed", "NoParticipantsExpanded"}
     assert "Calculated" in statuses and "ProposalResolutionFailed" in statuses
+
+
+def test_audit_suite_referentially_clean(spark, sf_dir):
+    from apl_commissions_etl_spark.plans.audit import assert_referentially_clean
+    from apl_commissions_etl_spark.queries.calcdomain import _staging
+
+    counts = assert_referentially_clean(
+        _staging(spark, sf_dir),
+        allow_nonzero={"premiums_group_without_proposal"},
+    )
+    # the planted no-proposal stratum must actually trip the check
+    assert counts["premiums_group_without_proposal"] > 0
