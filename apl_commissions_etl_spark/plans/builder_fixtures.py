@@ -72,7 +72,26 @@ BUILDER_VIEWS: list[tuple[str, str]] = [
                'SCH-' || CAST((c.GroupKey + s.SplitSeq + t.BrokerSeq
                     + CASE WHEN c.GroupKey % 8 = 1 AND c.CertificateId % 3 = 0
                            THEN 1 ELSE 0 END) % 3
-                              AS VARCHAR(20)) AS ScheduleCode
+                              AS VARCHAR(20)) AS ScheduleCode,
+               CASE WHEN c.GroupKey % 23 = 2 THEN 'A '
+                    WHEN c.CertificateId % 19 = 6 AND s.SplitSeq = 1 THEN 'I'
+                    ELSE 'A' END AS RecStatus,
+               CASE c.CertificateId % 6 WHEN 0 THEN 'Active' WHEN 1 THEN 'A'
+                    WHEN 2 THEN 'Terminated' WHEN 3 THEN 'T'
+                    WHEN 4 THEN 'C' ELSE 'L' END AS CertStatus,
+               CASE WHEN c.CertificateId % 8 = 3 THEN '' ELSE 'ACME' END
+                 AS Company,
+               CASE WHEN c.CertificateId % 10 = 4 THEN ''
+                    WHEN c.CertificateId % 10 = 7 THEN 'bad$'
+                    ELSE CAST(50 + c.CertificateId % 500 AS VARCHAR(20))
+                         || '.25' END AS CertPremium,
+               CASE WHEN c.CertificateId % 12 = 5 THEN ''
+                    ELSE 'CUST-' || CAST(c.CertificateId % 97 AS VARCHAR(20))
+                    END AS CustomerId,
+               'Cat' || CAST(c.CertificateId % 5 AS VARCHAR(20))
+                 AS ProductCategory,
+               'Master' || CAST(c.CertificateId % 3 AS VARCHAR(20))
+                 AS ProductMasterCategory
         FROM (SELECT o_orderkey AS CertificateId,
                      CASE WHEN o_custkey % 23 = 7 THEN '00000'
                           WHEN o_custkey % 29 = 11 THEN 'G000'

@@ -71,6 +71,31 @@ DIM_VIEWS: list[tuple[str, str]] = [
         """,
     ),
     (
+        "raw_licenses",
+        """
+        SELECT CASE WHEN s_suppkey % 31 = 9 THEN ''
+                    ELSE 'P' || CAST(s_suppkey * 10 AS VARCHAR(20)) END
+                 AS PartyUniqueId,
+               'S' || CAST((s_suppkey + st.n) % 50 AS VARCHAR(20)) AS StateCode,
+               'LIC-' || CAST(s_suppkey AS VARCHAR(20)) || '-'
+                 || CAST(st.n AS VARCHAR(2)) AS LicenseNumber,
+               CASE (s_suppkey + st.n) % 3 WHEN 0 THEN 'Active'
+                    WHEN 1 THEN 'Inactive' ELSE 'Expired' END AS CurrentStatus,
+               CASE WHEN (s_suppkey + st.n) % 4 = 1 THEN ''
+                    ELSE '2019-03-01' END AS LicenseEffectiveDate,
+               CASE WHEN (s_suppkey + st.n) % 5 = 2 THEN ''
+                    WHEN (s_suppkey + st.n) % 5 = 3 THEN '2020-06-30'
+                    ELSE '2030-06-30' END AS LicenseExpirationDate,
+               'LC' || CAST(st.n AS VARCHAR(2)) AS LicenseCode,
+               CASE (s_suppkey + st.n) % 4 WHEN 0 THEN 'Y' WHEN 1 THEN 'true'
+                    WHEN 2 THEN 'N' ELSE '' END AS IsResidenceLicense,
+               'County' || CAST((s_suppkey + st.n) % 9 AS VARCHAR(2))
+                 AS ApplicableCounty
+        FROM supplier
+        CROSS JOIN (SELECT 1 AS n UNION ALL SELECT 2 UNION ALL SELECT 3) st
+        """,
+    ),
+    (
         "raw_fees",
         """
         SELECT 'PRD' || CAST(o_orderkey AS VARCHAR(20)) AS PRDNUM,

@@ -1,0 +1,225 @@
+"""Policies transform (ref sql/transforms/09-policies.sql:19-115) and
+broker licenses with date corrections (ref
+sql/transforms/01-brokers.sql:196-260) — SURVEY.md §7.3 #7.
+
+Deterministic deviations: license surrogate Id (global ROW_NUMBER W1)
+is replaced by the (broker, state, code) natural key; GETUTCDATE() is
+replaced by an explicit as-of date parameter so the transform is
+reproducible (callers pass today's date in production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.builder_fixtures import builder_cte_sql, register_builder_views
+from ..plans.dims_fixtures import dims_cte_sql, register_dim_views
+from ..registry import query
+
+#: fixed as-of date standing in for GETUTCDATE() (deterministic runs)
+AS_OF = "2026-01-01"
+FAR_EXPIRY = "2027-01-01"
+
+
+@query(
+    "dim_policies",
+    oracle=f"WITH {builder_cte_sql()},\n"
+    + """
+    min_seq AS (
+      SELECT CertificateId, MIN(CertSplitSeq) AS MinSeq
+      FROM input_certificate_info
+      WHERE CertificateId > 0 AND TRIM(RecStatus) = 'A'
+      GROUP BY CertificateId
+    ),
+    pol AS (
+      SELECT i.CertificateId,
+             MAX(i.Company) AS Company,
+             MAX(i.ProductMasterCategory) AS PMC,
+             MAX(i.ProductCategory) AS PC,
+             CASE WHEN MAX(i.GroupId) IS NULL OR TRIM(MAX(i.GroupId)) = ''
+                  THEN '00000' ELSE MAX(i.GroupId) END AS GroupId,
+             MAX(i.ProductCode) AS Product,
+             MAX(i.PlanCode) AS PlanCode,
+             MAX(i.CertEffectiveDate) AS CertEffectiveDate,
+             MAX(i.SitusState) AS CertIssuedState,
+             MAX(i.CertStatus) AS CertStatus,
+             MAX(i.CertPremium) AS CertPremium,
+             MAX(i.CustomerId) AS CustomerId,
+             TRY_CAST(REPLACE(MAX(i.SplitBrokerId), 'P', '') AS BIGINT)
+               AS WritingBrokerId
+      FROM input_certificate_info i
+      JOIN min_seq ms ON ms.CertificateId = i.CertificateId
+                     AND i.CertSplitSeq = ms.MinSeq
+      WHERE i.CertificateId > 0 AND i.SplitBrokerSeq = 1
+        AND TRIM(i.RecStatus) = 'A'
+      GROUP BY i.CertificateId
+    )
+    SELECT CertificateId AS Id,
+           CAST(CertificateId AS VARCHAR(50)) AS PolicyNumber,
+           CASE TRIM(CertStatus)
+                WHEN 'Active' THEN 0 WHEN 'A' THEN 0
+                WHEN 'Terminated' THEN 1 WHEN 'T' THEN 1
+                WHEN 'Cancelled' THEN 2 WHEN 'C' THEN 2
+                WHEN 'L' THEN 3 ELSE 0 END AS Status,
+           COALESCE(WritingBrokerId, 0) AS BrokerId,
+           'G' || GroupId AS GroupId,
+           COALESCE(NULLIF(TRIM(Company), ''), 'APL') AS CarrierName,
+           Product AS ProductCode,
+           COALESCE(PC, '') || ' - ' || COALESCE(Product, '') AS ProductName,
+           PlanCode,
+           PMC AS MasterCategory,
+           PC AS Category,
+           COALESCE(NULLIF(CustomerId, ''),
+                    'Insured-' || CAST(CertificateId AS VARCHAR(20)))
+             AS InsuredName,
+           CAST(COALESCE(TRY_CAST(CertPremium AS DECIMAL(18,2)), 0)
+                AS DOUBLE) AS Premium,
+           COALESCE(CAST(CertEffectiveDate AS DATE), DATE '2020-01-01')
+             AS EffectiveDate,
+           CertIssuedState AS State,
+           NULLIF(TRIM(CustomerId), '') AS CustomerId
+    FROM pol""",
+    survey_ref="§7.3 #7 policies: min-active-seq dedup to one policy per "
+    "certificate, status mapping, DTC '00000' normalization, G-prefix, "
+    "defaults (09-policies.sql:19-115); A1, P2, P6, P7",
+)
+def dim_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_builder_views(spark, sf_dir)
+    i = spark.table("input_certificate_info")
+    active = i.filter((F.col("CertificateId") > 0) & (F.trim("RecStatus") == "A"))
+    min_seq = active.groupBy("CertificateId").agg(
+        F.min("CertSplitSeq").alias("MinSeq")
+    )
+    pol = (
+        active.filter(F.col("SplitBrokerSeq") == 1)
+        .join(
+            min_seq,
+            (active.CertificateId == min_seq.CertificateId)
+            & (active.CertSplitSeq == min_seq.MinSeq),
+        )
+        .drop(min_seq.CertificateId)
+        .groupBy("CertificateId")
+        .agg(
+            F.max("Company").alias("Company"),
+            F.max("ProductMasterCategory").alias("PMC"),
+            F.max("ProductCategory").alias("PC"),
+            F.max("GroupId").alias("GroupIdRaw"),
+            F.max("ProductCode").alias("Product"),
+            F.max("PlanCode").alias("PlanCode"),
+            F.max("CertEffectiveDate").alias("CertEffectiveDate"),
+            F.max("SitusState").alias("CertIssuedState"),
+            F.max("CertStatus").alias("CertStatus"),
+            F.max("CertPremium").alias("CertPremium"),
+            F.max("CustomerId").alias("CustomerIdRaw"),
+            F.regexp_replace(F.max("SplitBrokerId"), "P", "")
+            .cast("long")
+            .alias("WritingBrokerId"),
+        )
+    )
+    status = (
+        F.when(F.trim("CertStatus").isin("Active", "A"), 0)
+        .when(F.trim("CertStatus").isin("Terminated", "T"), 1)
+        .when(F.trim("CertStatus").isin("Cancelled", "C"), 2)
+        .when(F.trim("CertStatus") == "L", 3)
+        .otherwise(0)
+    )
+    group_id = F.when(
+        F.col("GroupIdRaw").isNull() | (F.trim("GroupIdRaw") == ""), "00000"
+    ).otherwise(F.col("GroupIdRaw"))
+    return pol.select(
+        F.col("CertificateId").alias("Id"),
+        F.col("CertificateId").cast("string").alias("PolicyNumber"),
+        status.alias("Status"),
+        F.coalesce("WritingBrokerId", F.lit(0)).alias("BrokerId"),
+        F.concat(F.lit("G"), group_id).alias("GroupId"),
+        F.coalesce(F.nullif(F.trim("Company"), F.lit("")), F.lit("APL")).alias(
+            "CarrierName"
+        ),
+        F.col("Product").alias("ProductCode"),
+        F.concat(
+            F.coalesce("PC", F.lit("")), F.lit(" - "), F.coalesce("Product", F.lit(""))
+        ).alias("ProductName"),
+        "PlanCode",
+        F.col("PMC").alias("MasterCategory"),
+        F.col("PC").alias("Category"),
+        F.coalesce(
+            F.nullif(F.col("CustomerIdRaw"), F.lit("")),
+            F.concat(F.lit("Insured-"), F.col("CertificateId").cast("string")),
+        ).alias("InsuredName"),
+        F.coalesce(
+            F.col("CertPremium").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("Premium"),
+        F.coalesce(
+            F.col("CertEffectiveDate").cast("date"), F.lit("2020-01-01").cast("date")
+        ).alias("EffectiveDate"),
+        F.col("CertIssuedState").alias("State"),
+        F.nullif(F.trim("CustomerIdRaw"), F.lit("")).alias("CustomerId"),
+    )
+
+
+@query(
+    "dim_broker_licenses",
+    oracle=f"WITH {dims_cte_sql()}\n"
+    + f"""
+    SELECT TRY_CAST(REPLACE(PartyUniqueId, 'P', '') AS BIGINT) AS BrokerId,
+           StateCode AS State,
+           LicenseNumber,
+           LicenseCode,
+           CASE WHEN CurrentStatus = 'Active' THEN 0
+                WHEN CurrentStatus = 'Inactive' THEN 1
+                ELSE 2 END AS Status,
+           COALESCE(
+             TRY_CAST(NULLIF(LicenseEffectiveDate, '') AS TIMESTAMP),
+             TRY_CAST(NULLIF(LicenseExpirationDate, '') AS TIMESTAMP),
+             TIMESTAMP '{AS_OF} 00:00:00') AS EffectiveDate,
+           CASE WHEN CurrentStatus = 'Active'
+                     AND (NULLIF(LicenseExpirationDate, '') IS NULL
+                          OR TRY_CAST(NULLIF(LicenseExpirationDate, '')
+                               AS TIMESTAMP) < TIMESTAMP '{AS_OF} 00:00:00')
+                THEN TIMESTAMP '{FAR_EXPIRY} 00:00:00'
+                ELSE COALESCE(
+                  TRY_CAST(NULLIF(LicenseExpirationDate, '') AS TIMESTAMP),
+                  TIMESTAMP '{FAR_EXPIRY} 00:00:00') END AS ExpirationDate,
+           CASE WHEN IsResidenceLicense = 'Y' OR IsResidenceLicense = 'true'
+                THEN 1 ELSE 0 END AS IsResidentLicense,
+           ApplicableCounty
+    FROM raw_licenses
+    WHERE PartyUniqueId IS NOT NULL AND PartyUniqueId <> ''""",
+    survey_ref="§7.3 #7 licenses: date-correction rules (null effective <- "
+    "expiration <- as-of; expired-but-Active -> 2027-01-01; trust "
+    "CurrentStatus) (01-brokers.sql:196-260); P2/P3/P6; deterministic "
+    "as-of replaces GETUTCDATE",
+)
+def dim_broker_licenses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_dim_views(spark, sf_dir)
+    r = spark.table("raw_licenses").filter(
+        F.col("PartyUniqueId").isNotNull() & (F.col("PartyUniqueId") != "")
+    )
+    as_of = F.lit(AS_OF).cast("timestamp")
+    far = F.lit(FAR_EXPIRY).cast("timestamp")
+    eff = F.nullif(F.col("LicenseEffectiveDate"), F.lit("")).cast("timestamp")
+    exp = F.nullif(F.col("LicenseExpirationDate"), F.lit("")).cast("timestamp")
+    return r.select(
+        F.regexp_replace("PartyUniqueId", "P", "").cast("long").alias("BrokerId"),
+        F.col("StateCode").alias("State"),
+        "LicenseNumber",
+        "LicenseCode",
+        F.when(F.col("CurrentStatus") == "Active", 0)
+        .when(F.col("CurrentStatus") == "Inactive", 1)
+        .otherwise(2)
+        .alias("Status"),
+        F.coalesce(eff, exp, as_of).alias("EffectiveDate"),
+        F.when(
+            (F.col("CurrentStatus") == "Active") & (exp.isNull() | (exp < as_of)),
+            far,
+        )
+        .otherwise(F.coalesce(exp, far))
+        .alias("ExpirationDate"),
+        F.when(F.col("IsResidenceLicense").isin("Y", "true"), 1)
+        .otherwise(0)
+        .alias("IsResidentLicense"),
+        "ApplicableCounty",
+    )

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         dims,
         joins,
         llmdata,
+        policies,
         scalars,
         setops,
         streamops,
