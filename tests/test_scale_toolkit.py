@@ -1,0 +1,135 @@
+"""Scale toolkit: bucketed co-located joins (no Exchange), skew-safe
+salted aggregation/join equivalence, applyInPandasWithState lifetime
+totals with checkpointed restart."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from apl_commissions_etl_spark.operators.skew import salted_aggregate, salted_join
+from apl_commissions_etl_spark.sources.testdata import load_table
+from apl_commissions_etl_spark.sources.warehouse import (
+    bucketed_join_is_shuffle_free,
+    write_bucketed,
+)
+from apl_commissions_etl_spark.streaming.stateful import running_user_totals
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # warehouse dir is static (repo-local spark-warehouse/, gitignored);
+    # use a dedicated database and drop it afterwards
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed_t")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        write_bucketed(
+            orders, "bucketed_t.orders_b", ["o_orderkey"], num_buckets=8
+        )
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bucketed_t.lineitem_b", ["o_orderkey"], num_buckets=8,
+        )
+        # co-located: the join plans no shuffle on either side
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert bucketed_join_is_shuffle_free(
+            spark, "bucketed_t.orders_b", "bucketed_t.lineitem_b", ["o_orderkey"]
+        )
+        # and the data is intact
+        n = spark.table("bucketed_t.lineitem_b").count()
+        assert n == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS bucketed_t CASCADE")
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        (r.l_returnflag,): (r.n, r.q)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag,): (r.n, r.q)
+        for r in salted_aggregate(
+            li.withColumn("l_quantity", F.col("l_quantity").cast("decimal(18,2)")),
+            ["l_returnflag"],
+            {"n": ("l_returnflag", "count"), "q": ("l_quantity", "sum")},
+            salts=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    plain = li.join(orders, ["l_orderkey"]).groupBy().agg(
+        F.count(F.lit(1)), F.sum("o_custkey")
+    ).collect()[0]
+    salted = salted_join(li, orders, ["l_orderkey"], salts=4).groupBy().agg(
+        F.count(F.lit(1)), F.sum("o_custkey")
+    ).collect()[0]
+    assert tuple(plain) == tuple(salted)
+
+
+def test_stateful_running_totals_across_restart(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 1, 10, i), uid, "a", float(v), "{}")
+                for i, (uid, v) in enumerate(rows)
+            ],
+            schema,
+        )
+
+    out_dir = str(tmp_path / "updates")
+
+    def run(name):
+        stream = spark.readStream.schema(mk([]).schema).parquet(src)
+
+        def sink(df, batch_id):
+            df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # latest update per user wins (batch ids keep increasing
+        # across the checkpointed restart)
+        rows = spark.read.parquet(out_dir).collect()
+        latest: dict = {}
+        for r in sorted(rows, key=lambda r: r.batch_id):
+            latest[r.user_id] = (r.n_events, r.total_cents)
+        return latest
+
+    mk([(1, 10.5), (1, 2.25), (2, 5.0)]).coalesce(1).write.mode("append").parquet(src)
+    first = run("t_state1")
+    assert first == {1: (2, 1275), 2: (1, 500)}
+
+    # restart with new data: state restored from checkpoint, totals accumulate
+    mk([(1, 1.0), (3, 7.0)]).coalesce(1).write.mode("append").parquet(src)
+    second = run("t_state2")
+    assert second[1] == (3, 1375)
+    assert second[3] == (1, 700)
