@@ -71,6 +71,39 @@ DIM_VIEWS: list[tuple[str, str]] = [
         """,
     ),
     (
+        "raw_perf_groups",
+        """
+        SELECT CAST(c_custkey AS VARCHAR(20)) AS GroupNumber,
+               CASE WHEN c_custkey % 7 = 2 THEN ''
+                    ELSE 'Acme ' || CAST(c_custkey AS VARCHAR(20)) END AS Name,
+               CASE WHEN c_custkey % 5 = 1 THEN ''
+                    ELSE 'S' || CAST(c_custkey % 50 AS VARCHAR(20)) END
+                 AS StateCode,
+               CASE WHEN c_custkey % 11 = 3 THEN ''
+                    ELSE 'P' || CAST(c_custkey * 10 AS VARCHAR(20)) END
+                 AS BrokerUniqueId
+        FROM customer WHERE c_custkey % 3 <> 1
+        """,
+    ),
+    (
+        "raw_group_premiums",
+        """
+        SELECT CAST(o_custkey AS VARCHAR(20)) AS GroupNumber,
+               CASE WHEN o_orderkey % 4 = 0 THEN ''
+                    ELSE 'PS' || CAST(o_custkey % 40 AS VARCHAR(20)) END
+                 AS StateIssued
+        FROM orders WHERE o_custkey % 2 = 0
+        """,
+    ),
+    (
+        "raw_group_certs",
+        """
+        SELECT CAST(o_custkey AS VARCHAR(20)) AS GroupNumber,
+               'CS' || CAST(o_custkey % 30 AS VARCHAR(20)) AS CertState
+        FROM orders
+        """,
+    ),
+    (
         "raw_licenses",
         """
         SELECT CASE WHEN s_suppkey % 31 = 9 THEN ''

@@ -336,3 +336,136 @@ def dim_fees_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
             party.alias("RecipientBrokerExternalId"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Groups (ref sql/transforms/02-groups.sql:95-165)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dim_groups",
+    oracle=_oracle("""
+    , all_groups AS (
+      SELECT DISTINCT GroupNumber FROM raw_group_certs
+    ),
+    prem_states AS (
+      SELECT TRIM(GroupNumber) AS GroupNumber,
+             MAX(CASE WHEN TRIM(StateIssued) <> '' THEN TRIM(StateIssued) END)
+               AS State
+      FROM raw_group_premiums
+      WHERE TRIM(StateIssued) <> ''
+      GROUP BY TRIM(GroupNumber)
+    ),
+    cert_states AS (
+      SELECT GroupNumber, MAX(CertState) AS State
+      FROM raw_group_certs GROUP BY GroupNumber
+    ),
+    broker_ids AS (
+      SELECT DISTINCT PartyUniqueId AS ExternalPartyId,
+             TRY_CAST(REPLACE(PartyUniqueId, 'P', '') AS BIGINT) AS Id
+      FROM raw_individual_brokers
+      WHERE PartyUniqueId IS NOT NULL AND PartyUniqueId <> ''
+      UNION
+      SELECT DISTINCT PartyUniqueId,
+             TRY_CAST(REPLACE(PartyUniqueId, 'P', '') AS BIGINT)
+      FROM raw_org_brokers
+      WHERE PartyUniqueId IS NOT NULL AND PartyUniqueId <> ''
+      UNION
+      SELECT DISTINCT BrokerId,
+             TRY_CAST(REPLACE(BrokerId, 'P', '') AS BIGINT)
+      FROM ref_active_brokers
+      WHERE TRY_CAST(REPLACE(BrokerId, 'P', '') AS BIGINT) IS NOT NULL
+    ),
+    groups_out AS (
+      SELECT 'G' || ag.GroupNumber AS Id,
+             COALESCE(NULLIF(gn.Name, ''), 'Group ' || ag.GroupNumber) AS Name,
+             'Group: ' || ag.GroupNumber AS Description,
+             ag.GroupNumber AS Code,
+             COALESCE(NULLIF(gn.StateCode, ''), NULLIF(ps.State, ''),
+                      NULLIF(cs.State, ''), '') AS State,
+             1 AS IsActive,
+             b.Id AS PrimaryBrokerId
+      FROM all_groups ag
+      LEFT JOIN raw_perf_groups gn ON gn.GroupNumber = ag.GroupNumber
+      LEFT JOIN prem_states ps ON ps.GroupNumber = ag.GroupNumber
+      LEFT JOIN cert_states cs ON cs.GroupNumber = ag.GroupNumber
+      LEFT JOIN broker_ids b ON b.ExternalPartyId = gn.BrokerUniqueId
+    )
+    SELECT * FROM groups_out
+    UNION ALL
+    SELECT 'G00000', 'Direct to Consumer',
+           'Direct-to-Consumer policies - not associated with an employer group',
+           '00000', '', 1, CAST(NULL AS BIGINT)
+    WHERE NOT EXISTS (SELECT 1 FROM groups_out WHERE Id = 'G00000')"""),
+    survey_ref="§7.3 #3 groups: 3-source state/name fallback chain J12 "
+    "(perf-group > premium > certificate), lead-broker lookup J9, "
+    "G00000 DTC sentinel append (02-groups.sql:95-165); A3 flags",
+)
+def dim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    ag = spark.table("raw_group_certs").select("GroupNumber").distinct()
+    gn = spark.table("raw_perf_groups").select(
+        "GroupNumber",
+        F.col("Name").alias("gn_Name"),
+        F.col("StateCode").alias("gn_State"),
+        "BrokerUniqueId",
+    )
+    ps = (
+        spark.table("raw_group_premiums")
+        .filter(F.trim("StateIssued") != "")
+        .groupBy(F.trim("GroupNumber").alias("GroupNumber"))
+        .agg(
+            F.max(
+                F.when(F.trim("StateIssued") != "", F.trim("StateIssued"))
+            ).alias("ps_State")
+        )
+    )
+    cs = (
+        spark.table("raw_group_certs")
+        .groupBy("GroupNumber")
+        .agg(F.max("CertState").alias("cs_State"))
+    )
+    brokers = dim_brokers(spark, sf_dir).select(
+        F.col("ExternalPartyId").alias("BrokerUniqueId"),
+        F.col("Id").alias("PrimaryBrokerId"),
+    )
+    groups = (
+        ag.join(F.broadcast(gn), "GroupNumber", "left")
+        .join(F.broadcast(ps), "GroupNumber", "left")
+        .join(F.broadcast(cs), "GroupNumber", "left")
+        .join(F.broadcast(brokers), "BrokerUniqueId", "left")
+        .select(
+            F.concat(F.lit("G"), "GroupNumber").alias("Id"),
+            F.coalesce(
+                F.nullif(F.col("gn_Name"), F.lit("")),
+                F.concat(F.lit("Group "), "GroupNumber"),
+            ).alias("Name"),
+            F.concat(F.lit("Group: "), "GroupNumber").alias("Description"),
+            F.col("GroupNumber").alias("Code"),
+            F.coalesce(
+                F.nullif(F.col("gn_State"), F.lit("")),
+                F.nullif(F.col("ps_State"), F.lit("")),
+                F.nullif(F.col("cs_State"), F.lit("")),
+                F.lit(""),
+            ).alias("State"),
+            F.lit(1).alias("IsActive"),
+            "PrimaryBrokerId",
+        )
+    )
+    sentinel = spark.createDataFrame(
+        [
+            (
+                "G00000",
+                "Direct to Consumer",
+                "Direct-to-Consumer policies - not associated with an "
+                "employer group",
+                "00000",
+                "",
+                1,
+                None,
+            )
+        ],
+        groups.schema,
+    ).join(groups.select("Id"), "Id", "left_anti")
+    return groups.unionByName(sentinel)
