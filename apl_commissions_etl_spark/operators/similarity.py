@@ -85,3 +85,72 @@ def cosine_topk_lsh(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_centroids(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seeded centroids: the n lowest-id vectors.
+    (Production IVF would k-means a sample; seeding keeps the operator
+    reproducible and oracle-checkable — the cell-probe plumbing is
+    identical either way.)"""
+    rows = emb.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    return [(r[0], list(r[1])) for r in rows]
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid cell — entirely
+    map-side: the centroid list is a literal array of (sim, -cid)
+    structs and array_max picks (max sim, then min cid). No shuffle,
+    no window; at 100 TB the cell id becomes the partition key."""
+    sims = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), F.lit(cv).cast("array<double>")).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    best = F.array_max(sims)
+    return emb.withColumn("cell", -best["ncid"])
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN: probe only the nprobe cells whose centroids are
+    nearest the query, brute-force inside them. The cell filter prunes
+    (1 - nprobe/n_centroids) of the scan before any vector math."""
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv in centroids], f"{id_col} long, cvec array<double>"
+    )
+    probe = [
+        r[0]
+        for r in cent_df.select(
+            id_col, cosine(F.col("cvec"), query_vec).alias("sim")
+        )
+        .orderBy(F.desc("sim"), id_col)
+        .limit(nprobe)
+        .collect()
+    ]
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), query_vec).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -2,7 +2,7 @@
 queries (SURVEY.md §2.9 composites #2 and #3).
 
 Spark side: ``plans/builder.py`` (pure DataFrame) and
-``operators/consolidate.py`` (applyInPandas fold). Oracle side: the
+``operators/consolidate.py`` (sorted mapInPandas fold). Oracle side: the
 same fixture SQL as CTEs + DuckDB aggregation CTEs — including a
 RECURSIVE CTE that re-implements the consolidation fold, so even the
 stateful operator gets a full value-hash check (not just rows-only).
@@ -336,8 +336,8 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY GroupId, RetainedId
     oracle=CONSOLIDATE_ORACLE.format(fixtures=builder_cte_sql()),
     survey_ref="§2.9 consolidation fold rules R1-R4 incl. wildcard "
     "conflicts + asymmetric null date merges "
-    "(consolidate-proposals.ts:130-260); §2.11 applyInPandas; oracle is "
-    "a DuckDB recursive CTE of the same fold",
+    "(consolidate-proposals.ts:130-260); §2.11 ordered fold via sorted "
+    "mapInPandas; oracle is a DuckDB recursive CTE of the same fold",
 )
 def consolidate_proposals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_builder_views(spark, sf_dir)

@@ -314,3 +314,56 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = multimodal.attach_binary_payload(d, "text")
     return multimodal.decode_features(with_payload, "doc_id")
+
+
+@query(
+    "ann_topk_ivf",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 16),
+    qn AS (SELECT embedding::DOUBLE[] AS qe,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS qnorm
+           FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.cid,
+             list_dot_product(e.embedding::DOUBLE[], c.cvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, ev, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT c.cid FROM cent c, qn
+      ORDER BY list_dot_product(c.cvec, qn.qe)
+                 / (sqrt(list_dot_product(c.cvec, c.cvec)) * qn.qnorm) DESC,
+               c.cid
+      LIMIT 4
+    )
+    SELECT a.vec_id,
+           CAST(list_dot_product(a.ev, qn.qe)
+                / (sqrt(list_dot_product(a.ev, a.ev)) * qn.qnorm)
+             AS DOUBLE) AS cosine
+    FROM assigned a, qn
+    WHERE a.cid IN (SELECT cid FROM probe)
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 10
+    """,
+    survey_ref="north-star: IVF-flat ANN scale path — seeded centroids, "
+    "map-side array_max cell assignment (no shuffle/window), "
+    "nprobe-cell pruning before vector math",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").limit(1).collect()[0][0]
+    )
+    qcol = F.lit(qvec).cast("array<double>")
+    cents = similarity.ivf_centroids(emb, n_centroids=16)
+    return similarity.cosine_topk_ivf(emb, qcol, cents, k=10, nprobe=4)

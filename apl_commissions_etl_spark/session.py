@@ -9,8 +9,8 @@ local[N]):
   first line of defense before manual salting.
 - ANSI off: T-SQL ``TRY_CAST`` semantics (null on failure) are the
   contract of the prep layer (ref sql/02-input-tables.sql:245-251).
-- Arrow on: every pandas interchange (the two ordered per-group folds
-  use applyInPandas) goes through Arrow batches, never pickled rows.
+- Arrow on: every pandas interchange (the consolidation fold uses
+  sorted mapInPandas) goes through Arrow batches, never pickled rows.
 - UTC session timezone: date arithmetic must not depend on the host.
 - shuffle.partitions is a knob: ~2-3x total cores locally; on a real
   cluster leave AQE to coalesce from a high initial number.

@@ -25,11 +25,18 @@ HEADLINE = [
     "agg_entropy_routing",
     "calc_gl_entries",
     "calc_traceability",
+    "builder_proposals",
+    "builder_overlap_fix",
+    "consolidate_proposals",
     "join_date_band",
     "join_rate_fallback",
     "win_dedup_keep_latest",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "stream_session_window",
+    "dim_policies",
+    "audit_referential_integrity",
 ]
 
 

@@ -85,3 +85,30 @@ def test_multimodal_decode_batching(spark, sf_dir):
     r = rows[0]
     assert 64 <= r.width < 128 and 64 <= r.height < 128
     assert len(r.content_hash) == 64
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from apl_commissions_etl_spark.operators import similarity
+    from apl_commissions_etl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    qcol = F.lit(list(qvec)).cast("array<double>")
+    exact = {r.vec_id for r in similarity.cosine_topk_bruteforce(emb, qcol, k=10).collect()}
+    cents = similarity.ivf_centroids(emb, n_centroids=16)
+    approx = {
+        r.vec_id
+        for r in similarity.cosine_topk_ivf(emb, qcol, cents, k=10, nprobe=8).collect()
+    }
+    # recall@10 with half the cells probed should be high on this data
+    assert len(exact & approx) >= 5
+    # probing ALL cells degenerates to exact search
+    full = {
+        r.vec_id
+        for r in similarity.cosine_topk_ivf(
+            emb, qcol, cents, k=10, nprobe=16
+        ).collect()
+    }
+    assert full == exact
