@@ -308,6 +308,90 @@ def traceability(s2: DataFrame, s8: DataFrame) -> DataFrame:
     )
 
 
+def traceability_full(
+    s2: DataFrame, s3: DataFrame, s4: DataFrame, s8: DataFrame
+) -> DataFrame:
+    """The reference's full per-premium traceability with failure
+    diagnosis (ref run-calculation.sql:470-561): successful premiums
+    roll up from stage 8; failed ones (present at stage 2, absent at
+    stage 8) get the NOT-IN + EXISTS error cascade — no proposal ->
+    no split version -> no active hierarchy version -> unknown.
+
+    Deviation (documented): the reference sums commission as FLOAT
+    then rounds; we accumulate exact DECIMAL and round once — same
+    printed values, partition-order independent."""
+    ok = (
+        s8.groupBy("PremiumTransactionId")
+        .agg(
+            F.min("CertificateId").alias("PolicyId"),
+            F.min("TransactionDate").alias("TransactionDate"),
+            F.min(F.col("PremiumAmount").cast("double")).alias("PremiumAmount"),
+            F.round(F.sum(F.col("Commission").cast(MONEY)), 2)
+            .cast("double")
+            .alias("TotalCommission"),
+            F.min("ProposalId").alias("ProposalId"),
+            F.min("GroupId").alias("GroupId"),
+            F.min("ProductCode").alias("ProductCode"),
+            F.min("IsFirstYear").alias("IsFirstYear"),
+            F.min("BasisYear").alias("BasisYear"),
+            F.countDistinct("HierarchyId").alias("HierarchyCount"),
+            F.count(F.lit(1)).alias("ParticipantCount"),
+            (F.sum(F.col("AssignedCommission").cast(MONEY)) > 0)
+            .cast("int")
+            .alias("HasAssignments"),
+        )
+        .select(
+            "*",
+            F.lit(0).alias("HasErrors"),
+            F.lit(None).cast("string").alias("ErrorMessages"),
+        )
+    )
+    s8_ids = s8.select("PremiumTransactionId").distinct()
+    s3_ids = s3.select("PremiumTransactionId").distinct().withColumn(
+        "has_split", F.lit(1)
+    )
+    s4_ids = (
+        s4.filter(F.col("HierarchyVersionId").isNotNull())
+        .select("PremiumTransactionId")
+        .distinct()
+        .withColumn("has_hv", F.lit(1))
+    )
+    failed = (
+        s2.join(s8_ids, "PremiumTransactionId", "left_anti")
+        .groupBy("PremiumTransactionId")
+        .agg(
+            F.min("CertificateId").alias("PolicyId"),
+            F.min("TransactionDate").alias("TransactionDate"),
+            F.min(F.col("PremiumAmount").cast("double")).alias("PremiumAmount"),
+            F.min("ProposalId").alias("ProposalId"),
+            F.min("GroupId").alias("GroupId"),
+            F.min("ProductCode").alias("ProductCode"),
+            F.min("IsFirstYear").alias("IsFirstYear"),
+            F.min("BasisYear").alias("BasisYear"),
+        )
+        .join(s3_ids, "PremiumTransactionId", "left")
+        .join(s4_ids, "PremiumTransactionId", "left")
+        .select(
+            "PremiumTransactionId", "PolicyId", "TransactionDate",
+            "PremiumAmount",
+            F.lit(0.0).alias("TotalCommission"),
+            "ProposalId", "GroupId", "ProductCode", "IsFirstYear", "BasisYear",
+            F.lit(0).cast("long").alias("HierarchyCount"),
+            F.lit(0).cast("long").alias("ParticipantCount"),
+            F.lit(0).alias("HasAssignments"),
+            F.lit(1).alias("HasErrors"),
+            F.when(F.col("ProposalId").isNull(), "No matching proposal")
+            .when(F.col("has_split").isNull(), "No matching split version")
+            .when(F.col("has_hv").isNull(), "No active hierarchy version")
+            .otherwise("Unknown error")
+            .alias("ErrorMessages"),
+        )
+    )
+    return ok.unionByName(failed).select(
+        F.concat(F.lit("TRACE-"), "PremiumTransactionId").alias("Id"), "*"
+    )
+
+
 def run_calc(staging: dict[str, DataFrame]) -> dict[str, DataFrame]:
     """Chain all stages; returns every intermediate + outputs keyed by
     stage name (the reference materializes each as calc_N -- callers
@@ -337,4 +421,5 @@ def run_calc(staging: dict[str, DataFrame]) -> dict[str, DataFrame]:
         "s5": s5, "s6": s6, "s7": s7, "s8": s8,
         "gl": gl_entries(s8),
         "trace": traceability(s2, s8),
+        "trace_full": traceability_full(s2, s3, s4, s8),
     }

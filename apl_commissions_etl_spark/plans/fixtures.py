@@ -15,6 +15,10 @@ Planted scenario strata (FIXTURES.md §C):
     - custkey % 20 == 13  -> no proposal (stage-2 error path)
     - custkey % 10 == 9   -> proposal closed 1997-01-01 (date-band miss
       for late premiums)
+    - custkey % 14 == 3   -> split version closes 1995-01-01 while the
+      proposal stays open ('No matching split version' trace path)
+    - custkey % 16 == 9   -> hierarchy versions inactive ('No active
+      hierarchy version' trace path)
     - custkey % 2 == 0    -> 60/40 two-way split, else single 100%
     - custkey % 3 == 0    -> two-level hierarchy (tier explosion)
     - orderkey % 7 == 0   -> certificate-level rate (RateSource
@@ -82,7 +86,8 @@ FIXTURE_VIEWS: list[tuple[str, str]] = [
                ProposalId,
                1 AS Status,
                EffectiveDateFrom AS EffectiveFrom,
-               EffectiveDateTo AS EffectiveTo,
+               CASE WHEN GroupKey % 14 = 3 THEN DATE '1995-01-01'
+                    ELSE EffectiveDateTo END AS EffectiveTo,
                GroupKey
         FROM stg_proposals
         """,
@@ -116,7 +121,7 @@ FIXTURE_VIEWS: list[tuple[str, str]] = [
         """
         SELECT 'HV-' || HierarchyId AS HierarchyVersionId,
                HierarchyId,
-               1 AS Status
+               CASE WHEN GroupKey % 16 = 9 THEN 0 ELSE 1 END AS Status
         FROM stg_premium_split_participants
         """,
     ),

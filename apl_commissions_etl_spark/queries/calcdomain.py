@@ -318,3 +318,69 @@ def calc_gl_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 def calc_traceability(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _stages(spark, sf_dir)
     return s["trace"]
+
+
+@query(
+    "calc_traceability_full",
+    oracle=_oracle("""
+    , ok AS (
+      SELECT PremiumTransactionId,
+             MIN(CertificateId) AS PolicyId,
+             MIN(TransactionDate) AS TransactionDate,
+             MIN(CAST(PremiumAmount AS DOUBLE)) AS PremiumAmount,
+             CAST(ROUND(SUM(CAST(Commission AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS TotalCommission,
+             MIN(ProposalId) AS ProposalId,
+             MIN(GroupId) AS GroupId,
+             MIN(ProductCode) AS ProductCode,
+             MIN(IsFirstYear) AS IsFirstYear,
+             MIN(BasisYear) AS BasisYear,
+             COUNT(DISTINCT HierarchyId) AS HierarchyCount,
+             COUNT(*) AS ParticipantCount,
+             CASE WHEN SUM(CAST(AssignedCommission AS DECIMAL(12,2))) > 0
+                  THEN 1 ELSE 0 END AS HasAssignments,
+             0 AS HasErrors,
+             CAST(NULL AS VARCHAR) AS ErrorMessages
+      FROM s8 GROUP BY PremiumTransactionId
+    ),
+    failed AS (
+      SELECT s2.PremiumTransactionId,
+             MIN(s2.CertificateId) AS PolicyId,
+             MIN(s2.TransactionDate) AS TransactionDate,
+             MIN(CAST(s2.PremiumAmount AS DOUBLE)) AS PremiumAmount,
+             CAST(0 AS DOUBLE) AS TotalCommission,
+             MIN(s2.ProposalId) AS ProposalId,
+             MIN(s2.GroupId) AS GroupId,
+             MIN(s2.ProductCode) AS ProductCode,
+             MIN(s2.IsFirstYear) AS IsFirstYear,
+             MIN(s2.BasisYear) AS BasisYear,
+             CAST(0 AS BIGINT) AS HierarchyCount,
+             CAST(0 AS BIGINT) AS ParticipantCount,
+             0 AS HasAssignments,
+             1 AS HasErrors,
+             CASE
+               WHEN MIN(s2.ProposalId) IS NULL THEN 'No matching proposal'
+               WHEN NOT EXISTS (SELECT 1 FROM s3
+                                WHERE s3.PremiumTransactionId
+                                      = s2.PremiumTransactionId)
+                 THEN 'No matching split version'
+               WHEN NOT EXISTS (SELECT 1 FROM s4
+                                WHERE s4.PremiumTransactionId
+                                      = s2.PremiumTransactionId
+                                  AND s4.HierarchyVersionId IS NOT NULL)
+                 THEN 'No active hierarchy version'
+               ELSE 'Unknown error' END AS ErrorMessages
+      FROM s2
+      WHERE s2.PremiumTransactionId NOT IN
+            (SELECT DISTINCT PremiumTransactionId FROM s8)
+      GROUP BY s2.PremiumTransactionId
+    ),
+    unioned AS (SELECT * FROM ok UNION ALL SELECT * FROM failed)
+    SELECT 'TRACE-' || PremiumTransactionId AS Id, * FROM unioned"""),
+    survey_ref="§2.9 traceability FULL parity: per-premium rollup + "
+    "NOT-IN + EXISTS failure cascade (no proposal -> no split version "
+    "-> no active hierarchy version -> unknown) "
+    "(run-calculation.sql:470-561); exact-decimal sums replace FLOAT",
+)
+def calc_traceability_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stages(spark, sf_dir)["trace_full"]
