@@ -20,6 +20,9 @@ broker seq), the exact input shape the reference builder loads
       shifted schedule code -> TWO configs (proposals) per group with
       intersecting-but-unequal product+plan pair sets -> exercises the
       overlap-truncation + '-CONT' continuation path
+    - custkey % 19 == 4  -> schedule code varies per certificate ->
+      many small config clusters -> high-entropy routing
+      ('BusinessDrivenEntropy' / low dominant coverage)
 
 ``prestage_proposals`` — consolidation input. Planted strata:
 
@@ -71,7 +74,9 @@ BUILDER_VIEWS: list[tuple[str, str]] = [
                  AS PaidBrokerId,
                'SCH-' || CAST((c.GroupKey + s.SplitSeq + t.BrokerSeq
                     + CASE WHEN c.GroupKey % 8 = 1 AND c.CertificateId % 3 = 0
-                           THEN 1 ELSE 0 END) % 3
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN c.GroupKey % 19 = 4 THEN c.CertificateId
+                           ELSE 0 END) % 3
                               AS VARCHAR(20)) AS ScheduleCode,
                CASE WHEN c.GroupKey % 23 = 2 THEN 'A '
                     WHEN c.CertificateId % 19 = 6 AND s.SplitSeq = 1 THEN 'I'

@@ -342,3 +342,167 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY GroupId, RetainedId
 def consolidate_proposals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_builder_views(spark, sf_dir)
     return consolidate_proposals(spark.table("prestage_proposals"))
+
+
+# ---------------------------------------------------------------------------
+# Entropy routing (ref proposal-builder.ts:784-880, A10) — thresholds
+# have no committed defaults in the reference (SURVEY §7.5); these are
+# the engine's documented defaults, overridable per run.
+# ---------------------------------------------------------------------------
+
+HIGH_ENTROPY_UNIQUE_RATIO = 0.5
+HIGH_ENTROPY_SHANNON = 2.0
+DOMINANT_COVERAGE_THRESHOLD = 0.4
+PHA_CLUSTER_SIZE_THRESHOLD = 2
+
+
+@query(
+    "builder_entropy_routing",
+    oracle=_oracle(f"""
+    , valid AS (
+      SELECT * FROM criteria
+      WHERE TotalSplitPercent = 100 AND NOT {_INVALID_GROUP}
+    ),
+    clusters AS (
+      SELECT GroupId, ConfigHash, COUNT(*) AS m
+      FROM valid GROUP BY GroupId, ConfigHash
+    ),
+    cl2 AS (
+      SELECT GroupId, ConfigHash, m,
+             m * 1.0 / SUM(m) OVER (PARTITION BY GroupId) AS p
+      FROM clusters
+    ),
+    gm AS (
+      SELECT GroupId,
+             SUM(m) AS total,
+             COUNT(*) AS uniq,
+             MAX(m) AS dominant,
+             -SUM(p * log2(p)) AS shannon
+      FROM cl2 GROUP BY GroupId
+    ),
+    decided AS (
+      SELECT cl.GroupId, cl.ConfigHash,
+             CASE
+               WHEN (g.uniq * 1.0 / g.total) > {HIGH_ENTROPY_UNIQUE_RATIO}
+                    OR g.shannon > {HIGH_ENTROPY_SHANNON}
+                    OR (g.dominant * 1.0 / g.total)
+                       < {DOMINANT_COVERAGE_THRESHOLD}
+                 THEN 'BusinessDrivenEntropy'
+               WHEN cl.m < {PHA_CLUSTER_SIZE_THRESHOLD}
+                 THEN 'HumanErrorOutlier'
+               ELSE 'Conformant' END AS Decision
+      FROM clusters cl
+      JOIN gm g ON g.GroupId = cl.GroupId
+    )
+    SELECT v.GroupId, v.CertificateId, v.ConfigHash, d.Decision,
+           CASE d.Decision WHEN 'Conformant' THEN 0 WHEN 'HumanErrorOutlier'
+                THEN 1 ELSE 2 END AS EntryType
+    FROM valid v
+    JOIN decided d ON d.GroupId = v.GroupId AND d.ConfigHash = v.ConfigHash"""),
+    survey_ref="§2.9 builder: entropy routing A10 — per-group config "
+    "clustering, unique ratio / Shannon entropy / dominant coverage, "
+    "small-cluster outliers (proposal-builder.ts:784-880); documented "
+    "default thresholds (reference commits none, SURVEY §7.5)",
+)
+def builder_entropy_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    crit = builder.conformant_criteria(
+        builder.selection_criteria(_certs(spark, sf_dir))
+    )
+    clusters = crit.groupBy("GroupId", "ConfigHash").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    w = Window.partitionBy("GroupId")
+    p = F.col("m") * F.lit(1.0) / F.sum("m").over(w)
+    cl2 = clusters.withColumn("p", p)
+    gm = cl2.groupBy("GroupId").agg(
+        F.sum("m").alias("total"),
+        F.count(F.lit(1)).alias("uniq"),
+        F.max("m").alias("dominant"),
+        (-F.sum(F.col("p") * F.log2("p"))).alias("shannon"),
+    )
+    decision = (
+        F.when(
+            ((F.col("uniq") * 1.0 / F.col("total")) > HIGH_ENTROPY_UNIQUE_RATIO)
+            | (F.col("shannon") > HIGH_ENTROPY_SHANNON)
+            | ((F.col("dominant") * 1.0 / F.col("total"))
+               < DOMINANT_COVERAGE_THRESHOLD),
+            "BusinessDrivenEntropy",
+        )
+        .when(F.col("m") < PHA_CLUSTER_SIZE_THRESHOLD, "HumanErrorOutlier")
+        .otherwise("Conformant")
+    )
+    return (
+        crit.select("GroupId", "CertificateId", "ConfigHash")
+        .join(clusters, ["GroupId", "ConfigHash"])
+        .join(gm, "GroupId")
+        .select(
+            "GroupId", "CertificateId", "ConfigHash",
+            decision.alias("Decision"),
+            F.when(decision == "Conformant", 0)
+            .when(decision == "HumanErrorOutlier", 1)
+            .otherwise(2)
+            .alias("EntryType"),
+        )
+    )
+
+
+@query(
+    "builder_display_names",
+    oracle=_oracle("""
+    , named AS (
+      SELECT p.ProposalId, p.GroupId,
+             COALESCE(NULLIF(g.Name, ''), p.GroupId) AS GroupName,
+             strftime(p.EffectiveDateFrom, '%Y-%m-%d') AS EffDate,
+             ROW_NUMBER() OVER (PARTITION BY p.GroupId
+                ORDER BY p.EffectiveDateFrom, p.ProposalId) AS SeqNum
+      FROM proposals p
+      LEFT JOIN (SELECT 'G' || CAST(c_custkey AS VARCHAR(20)) AS GId,
+                        'Acme ' || CAST(c_custkey AS VARCHAR(20)) AS Name
+                 FROM customer WHERE c_custkey % 3 <> 1
+                   AND c_custkey % 7 <> 2) g
+        ON g.GId = p.GroupId
+    )
+    SELECT ProposalId, GroupId,
+           SUBSTR(GroupName || ' - ' || EffDate || ' - '
+                  || CAST(SeqNum AS VARCHAR(10)), 1, 100) AS DisplayName
+    FROM named"""),
+    survey_ref="§2.9 consolidation step 5.5: display names 'GroupName - "
+    "date - seq' via partitioned ROW_NUMBER W2, LEFT(,100) "
+    "(consolidate-proposals.ts:426-450)",
+)
+def builder_display_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    props = builder.build_proposals(
+        builder.selection_criteria(_certs(spark, sf_dir))
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW group_names AS
+        SELECT 'G' || CAST(c_custkey AS VARCHAR(20)) AS GId,
+               'Acme ' || CAST(c_custkey AS VARCHAR(20)) AS Name
+        FROM customer WHERE c_custkey % 3 <> 1 AND c_custkey % 7 <> 2"""
+    )
+    names = spark.table("group_names")
+    w = Window.partitionBy("GroupId").orderBy("EffectiveDateFrom", "ProposalId")
+    return (
+        props.join(
+            F.broadcast(names), props.GroupId == names.GId, "left"
+        )
+        .withColumn("SeqNum", F.row_number().over(w))
+        .select(
+            "ProposalId",
+            "GroupId",
+            F.substring(
+                F.concat_ws(
+                    " - ",
+                    F.coalesce(F.nullif(F.col("Name"), F.lit("")), F.col("GroupId")),
+                    F.date_format("EffectiveDateFrom", "yyyy-MM-dd"),
+                    F.col("SeqNum").cast("string"),
+                ),
+                1,
+                100,
+            ).alias("DisplayName"),
+        )
+    )
