@@ -506,3 +506,85 @@ def builder_display_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("DisplayName"),
         )
     )
+
+
+@query(
+    "hier_equal_split_distribution",
+    oracle=f"WITH {builder_cte_sql()},\n" + """
+    hp AS (
+      SELECT 'HV-' || GroupId || '-' || CAST(CertificateId AS VARCHAR(20))
+               || '-' || CAST(CertSplitSeq AS VARCHAR(20)) AS HierarchyVersionId,
+             SplitBrokerSeq, SplitBrokerId,
+             CASE WHEN SplitBrokerSeq = 1 AND GroupId LIKE 'G1%'
+                  THEN CAST(60 AS DECIMAL(18,4)) END AS SplitPercent
+      FROM input_certificate_info
+    )
+    SELECT HierarchyVersionId || '-' || CAST(SplitBrokerSeq AS VARCHAR(20))
+             AS Id,
+           HierarchyVersionId, SplitBrokerId AS ParticipantEntityId,
+           CAST(COALESCE(SplitPercent,
+                100.0 / NULLIF(COUNT(*) OVER (PARTITION BY HierarchyVersionId),
+                               0)) AS DOUBLE) AS Percentage
+    FROM hp""",
+    survey_ref="§2.9 hierarchy splits: equal-distribution fallback "
+    "COALESCE(explicit%, 100/participant-count) via J10 lateral count "
+    "-> window COUNT (08-hierarchy-splits.sql:290-318)",
+)
+def hier_equal_split_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    certs = _certs(spark, sf_dir)
+    hp = certs.select(
+        F.concat_ws(
+            "-", F.lit("HV"), "GroupId",
+            F.col("CertificateId").cast("string"),
+            F.col("CertSplitSeq").cast("string"),
+        ).alias("HierarchyVersionId"),
+        "SplitBrokerSeq",
+        "SplitBrokerId",
+        F.when(
+            (F.col("SplitBrokerSeq") == 1) & F.col("GroupId").like("G1%"),
+            F.lit(60).cast("decimal(18,4)"),
+        ).alias("SplitPercent"),
+    )
+    w = Window.partitionBy("HierarchyVersionId")
+    return hp.select(
+        F.concat_ws(
+            "-", "HierarchyVersionId", F.col("SplitBrokerSeq").cast("string")
+        ).alias("Id"),
+        "HierarchyVersionId",
+        F.col("SplitBrokerId").alias("ParticipantEntityId"),
+        F.coalesce(
+            F.col("SplitPercent").cast("double"),
+            F.lit(100.0)
+            / F.nullif(F.count(F.lit(1)).over(w), F.lit(0)).cast("double"),
+        )
+        .cast("double")
+        .alias("Percentage"),
+    )
+
+
+@query(
+    "conformance_grouping_sets",
+    oracle=f"WITH {builder_cte_sql()}\n" + """
+    SELECT GroupId, ProductCode,
+           GROUPING(GroupId) AS gG, GROUPING(ProductCode) AS gP,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT CertificateId) AS BIGINT) AS n_certs
+    FROM input_certificate_info
+    GROUP BY GROUPING SETS ((GroupId, ProductCode), (GroupId), (ProductCode), ())""",
+    survey_ref="§2.4 note: GROUPING SETS conformance rollup — beyond-"
+    "reference surface (the reference lacks grouping sets; Spark gives "
+    "them free, SURVEY §2.4)",
+)
+def conformance_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _certs(spark, sf_dir)
+    return spark.sql(
+        """SELECT GroupId, ProductCode,
+                  GROUPING(GroupId) AS gG, GROUPING(ProductCode) AS gP,
+                  COUNT(*) AS n_rows,
+                  COUNT(DISTINCT CertificateId) AS n_certs
+           FROM input_certificate_info
+           GROUP BY GROUPING SETS ((GroupId, ProductCode), (GroupId),
+                                   (ProductCode), ())"""
+    )

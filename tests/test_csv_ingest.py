@@ -43,3 +43,33 @@ def test_glob_reads_many_files_as_one_table(spark, tmp_path):
     df = read_raw_csv(spark, str(tmp_path / "CommissionsDetail_*.csv"))
     assert df.count() == 3
     assert sorted(r.Id for r in df.collect()) == ["0", "1", "2"]
+
+
+def test_zip_extract_and_read(spark, tmp_path):
+    import zipfile
+
+    from apl_commissions_etl_spark.sources.archive import (
+        find_newest_zip,
+        read_zip_csvs,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    old = drop / "old.zip"
+    with zipfile.ZipFile(old, "w") as zf:
+        zf.writestr("nested/Other_1.csv", "Id,V\n9,z\n")
+    import os, time
+    new = drop / "new.zip"
+    with zipfile.ZipFile(new, "w") as zf:
+        zf.writestr("nested/CommissionsDetail_1.csv", "Id,V\n1,a\n")
+        zf.writestr("CommissionsDetail_2.csv", "Id,V\n2,b\n")
+        zf.writestr("readme.txt", "not a csv")
+        zf.writestr("Other_3.csv", "Id,V\n3,c\n")
+    os.utime(old, (time.time() - 100, time.time() - 100))
+
+    assert find_newest_zip(str(drop)) == str(new)
+    df = read_zip_csvs(
+        spark, str(new), str(tmp_path / "work"), prefix="CommissionsDetail_"
+    )
+    assert sorted(r.Id for r in df.collect()) == ["1", "2"]
+    assert all(t == "string" for _, t in df.dtypes)
