@@ -291,3 +291,45 @@ def func_state_code_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.coalesce(mapping[F.col("n_name")], F.lit("XX")).alias("country_code"),
     )
+
+
+@query(
+    "func_json_shred_explode",
+    oracle="""
+    WITH built AS (
+      SELECT c_custkey,
+             '[{"seq":1,"pct":' || CAST(CASE WHEN c_custkey % 2 = 0
+                 THEN 60 ELSE 100 END AS VARCHAR(20))
+             || '},{"seq":2,"pct":' || CAST(c_custkey % 40 AS VARCHAR(20))
+             || '}]' AS ConfigJson
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(json_extract_string(ConfigJson,
+                '$[' || CAST(i.n AS VARCHAR(2)) || '].seq') AS INT) AS seq,
+           CAST(json_extract_string(ConfigJson,
+                '$[' || CAST(i.n AS VARCHAR(2)) || '].pct') AS INT) AS pct
+    FROM built CROSS JOIN (SELECT 0 AS n UNION ALL SELECT 1) i""",
+    survey_ref="§2.8 JSON + J11: OPENJSON...WITH typed shred of a JSON "
+    "array into rows (06a-proposals-simple-groups.sql:273-280) as "
+    "from_json + explode; the build side is engine-portable concat "
+    "(canonical serialization, SURVEY §2.8 hash caveat)",
+)
+def func_json_shred_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    built = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit('[{"seq":1,"pct":'),
+            F.when(F.col("c_custkey") % 2 == 0, 60).otherwise(100).cast("string"),
+            F.lit('},{"seq":2,"pct":'),
+            (F.col("c_custkey") % 40).cast("string"),
+            F.lit("}]"),
+        ).alias("ConfigJson"),
+    )
+    shredded = F.from_json(
+        F.col("ConfigJson"), "array<struct<seq:int,pct:int>>"
+    )
+    return built.select(
+        "c_custkey", F.explode(shredded).alias("e")
+    ).select("c_custkey", F.col("e.seq").alias("seq"), F.col("e.pct").alias("pct"))
