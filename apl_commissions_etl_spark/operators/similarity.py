@@ -38,18 +38,35 @@ def cosine(a: Column, b: Column) -> Column:
     return (dot(a, b) / (norm(a) * norm(b))).cast("double")
 
 
+def engine_norm(df: DataFrame, vec: list[float]) -> float:
+    """The vector's norm computed BY THE ENGINE (one 1-row job) so the
+    constant is bit-identical to what a per-row evaluation would give
+    — required for exact oracle parity when hoisting it out of the hot
+    loop."""
+    return (
+        df.sparkSession.range(1)
+        .select(norm(F.lit(vec).cast("array<double>")).alias("n"))
+        .collect()[0]["n"]
+    )
+
+
 def cosine_topk_bruteforce(
     emb: DataFrame,
     query_vec: Column,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    query_norm: float | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine against one query vector. Ties broken by
-    id for a well-defined result set."""
+    id for a well-defined result set. Pass ``query_norm`` (from
+    ``engine_norm``) to skip recomputing the constant q·q per row."""
+    qn = F.lit(query_norm) if query_norm is not None else norm(query_vec)
     scored = emb.select(
         F.col(id_col),
-        cosine(F.col(vec_col), query_vec).alias("cosine"),
+        (dot(F.col(vec_col), query_vec) / (norm(F.col(vec_col)) * qn))
+        .cast("double")
+        .alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -109,17 +126,22 @@ def ivf_assign(
     map-side: the centroid list is a literal array of (sim, -cid)
     structs and array_max picks (max sim, then min cid). No shuffle,
     no window; at 100 TB the cell id becomes the partition key."""
+    cnorms = {cid: engine_norm(emb, cv) for cid, cv in centroids}
+    with_norm = emb.withColumn("_vnorm", norm(F.col(vec_col)))
     sims = F.array(
         *[
             F.struct(
-                cosine(F.col(vec_col), F.lit(cv).cast("array<double>")).alias("sim"),
+                (
+                    dot(F.col(vec_col), F.lit(cv).cast("array<double>"))
+                    / (F.col("_vnorm") * F.lit(cnorms[cid]))
+                ).alias("sim"),
                 F.lit(-cid).alias("ncid"),
             )
             for cid, cv in centroids
         ]
     )
     best = F.array_max(sims)
-    return emb.withColumn("cell", -best["ncid"])
+    return with_norm.withColumn("cell", -best["ncid"]).drop("_vnorm")
 
 
 def cosine_topk_ivf(
@@ -135,6 +157,8 @@ def cosine_topk_ivf(
     nearest the query, brute-force inside them. The cell filter prunes
     (1 - nprobe/n_centroids) of the scan before any vector math."""
     spark = emb.sparkSession
+    # engine-evaluated constant: bit-identical to per-row norm(query)
+    qnorm = spark.range(1).select(norm(query_vec).alias("n")).collect()[0]["n"]
     cent_df = spark.createDataFrame(
         [(cid, cv) for cid, cv in centroids], f"{id_col} long, cvec array<double>"
     )
@@ -148,9 +172,11 @@ def cosine_topk_ivf(
         .collect()
     ]
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    return (
-        assigned.filter(F.col("cell").isin(probe))
-        .select(F.col(id_col), cosine(F.col(vec_col), query_vec).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
+    return cosine_topk_bruteforce(
+        assigned.filter(F.col("cell").isin(probe)),
+        query_vec,
+        id_col,
+        vec_col,
+        k,
+        query_norm=qnorm,
     )
