@@ -78,3 +78,85 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, DECODE_SCHEMA)
+
+
+def resize_plan(
+    decoded: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Aspect-preserving fit-within-box resize plan. The geometry is
+    pure integer/float arithmetic over the decoded metadata, so it
+    stays JVM-side (native expressions) — only the pixel work (absent
+    here) would touch Python. Emits the scaled dimensions the decoder
+    batch stage would apply."""
+    scale = F.least(
+        F.lit(float(target_w)) / F.col("width"),
+        F.lit(float(target_h)) / F.col("height"),
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * scale).cast("int"), F.lit(1)).alias(
+            "resized_w"
+        ),
+        F.greatest(F.floor(F.col("height") * scale).cast("int"), F.lit(1)).alias(
+            "resized_h"
+        ),
+    )
+
+
+#: Output schema of the frame-sampling stage.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_hash", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str = "doc_id", frame_every_bytes: int = 1024
+) -> DataFrame:
+    """Video frame sampling plumbing: the stub treats every
+    ``frame_every_bytes`` slice of the blob as one 'frame'. Frame
+    INDEX generation is native (sequence + explode — no Python in the
+    cardinality step); per-frame feature extraction is the Arrow-
+    batched Python stage, exactly where a real codec would sit."""
+    from ..shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    with_frames = (
+        df.select(id_col, "payload")
+        .withColumn(
+            "frame_index",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.length("payload") / frame_every_bytes).cast("int") - 1,
+                        F.lit(0),
+                    ),
+                )
+            ),
+        )
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = [
+                hashlib.sha256(
+                    bytes(p)[i * frame_every_bytes : (i + 1) * frame_every_bytes]
+                ).hexdigest()
+                for p, i in zip(pdf["payload"], pdf["frame_index"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "frame_index": pdf["frame_index"].astype("int32"),
+                    "frame_hash": hashes,
+                }
+            )
+
+    return with_frames.mapInPandas(batches, FRAME_SCHEMA)

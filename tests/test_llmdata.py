@@ -112,3 +112,35 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert full == exact
+
+
+def test_multimodal_resize_and_frame_sampling(spark, sf_dir):
+    from apl_commissions_etl_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    decoded = multimodal.decode_features(
+        multimodal.attach_binary_payload(d, "text"), "doc_id"
+    )
+    resized = multimodal.resize_plan(decoded, 224, 224).collect()
+    assert len(resized) == 50
+    for r in resized:
+        assert 1 <= r.resized_w <= 224 and 1 <= r.resized_h <= 224
+        # fit-within-box: the binding side lands on 224 (or 223 via
+        # float-floor truncation)
+        assert max(r.resized_w, r.resized_h) in (223, 224)
+
+    frames = multimodal.sample_frames(
+        multimodal.attach_binary_payload(d, "text"), "doc_id",
+        frame_every_bytes=256,
+    )
+    rows = frames.collect()
+    # every doc emits >= 1 frame; frame count matches blob size
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_index)
+    assert set(per_doc) == {r.doc_id for r in d.select("doc_id").collect()}
+    for doc_id, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+    # deterministic: same input -> same hashes
+    again = {(r.doc_id, r.frame_index): r.frame_hash for r in frames.collect()}
+    assert {(r.doc_id, r.frame_index): r.frame_hash for r in rows} == again
