@@ -176,3 +176,16 @@ def test_continuations_inherit_and_truncate(built, spark):
     assert overlapping.filter(
         F.col("EffectiveDateTo") != F.date_sub(F.col("NextFrom"), 1)
     ).count() == 0
+
+
+def test_sampling_validator_all_scenarios_match(spark, sf_dir):
+    from apl_commissions_etl_spark.plans.validate import validate_sample
+
+    results = validate_sample(spark, sf_dir, n_per_scenario=15)
+    # every planted scenario stratum is present...
+    assert {"SingleSplit", "MultiSplit", "DTC", "NonConformant"} <= set(results)
+    # ...and the SQL-text re-derivation matches the DataFrame builder
+    # 100% (reference requires >= 95%)
+    for scenario, (matched, sampled) in results.items():
+        assert sampled > 0
+        assert matched == sampled, scenario
