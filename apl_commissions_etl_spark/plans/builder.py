@@ -285,3 +285,96 @@ def broker_assignments(certs: DataFrame) -> DataFrame:
             F.col("CertEffectiveDate").alias("EffectiveDate"),
         )
     )
+
+
+def proposal_key_mappings(proposals: DataFrame) -> DataFrame:
+    """Deterministic proposal lookup F(GroupId, Year, Product, Plan) ->
+    ProposalId (ref sql/03-staging-tables.sql:396-409, generated at
+    proposal-builder.ts:1076-1091 and :1758-1772).
+
+    Base mappings expand the PRE-truncation proposal dates over the
+    cartesian of its product and plan code sets; continuations expand
+    (next.From .. 2099) over their ACTUAL product+plan pairs only.
+    Dedup by (GroupId, Year, Product, Plan) prefers the continuation
+    (ref :1465-1477), then lowest ProposalId (the reference keeps
+    insertion order — nondeterministic; documented deviation)."""
+    from pyspark.sql.window import Window
+
+    base = (
+        proposals.select(
+            "GroupId",
+            "ProposalId",
+            F.explode(
+                F.sequence(
+                    F.year("EffectiveDateFrom"), F.year("EffectiveDateTo")
+                )
+            ).alias("EffectiveYear"),
+            F.split("ProductCodes", ",").alias("prods"),
+            F.split("PlanCodes", ",").alias("plans"),
+        )
+        .select(
+            "GroupId", "ProposalId", "EffectiveYear",
+            F.explode("prods").alias("ProductCode"), "plans",
+        )
+        .select(
+            "GroupId", "ProposalId", "EffectiveYear", "ProductCode",
+            F.explode("plans").alias("PlanCode"),
+        )
+        .withColumn("IsContinuation", F.lit(0))
+    )
+
+    win = Window.partitionBy("GroupId").orderBy("EffectiveDateFrom", "ProposalId")
+    annotated = (
+        proposals.withColumn("NextFrom", F.lead("EffectiveDateFrom").over(win))
+        .withColumn("NextPairs", F.lead("ProductPlanPairs").over(win))
+        .withColumn(
+            "OverlapPairs",
+            F.when(
+                F.col("NextPairs").isNotNull(),
+                F.array_intersect("ProductPlanPairs", "NextPairs"),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "OnlyCurrentPairs",
+            F.array_except(
+                "ProductPlanPairs",
+                F.coalesce("NextPairs", F.array().cast("array<string>")),
+            ),
+        )
+    )
+    cont = (
+        annotated.filter(
+            (F.size("OverlapPairs") > 0) & (F.size("OnlyCurrentPairs") > 0)
+        )
+        .select(
+            "GroupId",
+            F.concat(F.col("ProposalId"), F.lit("-CONT")).alias("ProposalId"),
+            F.explode(
+                F.sequence(F.year("NextFrom"), F.lit(2099))
+            ).alias("EffectiveYear"),
+            F.col("OnlyCurrentPairs"),
+        )
+        .select(
+            "GroupId", "ProposalId", "EffectiveYear",
+            F.explode("OnlyCurrentPairs").alias("pair"),
+        )
+        .select(
+            "GroupId", "ProposalId", "EffectiveYear",
+            F.split_part(F.col("pair"), F.lit(PAIR_SEP), F.lit(1)).alias(
+                "ProductCode"
+            ),
+            F.split_part(F.col("pair"), F.lit(PAIR_SEP), F.lit(2)).alias(
+                "PlanCode"
+            ),
+        )
+        .withColumn("IsContinuation", F.lit(1))
+    )
+    all_mappings = base.unionByName(cont)
+    dedup = Window.partitionBy(
+        "GroupId", "EffectiveYear", "ProductCode", "PlanCode"
+    ).orderBy(F.col("IsContinuation").desc(), "ProposalId")
+    return (
+        all_mappings.withColumn("rn", F.row_number().over(dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "IsContinuation")
+    )

@@ -588,3 +588,94 @@ def conformance_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY GROUPING SETS ((GroupId, ProductCode), (GroupId),
                                    (ProductCode), ())"""
     )
+
+
+@query(
+    "builder_key_mappings",
+    oracle=_oracle("""
+    , base_map AS (
+      SELECT GroupId, ProposalId,
+             unnest(generate_series(
+               CAST(EXTRACT(YEAR FROM EffectiveDateFrom) AS INT),
+               CAST(EXTRACT(YEAR FROM EffectiveDateTo) AS INT)))
+               AS EffectiveYear,
+             ProductCodes, PlanCodes
+      FROM proposals
+    ),
+    base_rows AS (
+      SELECT GroupId, ProposalId, EffectiveYear,
+             unnest(string_split(ProductCodes, ',')) AS ProductCode,
+             PlanCodes
+      FROM base_map
+    ),
+    base_full AS (
+      SELECT GroupId, ProposalId, EffectiveYear, ProductCode,
+             unnest(string_split(PlanCodes, ',')) AS PlanCode,
+             0 AS IsCont
+      FROM base_rows
+    ),
+    props AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY GroupId
+                 ORDER BY EffectiveDateFrom, ProposalId) AS INT) AS rn
+      FROM proposals
+    ),
+    ppair AS (
+      SELECT DISTINCT p.GroupId, p.rn,
+             c.ProductCode || '~' || c.PlanCode AS pair
+      FROM props p JOIN conformant c
+        ON c.GroupId = p.GroupId AND c.ConfigHash = p.ConfigHash
+    ),
+    overlap AS (
+      SELECT a.GroupId, a.rn
+      FROM ppair a JOIN ppair b
+        ON a.GroupId = b.GroupId AND b.rn = a.rn + 1 AND a.pair = b.pair
+      GROUP BY a.GroupId, a.rn
+    ),
+    only_cur AS (
+      SELECT a.GroupId, a.rn, a.pair
+      FROM ppair a
+      WHERE NOT EXISTS (SELECT 1 FROM ppair b
+                        WHERE b.GroupId = a.GroupId AND b.rn = a.rn + 1
+                          AND b.pair = a.pair)
+    ),
+    cont_years AS (
+      SELECT p.GroupId, p.ProposalId || '-CONT' AS ProposalId,
+             unnest(generate_series(
+               CAST(EXTRACT(YEAR FROM nx.EffectiveDateFrom) AS INT), 2099))
+               AS EffectiveYear,
+             p.rn
+      FROM props p
+      JOIN props nx ON nx.GroupId = p.GroupId AND nx.rn = p.rn + 1
+      JOIN overlap o ON o.GroupId = p.GroupId AND o.rn = p.rn
+      WHERE EXISTS (SELECT 1 FROM only_cur oc
+                    WHERE oc.GroupId = p.GroupId AND oc.rn = p.rn)
+    ),
+    cont_full AS (
+      SELECT cy.GroupId, cy.ProposalId, cy.EffectiveYear,
+             split_part(oc.pair, '~', 1) AS ProductCode,
+             split_part(oc.pair, '~', 2) AS PlanCode,
+             1 AS IsCont
+      FROM cont_years cy
+      JOIN only_cur oc ON oc.GroupId = cy.GroupId AND oc.rn = cy.rn
+    ),
+    unioned AS (
+      SELECT * FROM base_full UNION ALL SELECT * FROM cont_full
+    )
+    SELECT GroupId, ProposalId, EffectiveYear, ProductCode, PlanCode
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY GroupId, EffectiveYear, ProductCode, PlanCode
+            ORDER BY IsCont DESC, ProposalId) AS pick
+          FROM unioned)
+    WHERE pick = 1"""),
+    survey_ref="§1.4 deterministic lookup F(GroupId, Year, Product, "
+    "Plan) -> ProposalId (03-staging-tables.sql:396-409); year-range x "
+    "code-set expansion (proposal-builder.ts:1076-1091), continuation "
+    "mappings to 2099 (:1758-1772), continuation-preferring dedup "
+    "(:1465-1477)",
+)
+def builder_key_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return builder.proposal_key_mappings(
+        builder.build_proposals(
+            builder.selection_criteria(_certs(spark, sf_dir))
+        )
+    )
