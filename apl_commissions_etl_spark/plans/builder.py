@@ -378,3 +378,84 @@ def proposal_key_mappings(proposals: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn", "IsContinuation")
     )
+
+
+def proposal_split_versions(proposals: DataFrame) -> DataFrame:
+    """One premium split version per proposal (ref
+    proposal-builder.ts:1093-1110): id 'PSV-{proposal}', effective
+    from ONE DAY BEFORE the proposal start — the reference subtracts a
+    day because the downstream consumer compares with '>' not '>='
+    (proposal-builder.ts:1041-1050, SURVEY §2.8) — open-ended to 2099."""
+    return proposals.select(
+        F.concat(F.lit("PSV-"), "ProposalId").alias("SplitVersionId"),
+        "ProposalId",
+        F.lit(1).alias("Status"),
+        F.date_sub(F.col("EffectiveDateFrom"), 1).alias("EffectiveFrom"),
+        F.lit(CONT_TO).cast("date").alias("EffectiveTo"),
+    )
+
+
+def proposal_hierarchies(criteria: DataFrame, certs: DataFrame) -> DataFrame:
+    """Proposal-scoped hierarchy entities: every proposal owns its
+    hierarchies even when structures are identical — the id suffixes
+    the proposal ('{hash}-PROPOSAL-{proposal}', ref
+    proposal-builder.ts:995-1010, 1890-1894). One row per
+    (proposal, split): certs sharing a (group, config) have identical
+    per-split hierarchy hashes by construction, so DISTINCT collapses
+    them without any argmax."""
+    ok = conformant_criteria(criteria).select(
+        "GroupId", "CertificateId", "ConfigHash"
+    )
+    per_split = split_hierarchies(certs).select(
+        "GroupId", "CertificateId", "CertSplitSeq", "CertSplitPercent",
+        "HierarchyHash", "TiersCanonical", "WritingBrokerId",
+    )
+    proposal_id = F.concat_ws(
+        "-", F.lit("PROP"), "GroupId", F.substring("ConfigHash", 1, 8)
+    )
+    return (
+        per_split.join(ok, ["GroupId", "CertificateId"])
+        .select(
+            F.concat(
+                F.col("HierarchyHash"), F.lit("-PROPOSAL-"), proposal_id
+            ).alias("HierarchyEntityId"),
+            proposal_id.alias("ProposalId"),
+            "GroupId",
+            F.col("CertSplitPercent").alias("SplitPercent"),
+            "TiersCanonical",
+            "WritingBrokerId",
+        )
+        .distinct()
+    )
+
+
+def run_builder(
+    spark,
+    certs: DataFrame,
+    limit: int | None = None,
+    groups: list[str] | None = None,
+    dry_run: bool = False,
+) -> dict[str, DataFrame]:
+    """The standalone builder entry point (SURVEY §3.2): one lazy DAG
+    from certificate rows to the staging outputs. The reference CLI's
+    --limit becomes .limit(), --groups a pushdown-able filter, and
+    --dry-run explains the flagship plan instead of computing."""
+    if groups:
+        certs = certs.filter(F.col("GroupId").isin(groups))
+    if limit is not None:
+        certs = certs.limit(limit)
+    criteria = selection_criteria(certs)
+    proposals = build_proposals(criteria)
+    out = {
+        "criteria": criteria,
+        "pha": pha_routing(criteria),
+        "proposals": proposals,
+        "proposals_fixed": fix_overlapping_date_ranges(proposals),
+        "split_versions": proposal_split_versions(proposals),
+        "hierarchies": proposal_hierarchies(criteria, certs),
+        "key_mappings": proposal_key_mappings(proposals),
+        "broker_assignments": broker_assignments(certs),
+    }
+    if dry_run:
+        out["proposals_fixed"].explain("formatted")
+    return out

@@ -679,3 +679,49 @@ def builder_key_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
             builder.selection_criteria(_certs(spark, sf_dir))
         )
     )
+
+
+@query(
+    "builder_split_versions",
+    oracle=_oracle("""
+    SELECT 'PSV-' || ProposalId AS SplitVersionId,
+           ProposalId, 1 AS Status,
+           EffectiveDateFrom - 1 AS EffectiveFrom,
+           DATE '2099-01-01' AS EffectiveTo
+    FROM proposals"""),
+    survey_ref="§2.9 builder staging: one split version per proposal, "
+    "effective ONE DAY BEFORE start (the '>'-not->=' consumer quirk, "
+    "proposal-builder.ts:1041-1050,1093-1110)",
+)
+def builder_split_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return builder.proposal_split_versions(
+        builder.build_proposals(
+            builder.selection_criteria(_certs(spark, sf_dir))
+        )
+    )
+
+
+@query(
+    "builder_proposal_hierarchies",
+    oracle=_oracle("""
+    SELECT DISTINCT
+           ps.HierarchyHash || '-PROPOSAL-' || 'PROP-' || ps.GroupId || '-'
+             || substr(c.ConfigHash, 1, 8) AS HierarchyEntityId,
+           'PROP-' || ps.GroupId || '-' || substr(c.ConfigHash, 1, 8)
+             AS ProposalId,
+           ps.GroupId,
+           ps.CertSplitPercent AS SplitPercent,
+           ps.TiersCanonical,
+           ps.WritingBrokerId
+    FROM per_split ps
+    JOIN conformant c ON c.GroupId = ps.GroupId
+                      AND c.CertificateId = ps.CertificateId"""),
+    survey_ref="§2.9 builder staging: proposal-scoped hierarchies "
+    "('{hash}-PROPOSAL-{id}', no cross-proposal sharing, "
+    "proposal-builder.ts:995-1010,1890-1894)",
+)
+def builder_proposal_hierarchies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    certs = _certs(spark, sf_dir)
+    return builder.proposal_hierarchies(
+        builder.selection_criteria(certs), certs
+    )

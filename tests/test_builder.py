@@ -189,3 +189,34 @@ def test_sampling_validator_all_scenarios_match(spark, sf_dir):
     for scenario, (matched, sampled) in results.items():
         assert sampled > 0
         assert matched == sampled, scenario
+
+
+def test_run_builder_entry_point_modes(spark, sf_dir):
+    register_builder_views(spark, sf_dir)
+    certs = spark.table("input_certificate_info")
+    out = builder.run_builder(spark, certs)
+    assert set(out) == {
+        "criteria", "pha", "proposals", "proposals_fixed", "split_versions",
+        "hierarchies", "key_mappings", "broker_assignments",
+    }
+    # groups filter narrows every output to those groups
+    some = [r.GroupId for r in out["proposals"].select("GroupId").distinct().limit(2).collect()]
+    narrowed = builder.run_builder(spark, certs, groups=some)
+    got_groups = {
+        r.GroupId for r in narrowed["proposals"].select("GroupId").distinct().collect()
+    }
+    assert got_groups <= set(some) and got_groups
+    # limit caps the input rows feeding the DAG
+    assert builder.run_builder(spark, certs, limit=10)["criteria"].count() <= 10
+    # every proposal has exactly one split version, one day early
+    psv = out["split_versions"]
+    props = out["proposals"]
+    assert psv.count() == props.count()
+    joined = psv.join(props, "ProposalId")
+    assert joined.filter(
+        F.col("EffectiveFrom") != F.date_sub(F.col("EffectiveDateFrom"), 1)
+    ).count() == 0
+    # hierarchies are proposal-scoped: entity ids never repeat across
+    # proposals
+    h = out["hierarchies"]
+    assert h.groupBy("HierarchyEntityId").count().filter("count > 1").count() == 0
