@@ -725,3 +725,206 @@ def builder_proposal_hierarchies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return builder.proposal_hierarchies(
         builder.selection_criteria(certs), certs
     )
+
+
+@query(
+    "builder_simple_proposals",
+    oracle=_oracle("""
+    , tier1 AS (
+      SELECT GroupId, CertSplitPercent AS SplitPercent,
+             SplitBrokerId AS WritingBrokerId,
+             MIN(CertEffectiveDate) AS MinEffDate,
+             MAX(CertEffectiveDate) AS MaxEffDate,
+             MAX(SitusState) AS SitusState
+      FROM input_certificate_info
+      WHERE SplitBrokerSeq = 1
+      GROUP BY GroupId, CertSplitPercent, SplitBrokerId
+    ),
+    seqd AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY GroupId
+                 ORDER BY SplitPercent DESC, WritingBrokerId) AS SplitSequence
+      FROM tier1
+    ),
+    all_cert_min AS (
+      SELECT GroupId, MIN(CertEffectiveDate) AS TrueMinDate
+      FROM input_certificate_info GROUP BY GroupId
+    )
+    SELECT s.GroupId,
+           COALESCE(m.TrueMinDate, MIN(s.MinEffDate)) AS EffectiveDateFrom,
+           MAX(s.MaxEffDate) AS EffectiveDateTo,
+           MAX(s.SitusState) AS SitusState,
+           CAST(SUM(s.SplitPercent) AS INT) AS TotalSplitPercent,
+           COUNT(DISTINCT s.WritingBrokerId) AS ParticipantCount,
+           COUNT(DISTINCT s.SplitSequence) AS SplitCount
+    FROM seqd s
+    LEFT JOIN all_cert_min m ON m.GroupId = s.GroupId
+    GROUP BY s.GroupId, m.TrueMinDate"""),
+    survey_ref="§7.5 config-mode: the SQL builder's one-proposal-per-"
+    "group simple path — distinct split configs, W2 sequencing by "
+    "percent desc, true-minimum date fallback "
+    "(06-proposals.sql:60-117); J9/A1/A2",
+)
+def builder_simple_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    certs = _certs(spark, sf_dir)
+    tier1 = (
+        certs.filter(F.col("SplitBrokerSeq") == 1)
+        .groupBy(
+            "GroupId",
+            F.col("CertSplitPercent").alias("SplitPercent"),
+            F.col("SplitBrokerId").alias("WritingBrokerId"),
+        )
+        .agg(
+            F.min("CertEffectiveDate").alias("MinEffDate"),
+            F.max("CertEffectiveDate").alias("MaxEffDate"),
+            F.max("SitusState").alias("SitusState"),
+        )
+    )
+    w = Window.partitionBy("GroupId").orderBy(
+        F.col("SplitPercent").desc(), "WritingBrokerId"
+    )
+    seqd = tier1.withColumn("SplitSequence", F.row_number().over(w))
+    true_min = certs.groupBy("GroupId").agg(
+        F.min("CertEffectiveDate").alias("TrueMinDate")
+    )
+    return (
+        seqd.join(true_min, "GroupId", "left")
+        .groupBy("GroupId", "TrueMinDate")
+        .agg(
+            F.min("MinEffDate").alias("FallbackMin"),
+            F.max("MaxEffDate").alias("EffectiveDateTo"),
+            F.max("SitusState").alias("SitusState"),
+            F.sum("SplitPercent").cast("int").alias("TotalSplitPercent"),
+            F.countDistinct("WritingBrokerId").alias("ParticipantCount"),
+            F.countDistinct("SplitSequence").alias("SplitCount"),
+        )
+        .select(
+            "GroupId",
+            F.coalesce("TrueMinDate", "FallbackMin").alias("EffectiveDateFrom"),
+            "EffectiveDateTo", "SitusState", "TotalSplitPercent",
+            "ParticipantCount", "SplitCount",
+        )
+    )
+
+
+@query(
+    "conformance_analysis",
+    oracle=_oracle("""
+    , base_map AS (
+      SELECT GroupId, ProposalId,
+             unnest(generate_series(
+               CAST(EXTRACT(YEAR FROM EffectiveDateFrom) AS INT),
+               CAST(EXTRACT(YEAR FROM EffectiveDateTo) AS INT)))
+               AS EffectiveYear,
+             ProductCodes, PlanCodes
+      FROM proposals
+    ),
+    base_rows AS (
+      SELECT GroupId, ProposalId, EffectiveYear,
+             unnest(string_split(ProductCodes, ',')) AS ProductCode, PlanCodes
+      FROM base_map
+    ),
+    mappings AS (
+      SELECT DISTINCT GroupId, EffectiveYear, ProductCode,
+             unnest(string_split(PlanCodes, ',')) AS PlanCode
+      FROM base_rows
+    ),
+    cert_keys AS (
+      SELECT GroupId, CertificateId,
+             CAST(EXTRACT(YEAR FROM CertEffectiveDate) AS INT)
+               AS EffectiveYear,
+             ProductCode, PlanCode
+      FROM conformant
+    ),
+    classified AS (
+      SELECT ck.GroupId, ck.CertificateId,
+             CASE WHEN m.GroupId IS NOT NULL THEN 1 ELSE 0 END AS IsMatch
+      FROM cert_keys ck
+      LEFT JOIN mappings m
+        ON m.GroupId = ck.GroupId AND m.EffectiveYear = ck.EffectiveYear
+       AND m.ProductCode = ck.ProductCode AND m.PlanCode = ck.PlanCode
+    ),
+    group_stats AS (
+      SELECT GroupId,
+             COUNT(*) AS TotalCertificates,
+             SUM(IsMatch) AS ConformantCertificates,
+             (SUM(IsMatch) * 10000) // COUNT(*) AS bp
+      FROM classified
+      WHERE GroupId IS NOT NULL AND GroupId <> '' AND GroupId <> 'G'
+        AND NOT (LENGTH(REPLACE(GroupId, 'G', '')) = 5
+                 AND SUBSTR(REPLACE(GroupId, 'G', ''), 1, 1) = '7')
+      GROUP BY GroupId
+    )
+    SELECT GroupId, TotalCertificates,
+           CAST(ConformantCertificates AS BIGINT) AS ConformantCertificates,
+           CAST(bp / 100.0 AS DOUBLE) AS ConformancePercentage,
+           CASE WHEN bp = 10000 THEN 'Conformant'
+                WHEN bp >= 9500 THEN 'Nearly Conformant (>=95%)'
+                ELSE 'Non-Conformant' END AS GroupClassification
+    FROM group_stats"""),
+    survey_ref="§2.9 conformance analysis: certificate keys vs key "
+    "mappings -> match classification -> per-group % + 3-way banding "
+    "A9 with heuristic exclusions P11 "
+    "(08-analyze-conformance.sql:75-170); exact basis-point math "
+    "avoids float halfway divergence",
+)
+def conformance_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    certs = _certs(spark, sf_dir)
+    criteria = builder.selection_criteria(certs)
+    ok = builder.conformant_criteria(criteria)
+    props = builder.build_proposals(criteria)
+    mappings = (
+        props.select(
+            "GroupId",
+            F.explode(
+                F.sequence(F.year("EffectiveDateFrom"), F.year("EffectiveDateTo"))
+            ).alias("EffectiveYear"),
+            F.split("ProductCodes", ",").alias("prods"),
+            F.split("PlanCodes", ",").alias("plans"),
+        )
+        .select(
+            "GroupId", "EffectiveYear",
+            F.explode("prods").alias("ProductCode"), "plans",
+        )
+        .select(
+            "GroupId", "EffectiveYear", "ProductCode",
+            F.explode("plans").alias("PlanCode"),
+        )
+        .distinct()
+        .withColumn("IsMatch", F.lit(1))
+    )
+    cert_keys = ok.select(
+        "GroupId", "CertificateId",
+        F.year("CertEffectiveDate").alias("EffectiveYear"),
+        "ProductCode", "PlanCode",
+    )
+    classified = cert_keys.join(
+        mappings, ["GroupId", "EffectiveYear", "ProductCode", "PlanCode"], "left"
+    ).select("GroupId", "CertificateId", F.coalesce("IsMatch", F.lit(0)).alias("IsMatch"))
+    stripped = F.regexp_replace("GroupId", "G", "")
+    stats = (
+        classified.filter(
+            F.col("GroupId").isNotNull()
+            & (F.col("GroupId") != "")
+            & (F.col("GroupId") != "G")
+            & ~((F.length(stripped) == 5) & (F.substring(stripped, 1, 1) == "7"))
+        )
+        .groupBy("GroupId")
+        .agg(
+            F.count(F.lit(1)).alias("TotalCertificates"),
+            F.sum("IsMatch").alias("ConformantCertificates"),
+        )
+        .withColumn(
+            "bp",
+            F.expr("(ConformantCertificates * 10000) div TotalCertificates"),
+        )
+    )
+    return stats.select(
+        "GroupId", "TotalCertificates", "ConformantCertificates",
+        (F.col("bp") / 100.0).cast("double").alias("ConformancePercentage"),
+        F.when(F.col("bp") == 10000, "Conformant")
+        .when(F.col("bp") >= 9500, "Nearly Conformant (>=95%)")
+        .otherwise("Non-Conformant")
+        .alias("GroupClassification"),
+    )
