@@ -135,15 +135,20 @@ def minhash_lsh_pairs(
     candidate pairs pay the set comparison — the all-pairs shingle
     self-join never happens)."""
     rows_per_band = num_hashes // bands
-    sets = shingle_sets(word_shingles(df, id_col, text_col, n), id_col)
+    sh = word_shingles(df, id_col, text_col, n)
 
-    sig_cols = [
-        F.array_min(
-            F.transform("sh", lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
-        ).alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
-    banded = sets.select(F.col(id_col), F.col("sh"), *sig_cols)
+    # ONE aggregation computes the shingle set AND all K signature
+    # mins. (Deliberately no transform/array_min lambdas here: a
+    # codegen-cache collision between higher-order-function lambdas of
+    # DIFFERENT queries produced a transiently wrong first execution —
+    # see tests/test_llmdata.py::test_minhash_stable_after_hof_queries.)
+    banded = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sh"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
+    )
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]

@@ -144,3 +144,26 @@ def test_multimodal_resize_and_frame_sampling(spark, sf_dir):
     # deterministic: same input -> same hashes
     again = {(r.doc_id, r.frame_index): r.frame_hash for r in frames.collect()}
     assert {(r.doc_id, r.frame_index): r.frame_hash for r in rows} == again
+
+
+def test_minhash_stable_after_hof_queries(spark, sf_dir):
+    """Regression: running other higher-order-function queries
+    (quality score / lang-id, which use F.filter lambdas) before
+    MinHash made its FIRST full execution drop one pair (codegen-cache
+    collision between lambda expressions; Spark 4.1.x). The signature
+    stage now uses a plain aggregation — results must be identical
+    before and after the trigger queries."""
+    from apl_commissions_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    baseline = {
+        (r.id_a, r.id_b)
+        for r in qs["dedup_minhash_lsh"].spark_fn(spark, sf_dir).collect()
+    }
+    qs["text_quality_score"].spark_fn(spark, sf_dir).toPandas()
+    qs["text_lang_id"].spark_fn(spark, sf_dir).toPandas()
+    after = {
+        (r.id_a, r.id_b)
+        for r in qs["dedup_minhash_lsh"].spark_fn(spark, sf_dir).collect()
+    }
+    assert baseline == after
