@@ -71,6 +71,50 @@ DIM_VIEWS: list[tuple[str, str]] = [
         """,
     ),
     (
+        "raw_premiums",
+        """
+        SELECT CASE WHEN l_orderkey % 31 = 7 THEN ''
+                    WHEN l_orderkey % 31 = 8 THEN 'POL-X'
+                    ELSE CAST(l_orderkey AS VARCHAR(20)) END AS Policy,
+               '199' || CAST(2 + l_orderkey % 7 AS VARCHAR(2)) || '-'
+                 || LPAD(CAST(1 + l_partkey % 12 AS VARCHAR(2)), 2, '0')
+                 || '-'
+                 || LPAD(CAST(1 + l_suppkey % 28 AS VARCHAR(2)), 2, '0')
+                 AS DatePost,
+               CASE WHEN l_orderkey % 13 = 5 THEN 'N/A'
+                    ELSE CAST(100 + l_orderkey % 900 AS VARCHAR(20)) || '.75'
+                    END AS Amount,
+               '199' || CAST(3 + l_orderkey % 6 AS VARCHAR(2)) || '-'
+                 || LPAD(CAST(1 + l_suppkey % 12 AS VARCHAR(2)), 2, '0')
+                 || '-01' AS DatePaidTo
+        FROM lineitem
+        WHERE l_orderkey % 3 <> 1 AND l_linenumber = 1
+        """,
+    ),
+    (
+        "raw_eo_insurance",
+        """
+        SELECT CASE WHEN s_suppkey % 29 = 3 THEN ''
+                    ELSE 'P' || CAST(s_suppkey * 10 AS VARCHAR(20)) END
+                 AS PartyUniqueId,
+               'EO-' || CAST(s_suppkey AS VARCHAR(20)) AS PolicyId,
+               'Carrier ' || CAST(s_suppkey % 5 AS VARCHAR(2)) AS CarrierName,
+               CASE WHEN s_suppkey % 7 = 2 THEN ''
+                    ELSE CAST(500 + s_suppkey % 100 AS VARCHAR(20)) || '.00'
+                    END AS DeductibleAmount,
+               CAST(100000 + s_suppkey % 9 * 10000 AS VARCHAR(20))
+                 AS ClaimMaxAmount,
+               CASE WHEN s_suppkey % 11 = 6 THEN 'unlimited'
+                    ELSE CAST(1000000 AS VARCHAR(20)) END AS AnnualMaxAmount,
+               CAST(2000000 AS VARCHAR(20)) AS PolicyMaxAmount,
+               CAST(1000000 + s_suppkey AS VARCHAR(20)) AS LiabilityLimit,
+               '2018-06-01' AS FromDate,
+               CASE WHEN s_suppkey % 4 = 1 THEN ''
+                    ELSE '2028-06-01' END AS ToDate
+        FROM supplier
+        """,
+    ),
+    (
         "raw_perf_groups",
         """
         SELECT CAST(c_custkey AS VARCHAR(20)) AS GroupNumber,
@@ -205,7 +249,7 @@ def dims_cte_sql() -> str:
 
 
 def register_dim_views(spark: SparkSession, sf_dir: str) -> None:
-    for t in ("supplier", "customer", "nation", "part", "orders"):
+    for t in ("supplier", "customer", "nation", "part", "orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     for name, sql in DIM_VIEWS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")

@@ -223,3 +223,155 @@ def dim_broker_licenses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("IsResidentLicense"),
         "ApplicableCounty",
     )
+
+
+#: slim policies projection shared by the premium backfill (same
+#: min-active-seq semantics as dim_policies, only the 3 needed cols)
+_POL_SLIM = """
+    min_seq AS (
+      SELECT CertificateId, MIN(CertSplitSeq) AS MinSeq
+      FROM input_certificate_info
+      WHERE CertificateId > 0 AND TRIM(RecStatus) = 'A'
+      GROUP BY CertificateId
+    ),
+    pol_slim AS (
+      SELECT i.CertificateId AS Id,
+             COALESCE(CAST(MAX(i.CertEffectiveDate) AS DATE),
+                      DATE '2020-01-01') AS EffectiveDate,
+             COALESCE(TRY_CAST(MAX(i.CertPremium) AS DECIMAL(18,2)), 0)
+               AS Premium
+      FROM input_certificate_info i
+      JOIN min_seq ms ON ms.CertificateId = i.CertificateId
+                     AND i.CertSplitSeq = ms.MinSeq
+      WHERE i.CertificateId > 0 AND i.SplitBrokerSeq = 1
+        AND TRIM(i.RecStatus) = 'A'
+      GROUP BY i.CertificateId
+    )"""
+
+
+@query(
+    "dim_premium_transactions",
+    oracle=f"WITH {builder_cte_sql()},\n{dims_cte_sql()},\n{_POL_SLIM},\n"
+    + """
+    raw_path AS (
+      SELECT 'PT-RAW-' || TRIM(Policy) || '-' || DatePost AS Id,
+             TRY_CAST(TRIM(Policy) AS BIGINT) AS CertificateId,
+             TRY_CAST(DatePost AS DATE) AS TransactionDate,
+             CAST(TRY_CAST(Amount AS DECIMAL(18,2)) AS DOUBLE)
+               AS PremiumAmount,
+             TRY_CAST(DatePaidTo AS DATE) AS BillingPeriodStart,
+             CAST(TRY_CAST(DatePaidTo AS DATE) + INTERVAL 1 MONTH AS DATE)
+               AS BillingPeriodEnd,
+             'raw_premiums' AS SourceSystem
+      FROM raw_premiums
+      WHERE Policy IS NOT NULL AND TRIM(Policy) <> ''
+        AND TRY_CAST(Amount AS DECIMAL(18,2)) IS NOT NULL
+    ),
+    backfill AS (
+      SELECT 'PT-POL-' || CAST(p.Id AS VARCHAR(20)) AS Id,
+             p.Id AS CertificateId,
+             p.EffectiveDate AS TransactionDate,
+             CAST(p.Premium AS DOUBLE) AS PremiumAmount,
+             p.EffectiveDate AS BillingPeriodStart,
+             CAST(p.EffectiveDate + INTERVAL 1 MONTH AS DATE)
+               AS BillingPeriodEnd,
+             'stg_policies' AS SourceSystem
+      FROM pol_slim p
+      WHERE p.Premium > 0
+        AND NOT EXISTS (SELECT 1 FROM raw_path r
+                        WHERE r.CertificateId = p.Id)
+    )
+    SELECT * FROM raw_path UNION ALL SELECT * FROM backfill""",
+    survey_ref="§7.3 #7 premium transactions: typed facts from "
+    "raw_premiums + anti-join backfill from policies without premiums "
+    "(10-premium-transactions.sql:20-90); J8/S9; deterministic "
+    "source-prefixed ids replace ROW_NUMBER + @offset W6",
+)
+def dim_premium_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_builder_views(spark, sf_dir)
+    register_dim_views(spark, sf_dir)
+    raw = spark.table("raw_premiums").filter(
+        F.col("Policy").isNotNull()
+        & (F.trim("Policy") != "")
+        & F.col("Amount").cast("decimal(18,2)").isNotNull()
+    ).select(
+        F.concat(F.lit("PT-RAW-"), F.trim("Policy"), F.lit("-"), "DatePost")
+        .alias("Id"),
+        F.trim("Policy").cast("long").alias("CertificateId"),
+        F.col("DatePost").cast("date").alias("TransactionDate"),
+        F.col("Amount").cast("decimal(18,2)").cast("double")
+        .alias("PremiumAmount"),
+        F.col("DatePaidTo").cast("date").alias("BillingPeriodStart"),
+        F.add_months(F.col("DatePaidTo").cast("date"), 1)
+        .alias("BillingPeriodEnd"),
+        F.lit("raw_premiums").alias("SourceSystem"),
+    )
+    pol = dim_policies(spark, sf_dir).select(
+        "Id", "EffectiveDate", "Premium"
+    )
+    covered = raw.select(F.col("CertificateId").alias("Id")).filter(
+        F.col("Id").isNotNull()
+    ).distinct()
+    backfill = (
+        pol.filter(F.col("Premium") > 0)
+        .join(covered, "Id", "left_anti")
+        .select(
+            F.concat(F.lit("PT-POL-"), F.col("Id").cast("string")).alias("Id"),
+            F.col("Id").alias("CertificateId"),
+            F.col("EffectiveDate").alias("TransactionDate"),
+            F.col("Premium").alias("PremiumAmount"),
+            F.col("EffectiveDate").alias("BillingPeriodStart"),
+            F.add_months("EffectiveDate", 1).alias("BillingPeriodEnd"),
+            F.lit("stg_policies").alias("SourceSystem"),
+        )
+    )
+    return raw.unionByName(backfill)
+
+
+@query(
+    "dim_eo_insurance",
+    oracle=f"WITH {dims_cte_sql()}\n"
+    + """
+    SELECT TRY_CAST(REPLACE(PartyUniqueId, 'P', '') AS BIGINT) AS BrokerId,
+           PolicyId AS PolicyNumber,
+           CarrierName AS Carrier,
+           CAST(TRY_CAST(NULLIF(DeductibleAmount, '') AS DECIMAL(18,2))
+                AS DOUBLE) AS DeductibleAmount,
+           CAST(TRY_CAST(NULLIF(ClaimMaxAmount, '') AS DECIMAL(18,2))
+                AS DOUBLE) AS ClaimMaxAmount,
+           CAST(TRY_CAST(NULLIF(AnnualMaxAmount, '') AS DECIMAL(18,2))
+                AS DOUBLE) AS AnnualMaxAmount,
+           CAST(TRY_CAST(NULLIF(PolicyMaxAmount, '') AS DECIMAL(18,2))
+                AS DOUBLE) AS PolicyMaxAmount,
+           CAST(TRY_CAST(NULLIF(LiabilityLimit, '') AS DECIMAL(18,2))
+                AS DOUBLE) AS LiabilityLimit,
+           TRY_CAST(NULLIF(FromDate, '') AS TIMESTAMP) AS EffectiveDate,
+           TRY_CAST(NULLIF(ToDate, '') AS TIMESTAMP) AS ExpirationDate
+    FROM raw_eo_insurance
+    WHERE PartyUniqueId IS NOT NULL AND PartyUniqueId <> ''""",
+    survey_ref="§7.3 #7 broker E&O insurance: typed projection with "
+    "P-strip + TRY_CAST amounts ('unlimited' -> null) "
+    "(01-brokers.sql:269-302); P2/P3/P7",
+)
+def dim_eo_insurance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_dim_views(spark, sf_dir)
+    r = spark.table("raw_eo_insurance").filter(
+        F.col("PartyUniqueId").isNotNull() & (F.col("PartyUniqueId") != "")
+    )
+    dec = lambda c: (  # noqa: E731
+        F.nullif(F.col(c), F.lit("")).cast("decimal(18,2)").cast("double").alias(c)
+    )
+    return r.select(
+        F.regexp_replace("PartyUniqueId", "P", "").cast("long").alias("BrokerId"),
+        F.col("PolicyId").alias("PolicyNumber"),
+        F.col("CarrierName").alias("Carrier"),
+        dec("DeductibleAmount"),
+        dec("ClaimMaxAmount"),
+        dec("AnnualMaxAmount"),
+        dec("PolicyMaxAmount"),
+        dec("LiabilityLimit"),
+        F.nullif(F.col("FromDate"), F.lit("")).cast("timestamp")
+        .alias("EffectiveDate"),
+        F.nullif(F.col("ToDate"), F.lit("")).cast("timestamp")
+        .alias("ExpirationDate"),
+    )
