@@ -384,3 +384,41 @@ def calc_traceability(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def calc_traceability_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stages(spark, sf_dir)["trace_full"]
+
+
+@query(
+    "calc_stage4_hierarchies_resolved",
+    oracle=_oracle("""
+    SELECT PremiumTransactionId, SplitParticipantId, HierarchyId,
+           HierarchyVersionId
+    FROM s4"""),
+    survey_ref="§2.9 stage 4 hierarchies_resolved, active-version left "
+    "join (run-calculation.sql:162-179)",
+)
+def calc_stage4_hierarchies_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    return s["s4"].select(
+        "PremiumTransactionId", "SplitParticipantId", "HierarchyId",
+        "HierarchyVersionId",
+    )
+
+
+@query(
+    "calc_stage7_commissions",
+    oracle=_oracle("""
+    SELECT PremiumTransactionId, HierarchyParticipantId,
+           CAST(SplitPremium AS DOUBLE) AS SplitPremium,
+           CAST(AppliedRate AS DOUBLE) AS AppliedRate,
+           CAST(Commission AS DOUBLE) AS Commission
+    FROM s7"""),
+    survey_ref="§2.9 stage 7 commissions: ROUND(SplitPremium * rate / "
+    "100, 2) exact-decimal (run-calculation.sql:312-331)",
+)
+def calc_stage7_commissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    return s["s7"].select(
+        "PremiumTransactionId", "HierarchyParticipantId",
+        F.col("SplitPremium").cast("double").alias("SplitPremium"),
+        F.col("AppliedRate").cast("double").alias("AppliedRate"),
+        F.col("Commission").cast("double").alias("Commission"),
+    )
