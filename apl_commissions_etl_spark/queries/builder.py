@@ -941,3 +941,65 @@ def conformance_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Non-Conformant")
         .alias("GroupClassification"),
     )
+
+
+@query(
+    "builder_pha_entities",
+    oracle=_oracle(f"""
+    , pha_certs AS (
+      SELECT GroupId, CertificateId, CertEffectiveDate
+      FROM criteria
+      WHERE TotalSplitPercent <> 100
+         OR (TotalSplitPercent = 100 AND {_INVALID_GROUP})
+    )
+    SELECT 'H-PHA-' || regexp_replace(p.GroupId, '[^A-Za-z0-9]', '', 'g')
+             || '-' || CAST(p.CertificateId AS VARCHAR(20)) || '-'
+             || CAST(ps.CertSplitSeq AS VARCHAR(20)) AS HierarchyId,
+           'HV-PHA-' || regexp_replace(p.GroupId, '[^A-Za-z0-9]', '', 'g')
+             || '-' || CAST(p.CertificateId AS VARCHAR(20)) || '-'
+             || CAST(ps.CertSplitSeq AS VARCHAR(20)) AS HierarchyVersionId,
+           p.GroupId, p.CertificateId,
+           ps.WritingBrokerId,
+           ps.CertSplitPercent AS SplitPercent,
+           p.CertEffectiveDate - 1 AS EffectiveFrom,
+           DATE '2099-01-01' AS EffectiveTo,
+           ps.TiersCanonical
+    FROM pha_certs p
+    JOIN per_split ps ON ps.GroupId = p.GroupId
+                      AND ps.CertificateId = p.CertificateId"""),
+    survey_ref="§2.9 builder: PHA hierarchy/version entities per routed "
+    "certificate split — sanitized group key, one-day-early effective "
+    "date, 2099 open end (proposal-builder.ts:1195-1260); "
+    "deterministic ids replace the pha/hierarchy counters",
+)
+def builder_pha_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    certs = _certs(spark, sf_dir)
+    criteria = _criteria(spark, sf_dir)
+    pha_certs = criteria.filter(
+        (F.col("TotalSplitPercent") != 100)
+        | ((F.col("TotalSplitPercent") == 100) & builder.invalid_group(F.col("GroupId")))
+    ).select("GroupId", "CertificateId", "CertEffectiveDate")
+    per_split = builder.split_hierarchies(certs).select(
+        "GroupId", "CertificateId", "CertSplitSeq", "CertSplitPercent",
+        "TiersCanonical", "WritingBrokerId",
+    )
+    gkey = F.regexp_replace("GroupId", "[^A-Za-z0-9]", "")
+    hid = F.concat_ws(
+        "-", F.lit("H-PHA"), gkey,
+        F.col("CertificateId").cast("string"),
+        F.col("CertSplitSeq").cast("string"),
+    )
+    hvid = F.concat_ws(
+        "-", F.lit("HV-PHA"), gkey,
+        F.col("CertificateId").cast("string"),
+        F.col("CertSplitSeq").cast("string"),
+    )
+    return pha_certs.join(per_split, ["GroupId", "CertificateId"]).select(
+        hid.alias("HierarchyId"),
+        hvid.alias("HierarchyVersionId"),
+        "GroupId", "CertificateId", "WritingBrokerId",
+        F.col("CertSplitPercent").alias("SplitPercent"),
+        F.date_sub("CertEffectiveDate", 1).alias("EffectiveFrom"),
+        F.lit("2099-01-01").cast("date").alias("EffectiveTo"),
+        "TiersCanonical",
+    )
