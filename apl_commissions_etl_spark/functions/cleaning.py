@@ -2,8 +2,9 @@
 
 T-SQL contract being reproduced (ref sql/02-input-tables.sql:239-262):
 ``TRY_CAST(NULLIF(LTRIM(RTRIM(x)), '') AS T)`` -- trim, empty becomes
-NULL, cast failure becomes NULL. Spark with ANSI off gives
-null-on-failure casts natively (pinned in session.py), so these stay
+NULL, cast failure becomes NULL. Expressed with ``try_cast`` /
+``try_to_timestamp`` so the contract holds under ANY session ANSI
+setting (the driver supplies its own ANSI-on session); still
 whole-stage-codegen JVM expressions -- no UDFs.
 """
 
@@ -34,7 +35,9 @@ def safe_cast(col: Column | str, to_type: str) -> Column:
 def safe_date(col: Column | str, fmt: str | None = None) -> Column:
     """TRY_CONVERT(DATE, x[, style]) -- ``fmt='MM/dd/yyyy'`` covers the
     reference's style-101 parses (ref sql/transforms/11-fees.sql:221-222).
-    Unparseable values become NULL (non-ANSI to_date)."""
+    Unparseable values become NULL under any ANSI setting."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.nullif(F.trim(c), F.lit(""))
-    return F.to_date(c, fmt) if fmt else F.to_date(c)
+    if fmt:
+        return F.try_to_timestamp(c, F.lit(fmt)).try_cast("date")
+    return c.try_cast("date")

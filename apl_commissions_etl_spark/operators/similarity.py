@@ -22,6 +22,35 @@ def _d(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+# -- SQL-text builders ------------------------------------------------------
+# Building a 64-dim literal vector as a Column tree costs ~1000 py4j
+# round trips PER VECTOR (measured: 16 centroids = 3.5s of socket
+# chatter before any execution). Emitting the same expression as SQL
+# text and parsing it with ONE F.expr call removes that driver-side
+# serial cost. repr(float) is the shortest round-trip decimal and
+# Java's Double.parseDouble is correctly rounded, so CAST('…' AS
+# DOUBLE) reproduces the exact same bits as F.lit(float).
+
+
+def _dlit_sql(x: float) -> str:
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _vec_sql(vec: list[float]) -> str:
+    return "array(" + ",".join(_dlit_sql(x) for x in vec) + ")"
+
+
+def _dcol_sql(col_name: str) -> str:
+    return f"transform(`{col_name}`, x -> CAST(x AS DOUBLE))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x)"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(_d(a), _d(b), lambda x, y: x * y),
@@ -43,11 +72,23 @@ def engine_norm(df: DataFrame, vec: list[float]) -> float:
     constant is bit-identical to what a per-row evaluation would give
     — required for exact oracle parity when hoisting it out of the hot
     loop."""
-    return (
-        df.sparkSession.range(1)
-        .select(norm(F.lit(vec).cast("array<double>")).alias("n"))
-        .collect()[0]["n"]
-    )
+    return engine_norms(df, {0: vec})[0]
+
+
+def engine_norms(
+    df: DataFrame, vecs: dict[int, list[float]]
+) -> dict[int, float]:
+    """All vector norms in ONE 1-row engine job (same bit-exact
+    guarantee as ``engine_norm``). Batching matters: a per-vector job
+    loop is driver-side serial work that grows linearly with centroid
+    count — wrong shape at 64K centroids. Expressions are SQL text
+    (one parse) rather than py4j-built Column trees."""
+    exprs = [
+        F.expr(f"sqrt({_dot_sql(_vec_sql(v), _vec_sql(v))})").alias(f"n{i}")
+        for i, v in vecs.items()
+    ]
+    row = df.sparkSession.range(1).select(*exprs).collect()[0]
+    return {i: row[f"n{i}"] for i in vecs}
 
 
 def cosine_topk_bruteforce(
@@ -126,21 +167,15 @@ def ivf_assign(
     map-side: the centroid list is a literal array of (sim, -cid)
     structs and array_max picks (max sim, then min cid). No shuffle,
     no window; at 100 TB the cell id becomes the partition key."""
-    cnorms = {cid: engine_norm(emb, cv) for cid, cv in centroids}
+    cnorms = engine_norms(emb, dict(centroids))
     with_norm = emb.withColumn("_vnorm", norm(F.col(vec_col)))
-    sims = F.array(
-        *[
-            F.struct(
-                (
-                    dot(F.col(vec_col), F.lit(cv).cast("array<double>"))
-                    / (F.col("_vnorm") * F.lit(cnorms[cid]))
-                ).alias("sim"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, cv in centroids
-        ]
+    entries = ",".join(
+        "named_struct('sim', "
+        f"{_dot_sql(_dcol_sql(vec_col), _vec_sql(cv))}"
+        f" / (`_vnorm` * {_dlit_sql(cnorms[cid])}), 'ncid', {-cid}L)"
+        for cid, cv in centroids
     )
-    best = F.array_max(sims)
+    best = F.array_max(F.expr(f"array({entries})"))
     return with_norm.withColumn("cell", -best["ncid"]).drop("_vnorm")
 
 
@@ -157,20 +192,24 @@ def cosine_topk_ivf(
     nearest the query, brute-force inside them. The cell filter prunes
     (1 - nprobe/n_centroids) of the scan before any vector math."""
     spark = emb.sparkSession
-    # engine-evaluated constant: bit-identical to per-row norm(query)
-    qnorm = spark.range(1).select(norm(query_vec).alias("n")).collect()[0]["n"]
     cent_df = spark.createDataFrame(
         [(cid, cv) for cid, cv in centroids], f"{id_col} long, cvec array<double>"
     )
-    probe = [
-        r[0]
-        for r in cent_df.select(
-            id_col, cosine(F.col("cvec"), query_vec).alias("sim")
+    # ONE driver job selects the probe cells AND evaluates the query
+    # norm (engine-evaluated constant: bit-identical to per-row
+    # norm(query))
+    rows = (
+        cent_df.select(
+            id_col,
+            cosine(F.col("cvec"), query_vec).alias("sim"),
+            norm(query_vec).alias("qn"),
         )
         .orderBy(F.desc("sim"), id_col)
         .limit(nprobe)
         .collect()
-    ]
+    )
+    probe = [r[0] for r in rows]
+    qnorm = rows[0]["qn"]
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
     return cosine_topk_bruteforce(
         assigned.filter(F.col("cell").isin(probe)),

@@ -114,10 +114,16 @@ def stage3_splits_applied(
         & (s2.TransactionDate >= sv.sv_From)
         & (sv.sv_To.isNull() | (s2.TransactionDate <= sv.sv_To))
     )
+    # LEFT joins: the cascade is built once with survivor-annotation
+    # semantics; the inner-join stage views are derived by
+    # null-rejecting filters, which Catalyst's EliminateOuterJoin
+    # rewrites back to inner joins (identical physical plans), while
+    # traceability reads the SAME cascade un-filtered -- one pass,
+    # no union/anti-join re-execution.
     return (
-        s2.join(F.broadcast(sv), vcond)
+        s2.join(F.broadcast(sv), vcond, "left")
         .drop("sv_ProposalId", "sv_From", "sv_To")
-        .join(F.broadcast(sp), "SplitVersionId")
+        .join(F.broadcast(sp), "SplitVersionId", "left")
         .withColumn("SplitPremium", pct_of(F.col("PremiumAmount"), F.col("SplitPercent")))
     )
 
@@ -139,7 +145,8 @@ def stage5_participants_expanded(
         "HierarchyParticipantId", "HierarchyVersionId",
         "EntityId", "TierLevel", "ScheduleCode", "ParticipantRate",
     )
-    return s4.join(F.broadcast(hp), "HierarchyVersionId")
+    # left for the same single-pass traceability reason as stage 3
+    return s4.join(F.broadcast(hp), "HierarchyVersionId", "left")
 
 
 def stage6_rates_applied(
@@ -281,145 +288,168 @@ def gl_entries(s8: DataFrame) -> DataFrame:
     )
 
 
-def traceability(s2: DataFrame, s8: DataFrame) -> DataFrame:
+def traceability(c8: DataFrame) -> DataFrame:
     """Per-premium rollup + failure diagnosis (ref
     run-calculation.sql:470-561): every premium appears exactly once;
-    premiums that died mid-pipeline carry a status explaining where."""
-    rollup = s8.groupBy("PremiumTransactionId").agg(
-        F.sum(F.col("Commission").cast(MONEY)).cast("double").alias("TotalCommission"),
-        F.countDistinct("HierarchyParticipantId").alias("ParticipantCount"),
-    )
-    # group (not dropDuplicates) so the surviving row is deterministic
-    # when a premium matched several proposals (duplicate-preservation
-    # semantics, SURVEY §7.4 hard part #3)
-    base = s2.groupBy("PremiumTransactionId").agg(
+    premiums that died mid-pipeline carry a status explaining where.
+
+    Single-pass: ``c8`` is the LEFT-join cascade (every stage-2 row
+    survives, annotated with nulls where a downstream join missed), so
+    success rollup and failure diagnosis are conditional aggregates
+    over ONE execution of the 10-join cascade — the reference's
+    base/rollup join (and its double cascade scan) collapses into one
+    hash aggregation."""
+    reached = F.col("HierarchyParticipantId").isNotNull()
+    return c8.groupBy("PremiumTransactionId").agg(
         F.max(F.col("PremiumAmount").cast("double")).alias("PremiumAmount"),
-        F.min("ErrorMessage").alias("ErrorMessage"),
-    )
-    return base.join(rollup, "PremiumTransactionId", "left").select(
-        "PremiumTransactionId",
-        "PremiumAmount",
-        F.coalesce("TotalCommission", F.lit(0.0)).alias("TotalCommission"),
-        F.coalesce("ParticipantCount", F.lit(0)).alias("ParticipantCount"),
-        F.when(F.col("ErrorMessage").isNotNull(), "ProposalResolutionFailed")
-        .when(F.col("TotalCommission").isNull(), "NoParticipantsExpanded")
+        F.coalesce(
+            F.sum(F.when(reached, F.col("Commission").cast(MONEY))).cast("double"),
+            F.lit(0.0),
+        ).alias("TotalCommission"),
+        F.countDistinct("HierarchyParticipantId").alias("ParticipantCount"),
+        F.when(F.min("ErrorMessage").isNotNull(), "ProposalResolutionFailed")
+        .when(
+            F.sum(F.when(reached, F.col("Commission").cast(MONEY))).isNull(),
+            "NoParticipantsExpanded",
+        )
         .otherwise("Calculated")
         .alias("TraceStatus"),
     )
 
 
-def traceability_full(
-    s2: DataFrame, s3: DataFrame, s4: DataFrame, s8: DataFrame
-) -> DataFrame:
+def traceability_full(c8: DataFrame) -> DataFrame:
     """The reference's full per-premium traceability with failure
     diagnosis (ref run-calculation.sql:470-561): successful premiums
-    roll up from stage 8; failed ones (present at stage 2, absent at
-    stage 8) get the NOT-IN + EXISTS error cascade — no proposal ->
-    no split version -> no active hierarchy version -> unknown.
+    roll up from stage 8; failed ones get the error cascade — no
+    proposal -> no split version -> no active hierarchy version ->
+    unknown.
+
+    Single-pass over the LEFT-join cascade: the reference's NOT-IN +
+    three EXISTS probes (which re-ran the cascade 3-4x as independent
+    subqueries) become null-flag conditional aggregates over one
+    cascade execution. Per-premium constants (certificate, dates,
+    amounts, policy attrs) aggregate identically over either branch's
+    row set; only ProposalId and the rollup measures are
+    branch-conditional.
 
     Deviation (documented): the reference sums commission as FLOAT
     then rounds; we accumulate exact DECIMAL and round once — same
     printed values, partition-order independent."""
-    ok = (
-        s8.groupBy("PremiumTransactionId")
-        .agg(
-            F.min("CertificateId").alias("PolicyId"),
-            F.min("TransactionDate").alias("TransactionDate"),
-            F.min(F.col("PremiumAmount").cast("double")).alias("PremiumAmount"),
-            F.round(F.sum(F.col("Commission").cast(MONEY)), 2)
-            .cast("double")
-            .alias("TotalCommission"),
-            F.min("ProposalId").alias("ProposalId"),
-            F.min("GroupId").alias("GroupId"),
-            F.min("ProductCode").alias("ProductCode"),
-            F.min("IsFirstYear").alias("IsFirstYear"),
-            F.min("BasisYear").alias("BasisYear"),
-            F.countDistinct("HierarchyId").alias("HierarchyCount"),
-            F.count(F.lit(1)).alias("ParticipantCount"),
-            (F.sum(F.col("AssignedCommission").cast(MONEY)) > 0)
-            .cast("int")
-            .alias("HasAssignments"),
-        )
-        .select(
-            "*",
-            F.lit(0).alias("HasErrors"),
-            F.lit(None).cast("string").alias("ErrorMessages"),
-        )
+    reached = F.col("HierarchyParticipantId").isNotNull()
+    agg = c8.groupBy("PremiumTransactionId").agg(
+        F.max(reached.cast("int")).alias("any_reached"),
+        F.min("CertificateId").alias("PolicyId"),
+        F.min("TransactionDate").alias("TransactionDate"),
+        F.min(F.col("PremiumAmount").cast("double")).alias("PremiumAmount"),
+        F.round(F.sum(F.when(reached, F.col("Commission").cast(MONEY))), 2)
+        .cast("double")
+        .alias("OkTotalCommission"),
+        F.min(F.when(reached, F.col("ProposalId"))).alias("OkProposalId"),
+        F.min("ProposalId").alias("AnyProposalId"),
+        F.min("GroupId").alias("GroupId"),
+        F.min("ProductCode").alias("ProductCode"),
+        F.min("IsFirstYear").alias("IsFirstYear"),
+        F.min("BasisYear").alias("BasisYear"),
+        F.countDistinct(F.when(reached, F.col("HierarchyId"))).alias(
+            "OkHierarchyCount"
+        ),
+        F.sum(reached.cast("long")).alias("OkParticipantCount"),
+        (F.sum(F.when(reached, F.col("AssignedCommission").cast(MONEY))) > 0)
+        .cast("int")
+        .alias("OkHasAssignments"),
+        F.max(F.col("SplitParticipantId").isNotNull().cast("int")).alias(
+            "has_split"
+        ),
+        F.max(F.col("HierarchyVersionId").isNotNull().cast("int")).alias(
+            "has_hv"
+        ),
     )
-    s8_ids = s8.select("PremiumTransactionId").distinct()
-    s3_ids = s3.select("PremiumTransactionId").distinct().withColumn(
-        "has_split", F.lit(1)
-    )
-    s4_ids = (
-        s4.filter(F.col("HierarchyVersionId").isNotNull())
-        .select("PremiumTransactionId")
-        .distinct()
-        .withColumn("has_hv", F.lit(1))
-    )
-    failed = (
-        s2.join(s8_ids, "PremiumTransactionId", "left_anti")
-        .groupBy("PremiumTransactionId")
-        .agg(
-            F.min("CertificateId").alias("PolicyId"),
-            F.min("TransactionDate").alias("TransactionDate"),
-            F.min(F.col("PremiumAmount").cast("double")).alias("PremiumAmount"),
-            F.min("ProposalId").alias("ProposalId"),
-            F.min("GroupId").alias("GroupId"),
-            F.min("ProductCode").alias("ProductCode"),
-            F.min("IsFirstYear").alias("IsFirstYear"),
-            F.min("BasisYear").alias("BasisYear"),
-        )
-        .join(s3_ids, "PremiumTransactionId", "left")
-        .join(s4_ids, "PremiumTransactionId", "left")
-        .select(
-            "PremiumTransactionId", "PolicyId", "TransactionDate",
-            "PremiumAmount",
-            F.lit(0.0).alias("TotalCommission"),
-            "ProposalId", "GroupId", "ProductCode", "IsFirstYear", "BasisYear",
-            F.lit(0).cast("long").alias("HierarchyCount"),
-            F.lit(0).cast("long").alias("ParticipantCount"),
-            F.lit(0).alias("HasAssignments"),
-            F.lit(1).alias("HasErrors"),
-            F.when(F.col("ProposalId").isNull(), "No matching proposal")
-            .when(F.col("has_split").isNull(), "No matching split version")
-            .when(F.col("has_hv").isNull(), "No active hierarchy version")
-            .otherwise("Unknown error")
-            .alias("ErrorMessages"),
-        )
-    )
-    return ok.unionByName(failed).select(
-        F.concat(F.lit("TRACE-"), "PremiumTransactionId").alias("Id"), "*"
+    ok = F.col("any_reached") == 1
+    return agg.select(
+        F.concat(F.lit("TRACE-"), "PremiumTransactionId").alias("Id"),
+        "PremiumTransactionId", "PolicyId", "TransactionDate", "PremiumAmount",
+        F.when(ok, F.col("OkTotalCommission")).otherwise(F.lit(0.0)).alias(
+            "TotalCommission"
+        ),
+        F.when(ok, F.col("OkProposalId")).otherwise(F.col("AnyProposalId")).alias(
+            "ProposalId"
+        ),
+        "GroupId", "ProductCode", "IsFirstYear", "BasisYear",
+        F.when(ok, F.col("OkHierarchyCount")).otherwise(F.lit(0)).cast("long").alias(
+            "HierarchyCount"
+        ),
+        F.when(ok, F.col("OkParticipantCount")).otherwise(F.lit(0)).cast("long").alias(
+            "ParticipantCount"
+        ),
+        F.when(ok, F.col("OkHasAssignments")).otherwise(F.lit(0)).alias(
+            "HasAssignments"
+        ),
+        F.when(ok, F.lit(0)).otherwise(F.lit(1)).alias("HasErrors"),
+        F.when(ok, F.lit(None).cast("string"))
+        .when(F.col("AnyProposalId").isNull(), "No matching proposal")
+        .when(F.col("has_split") == 0, "No matching split version")
+        .when(F.col("has_hv") == 0, "No active hierarchy version")
+        .otherwise("Unknown error")
+        .alias("ErrorMessages"),
     )
 
 
 def run_calc(staging: dict[str, DataFrame]) -> dict[str, DataFrame]:
     """Chain all stages; returns every intermediate + outputs keyed by
     stage name (the reference materializes each as calc_N -- callers
-    can checkpoint any of these for audit parity)."""
+    can checkpoint any of these for audit parity).
+
+    The cascade is built ONCE with left joins (``c3``..``c8``); the
+    inner-join stage views ``s3``..``s8`` are null-rejecting filters
+    over it (Catalyst rewrites them to inner joins), and both
+    traceability outputs aggregate the unfiltered ``c8`` in a single
+    pass."""
     s1 = stage1_premium_context(
         staging["stg_premium_transactions"], staging["stg_policies"]
     )
     s2 = stage2_proposals_resolved(s1, staging["stg_proposals"])
-    s3 = stage3_splits_applied(
+    c3 = stage3_splits_applied(
         s2,
         staging["stg_premium_split_versions"],
         staging["stg_premium_split_participants"],
     )
-    s4 = stage4_hierarchies_resolved(s3, staging["stg_hierarchy_versions"])
-    s5 = stage5_participants_expanded(s4, staging["stg_hierarchy_participants"])
-    s6 = stage6_rates_applied(
-        s5, staging["stg_certificate_rates"], staging["stg_schedule_rates"]
+    c4 = stage4_hierarchies_resolved(c3, staging["stg_hierarchy_versions"])
+    c5 = stage5_participants_expanded(c4, staging["stg_hierarchy_participants"])
+    c6 = stage6_rates_applied(
+        c5, staging["stg_certificate_rates"], staging["stg_schedule_rates"]
     )
-    s7 = stage7_commissions(s6)
-    s8 = stage8_assignments_applied(
-        s7,
+    c7 = stage7_commissions(c6)
+    c8 = stage8_assignments_applied(
+        c7,
         staging["stg_commission_assignment_versions"],
         staging["stg_commission_assignment_recipients"],
     )
+    # Explicitly null-reject EVERY survivor key, not just the last one:
+    # InferFiltersFromConstraints runs only ONCE in Catalyst's batch
+    # order, so a single isNotNull converts at most two outer-join
+    # levels back to inner. Spelling out all four lets predicate
+    # pushdown place one null-rejecting filter directly above each
+    # left join, and EliminateOuterJoin restores the full inner-join
+    # plan (verified: zero LeftOuter on the sv/sp/hv/hp joins).
+    survived_split = (
+        F.col("SplitVersionId").isNotNull()
+        & F.col("SplitParticipantId").isNotNull()
+    )
+    survived_tier = (
+        survived_split
+        & F.col("HierarchyVersionId").isNotNull()
+        & F.col("HierarchyParticipantId").isNotNull()
+    )
+    s8 = c8.filter(survived_tier)
     return {
-        "s1": s1, "s2": s2, "s3": s3, "s4": s4,
-        "s5": s5, "s6": s6, "s7": s7, "s8": s8,
+        "s1": s1, "s2": s2,
+        "s3": c3.filter(survived_split),
+        "s4": c4.filter(survived_split),
+        "s5": c5.filter(survived_tier),
+        "s6": c6.filter(survived_tier),
+        "s7": c7.filter(survived_tier),
+        "s8": s8,
         "gl": gl_entries(s8),
-        "trace": traceability(s2, s8),
-        "trace_full": traceability_full(s2, s3, s4, s8),
+        "trace": traceability(c8),
+        "trace_full": traceability_full(c8),
     }

@@ -112,8 +112,8 @@ def agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
            SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_bulk,
            CAST(SUM(CASE WHEN l_tax = 0
-                         THEN CAST(l_extendedprice AS DECIMAL(18,6))
-                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) / 100.0 AS DOUBLE)
              AS taxfree_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -126,10 +126,16 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
         F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("n_bulk"),
-        F.sum(
-            F.when(F.col("l_tax") == 0, F.col("l_extendedprice").cast(DEC)).otherwise(
-                F.lit(0).cast(DEC)
+        # exact integer-cents sum: avoids engine-specific double->decimal
+        # halfway rounding (Spark HALF_UP vs DuckDB half-even)
+        (
+            F.sum(
+                F.when(
+                    F.col("l_tax") == 0,
+                    F.round(F.col("l_extendedprice") * 100).cast("long"),
+                ).otherwise(F.lit(0))
             )
+            / 100.0
         )
         .cast("double")
         .alias("taxfree_price"),
@@ -234,9 +240,12 @@ def agg_min_per_key_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey
     )
     SELECT o_custkey, total, finished,
-           CAST(finished * 100.0 / NULLIF(total, 0) AS DOUBLE) AS pct_finished,
-           CASE WHEN finished * 100.0 / NULLIF(total, 0) = 100.0 THEN 'FULL'
-                WHEN finished * 100.0 / NULLIF(total, 0) >= 50.0 THEN 'MAJORITY'
+           CAST(finished * 100.0 AS DOUBLE) / CAST(total AS DOUBLE)
+             AS pct_finished,
+           CASE WHEN CAST(finished * 100.0 AS DOUBLE) / CAST(total AS DOUBLE)
+                     = 100.0 THEN 'FULL'
+                WHEN CAST(finished * 100.0 AS DOUBLE) / CAST(total AS DOUBLE)
+                     >= 50.0 THEN 'MAJORITY'
                 ELSE 'MINORITY' END AS band
     FROM stats
     """,
@@ -249,12 +258,14 @@ def agg_conformance_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("finished"),
     )
-    pct = F.col("finished") * 100.0 / F.nullif(F.col("total"), F.lit(0))
+    # pure double division on both sides: DuckDB's decimal `/` returns
+    # DOUBLE via a different intermediate, so force double math here
+    pct = (F.col("finished") * 100.0).cast("double") / F.col("total").cast("double")
     return stats.select(
         "o_custkey",
         "total",
         "finished",
-        pct.cast("double").alias("pct_finished"),
+        pct.alias("pct_finished"),
         F.when(pct == 100.0, "FULL")
         .when(pct >= 50.0, "MAJORITY")
         .otherwise("MINORITY")
@@ -309,7 +320,8 @@ def agg_entropy_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_accumulate",
     oracle="""
     SELECT o_custkey,
-           list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+             AS priorities,
            CAST(MIN(o_orderdate) AS DATE) AS date_from,
            CAST(MAX(o_orderdate) AS DATE) AS date_to
     FROM orders
@@ -319,10 +331,14 @@ def agg_entropy_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set + min/max date accumulation: the proposal builder's
-    per-(GroupId, ConfigHash) criteria merge."""
+    per-(GroupId, ConfigHash) criteria merge. Emitted as a sorted
+    joined string (not a raw array) so result canonicalizers can hash
+    the cell; identical set semantics."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
         F.min(F.col("o_orderdate").cast("date")).alias("date_from"),
         F.max(F.col("o_orderdate").cast("date")).alias("date_to"),
     )

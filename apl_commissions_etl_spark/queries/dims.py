@@ -47,8 +47,8 @@ def _status(col: F.Column) -> F.Column:
 
 def _pid_to_id(col: F.Column) -> F.Column:
     """TRY_CAST(REPLACE(pid,'P','') AS BIGINT) (ref 01-brokers.sql:33);
-    ANSI off => cast returns null on junk, matching TRY_CAST."""
-    return F.regexp_replace(col, "P", "").cast("long")
+    try_cast returns null on junk under ANY session ANSI setting."""
+    return F.regexp_replace(col, "P", "").try_cast("long")
 
 
 @query(
@@ -103,7 +103,7 @@ def dim_brokers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Individual").alias("BrokerType"),
         _status(F.col("CurrentStatus")).alias("Status"),
         F.col("EmailAddress").alias("Email"),
-        F.nullif(F.col("HireDate"), F.lit("")).cast("date").alias("HireDate"),
+        F.nullif(F.col("HireDate"), F.lit("")).try_cast("date").alias("HireDate"),
         F.lit(1).alias("SourcePriority"),
     )
     org = spark.table("raw_org_brokers").filter(
@@ -115,7 +115,7 @@ def dim_brokers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Organization").alias("BrokerType"),
         _status(F.col("CurrentStatus")).alias("Status"),
         F.col("EmailAddress").alias("Email"),
-        F.nullif(F.col("HireDate"), F.lit("")).cast("date").alias("HireDate"),
+        F.nullif(F.col("HireDate"), F.lit("")).try_cast("date").alias("HireDate"),
         F.lit(2).alias("SourcePriority"),
     )
     ph = (
@@ -184,9 +184,9 @@ def dim_schedules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("ExternalId"))
             .alias("Name"),
             F.max(F.trim("ScheduleDescription")).alias("Description"),
-            F.min(F.col("EffectiveStartDate").cast("date")).alias("EffectiveDate"),
+            F.min(F.col("EffectiveStartDate").try_cast("date")).alias("EffectiveDate"),
             F.max(
-                F.nullif(F.col("EffectiveEndDate"), F.lit("")).cast("date")
+                F.nullif(F.col("EffectiveEndDate"), F.lit("")).try_cast("date")
             ).alias("EndDate"),
             F.countDistinct(F.trim("ProductCode")).cast("int").alias("ProductCount"),
         )
@@ -200,7 +200,7 @@ def _zero_null(col: F.Column) -> F.Column:
     """NULLIF(TRY_CAST(NULLIF(TRIM(x),'')), 0): blank, junk, and ZERO
     all mean 'no rate here' (ref 04-schedules.sql:131-141)."""
     return F.nullif(
-        F.nullif(F.trim(col), F.lit("")).cast(_RATE), F.lit(0).cast(_RATE)
+        F.nullif(F.trim(col), F.lit("")).try_cast(_RATE), F.lit(0).cast(_RATE)
     )
 
 
@@ -232,14 +232,14 @@ def _zero_null(col: F.Column) -> F.Column:
 def dim_schedule_rate_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     r = spark.table("raw_schedule_rates").filter(F.trim("ProductCode") != "")
-    level = F.nullif(F.trim("LevelRate"), F.lit("")).cast(_RATE)
+    level = F.nullif(F.trim("LevelRate"), F.lit("")).try_cast(_RATE)
     return r.select(
         F.trim("ScheduleName").alias("ScheduleExternalId"),
         F.trim("ProductCode").alias("ProductCode"),
         F.trim("State").alias("State"),
-        F.col("GroupSizeFrom").cast("int").alias("GroupSizeFrom"),
-        F.col("GroupSizeTo").cast("int").alias("GroupSizeTo"),
-        F.coalesce(F.col("LevelRate").cast(_RATE), F.lit(0).cast(_RATE))
+        F.col("GroupSizeFrom").try_cast("int").alias("GroupSizeFrom"),
+        F.col("GroupSizeTo").try_cast("int").alias("GroupSizeTo"),
+        F.coalesce(F.col("LevelRate").try_cast(_RATE), F.lit(0).cast(_RATE))
         .cast("double")
         .alias("RateValue"),
         F.coalesce(_zero_null(F.col("Year1")), level, F.lit(0).cast(_RATE))
@@ -315,23 +315,26 @@ def dim_fees_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
             method.alias("Notes"),
             F.when(
                 method.isin(*_AMOUNT_METHODS),
-                F.nullif(F.trim("AMOUNT"), F.lit("")).cast("decimal(18,2)"),
+                F.nullif(F.trim("AMOUNT"), F.lit("")).try_cast("decimal(18,2)"),
             )
             .cast("double")
             .alias("Amount"),
             F.when(
                 method.isin(*_PERCENT_METHODS),
                 F.nullif(F.trim("FormattedAmount"), F.lit(""))
-                .cast("decimal(5,2)")
+                .try_cast("decimal(5,2)")
                 * 100,
             )
             .cast("double")
             .alias("FeePercent"),
-            F.to_timestamp("DATESTART", "MM/dd/yyyy").alias("EffectiveDate"),
-            F.to_timestamp(F.nullif(F.col("DATEEND"), F.lit("")), "MM/dd/yyyy")
-            .alias("EndDate"),
+            F.try_to_timestamp(F.col("DATESTART"), F.lit("MM/dd/yyyy")).alias(
+                "EffectiveDate"
+            ),
+            F.try_to_timestamp(
+                F.nullif(F.col("DATEEND"), F.lit("")), F.lit("MM/dd/yyyy")
+            ).alias("EndDate"),
             F.when(
-                party.like("P%"), F.substring(party, 2, 1000).cast("long")
+                party.like("P%"), F.substring(party, 2, 1000).try_cast("long")
             ).alias("RecipientBrokerId"),
             party.alias("RecipientBrokerExternalId"),
         )

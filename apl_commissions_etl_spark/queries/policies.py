@@ -113,7 +113,7 @@ def dim_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("CertPremium").alias("CertPremium"),
             F.max("CustomerId").alias("CustomerIdRaw"),
             F.regexp_replace(F.max("SplitBrokerId"), "P", "")
-            .cast("long")
+            .try_cast("long")
             .alias("WritingBrokerId"),
         )
     )
@@ -148,12 +148,12 @@ def dim_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("Insured-"), F.col("CertificateId").cast("string")),
         ).alias("InsuredName"),
         F.coalesce(
-            F.col("CertPremium").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)")
+            F.col("CertPremium").try_cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)")
         )
         .cast("double")
         .alias("Premium"),
         F.coalesce(
-            F.col("CertEffectiveDate").cast("date"), F.lit("2020-01-01").cast("date")
+            F.col("CertEffectiveDate").try_cast("date"), F.lit("2020-01-01").cast("date")
         ).alias("EffectiveDate"),
         F.col("CertIssuedState").alias("State"),
         F.nullif(F.trim("CustomerIdRaw"), F.lit("")).alias("CustomerId"),
@@ -200,10 +200,10 @@ def dim_broker_licenses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     as_of = F.lit(AS_OF).cast("timestamp")
     far = F.lit(FAR_EXPIRY).cast("timestamp")
-    eff = F.nullif(F.col("LicenseEffectiveDate"), F.lit("")).cast("timestamp")
-    exp = F.nullif(F.col("LicenseExpirationDate"), F.lit("")).cast("timestamp")
+    eff = F.nullif(F.col("LicenseEffectiveDate"), F.lit("")).try_cast("timestamp")
+    exp = F.nullif(F.col("LicenseExpirationDate"), F.lit("")).try_cast("timestamp")
     return r.select(
-        F.regexp_replace("PartyUniqueId", "P", "").cast("long").alias("BrokerId"),
+        F.regexp_replace("PartyUniqueId", "P", "").try_cast("long").alias("BrokerId"),
         F.col("StateCode").alias("State"),
         "LicenseNumber",
         "LicenseCode",
@@ -293,16 +293,16 @@ def dim_premium_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.table("raw_premiums").filter(
         F.col("Policy").isNotNull()
         & (F.trim("Policy") != "")
-        & F.col("Amount").cast("decimal(18,2)").isNotNull()
+        & F.col("Amount").try_cast("decimal(18,2)").isNotNull()
     ).select(
         F.concat(F.lit("PT-RAW-"), F.trim("Policy"), F.lit("-"), "DatePost")
         .alias("Id"),
-        F.trim("Policy").cast("long").alias("CertificateId"),
-        F.col("DatePost").cast("date").alias("TransactionDate"),
-        F.col("Amount").cast("decimal(18,2)").cast("double")
+        F.trim("Policy").try_cast("long").alias("CertificateId"),
+        F.col("DatePost").try_cast("date").alias("TransactionDate"),
+        F.col("Amount").try_cast("decimal(18,2)").cast("double")
         .alias("PremiumAmount"),
-        F.col("DatePaidTo").cast("date").alias("BillingPeriodStart"),
-        F.add_months(F.col("DatePaidTo").cast("date"), 1)
+        F.col("DatePaidTo").try_cast("date").alias("BillingPeriodStart"),
+        F.add_months(F.col("DatePaidTo").try_cast("date"), 1)
         .alias("BillingPeriodEnd"),
         F.lit("raw_premiums").alias("SourceSystem"),
     )
@@ -359,10 +359,10 @@ def dim_eo_insurance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("PartyUniqueId").isNotNull() & (F.col("PartyUniqueId") != "")
     )
     dec = lambda c: (  # noqa: E731
-        F.nullif(F.col(c), F.lit("")).cast("decimal(18,2)").cast("double").alias(c)
+        F.nullif(F.col(c), F.lit("")).try_cast("decimal(18,2)").cast("double").alias(c)
     )
     return r.select(
-        F.regexp_replace("PartyUniqueId", "P", "").cast("long").alias("BrokerId"),
+        F.regexp_replace("PartyUniqueId", "P", "").try_cast("long").alias("BrokerId"),
         F.col("PolicyId").alias("PolicyNumber"),
         F.col("CarrierName").alias("Carrier"),
         dec("DeductibleAmount"),
@@ -370,8 +370,8 @@ def dim_eo_insurance(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec("AnnualMaxAmount"),
         dec("PolicyMaxAmount"),
         dec("LiabilityLimit"),
-        F.nullif(F.col("FromDate"), F.lit("")).cast("timestamp")
+        F.nullif(F.col("FromDate"), F.lit("")).try_cast("timestamp")
         .alias("EffectiveDate"),
-        F.nullif(F.col("ToDate"), F.lit("")).cast("timestamp")
+        F.nullif(F.col("ToDate"), F.lit("")).try_cast("timestamp")
         .alias("ExpirationDate"),
     )

@@ -37,7 +37,7 @@ def func_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         F.concat(F.lit("G"), F.col("c_custkey").cast("string")).alias("prefixed_id"),
-        F.regexp_replace("c_name", "^Customer#0*", "").cast("long").alias(
+        F.regexp_replace("c_name", "^Customer#0*", "").try_cast("long").alias(
             "stripped_id"
         ),
         F.trim("c_mktsegment").alias("seg"),
@@ -144,7 +144,7 @@ def func_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_typed"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_typed"),
         F.get_json_object("props", "$.missing").alias("missing_field"),
     )
 
@@ -239,7 +239,8 @@ def func_year_range_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_array_ops",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list_distinct(list(l_returnflag))) AS flags,
+           array_to_string(list_sort(list_distinct(list(l_returnflag))), ',')
+             AS flags,
            len(list_distinct(list(l_returnflag))) AS n_flags,
            CASE WHEN list_contains(list(l_returnflag), 'R')
                 THEN 1 ELSE 0 END AS has_return
@@ -250,10 +251,11 @@ def func_year_range_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def func_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set / array_sort / size / array_contains: the product-
-    code set accumulation surface."""
+    code set accumulation surface. Array emitted as a sorted joined
+    string so result canonicalizers can hash the cell."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+        F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("flags"),
         F.size(F.collect_set("l_returnflag")).alias("n_flags"),
         F.when(F.array_contains(F.collect_list("l_returnflag"), "R"), 1)
         .otherwise(0)

@@ -135,15 +135,15 @@ def prep_conformance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="P1-P3 trim + TRY_CAST null-on-failure (sql/02-input-tables.sql:239-262)",
 )
 def prep_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRY_CAST semantics: with ANSI off, Spark cast() returns null on
-    failure, matching T-SQL TRY_CAST -- pinned in session.py. JSON
+    """TRY_CAST semantics via try_cast -- null on failure under any
+    session ANSI setting (the driver supplies its own session). JSON
     field extraction then safe-cast mirrors the prep layer's typed
     projection."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.col("event_type").cast("long").alias("bad_long"),
-        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.col("event_type").try_cast("long").alias("bad_long"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_value"),
         F.nullif(F.trim("event_type"), F.lit("")).alias("clean_type"),
     )
 

@@ -7,8 +7,11 @@ local[N]):
   at heavy employer-group skew (entropy routing exists because a few
   groups dominate certificate volume) -- AQE skew handling is the
   first line of defense before manual salting.
-- ANSI off: T-SQL ``TRY_CAST`` semantics (null on failure) are the
-  contract of the prep layer (ref sql/02-input-tables.sql:245-251).
+- ANSI ON: matches Spark 4 defaults and any externally-supplied
+  session. T-SQL ``TRY_CAST`` semantics (null on failure, ref
+  sql/02-input-tables.sql:245-251) are expressed IN the expressions
+  (``try_cast`` / ``try_to_timestamp``), never via session config, so
+  every query is correct under any session's ANSI setting.
 - Arrow on: every pandas interchange (the consolidation fold uses
   sorted mapInPandas) goes through Arrow batches, never pickled rows.
 - UTC session timezone: date arithmetic must not depend on the host.
@@ -49,7 +52,7 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
