@@ -38,6 +38,57 @@ def upsert_missing(
     return new_rows.join(existing_keys, on=list(keys), how="left_anti")
 
 
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """True keyed MERGE (S10 full form, ref
+    sql/export/07-export-proposals.sql:57 insert-missing +
+    sql/transforms/09-policies.sql:128-137 update-matched): matched
+    target rows take the source's values for ``update_cols`` (default:
+    every shared non-key column), unmatched source rows insert,
+    unmatched target rows persist untouched. Returns the post-merge
+    table (the immutable rewrite of Delta/Iceberg MERGE INTO).
+
+    Scale shape: NOT a full-outer shuffle of the target. The update
+    arm LEFT-joins the (typically incremental, group-scale) source
+    onto the target and the insert arm anti-joins source against the
+    target's key projection — when the source fits the broadcast
+    threshold both arms broadcast and the 100-TB target never
+    shuffles; at co-scale AQE falls back to one co-partitioned
+    key shuffle, the same physical plan a transactional MERGE runs.
+    """
+    keys = list(keys)
+    shared = [c for c in target.columns if c in source.columns and c not in keys]
+    upd = list(update_cols) if update_cols is not None else shared
+    marked = source.select(
+        *keys,
+        *[F.col(c).alias(f"__s_{c}") for c in upd],
+        F.lit(1).alias("__matched"),
+    )
+    updated = target.join(marked, keys, "left").select(
+        *[
+            (
+                F.when(F.col("__matched") == 1, F.col(f"__s_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in upd
+                else F.col(c)
+            )
+            for c in target.columns
+        ]
+    )
+    inserts = upsert_missing(source, target, keys).select(
+        *[
+            F.col(c) if c in source.columns else F.lit(None).alias(c)
+            for c in target.columns
+        ]
+    )
+    return updated.unionByName(inserts)
+
+
 def update_join(
     target: DataFrame,
     updates: DataFrame,

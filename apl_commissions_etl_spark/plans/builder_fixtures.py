@@ -23,6 +23,11 @@ broker seq), the exact input shape the reference builder loads
     - custkey % 19 == 4  -> schedule code varies per certificate ->
       many small config clusters -> high-entropy routing
       ('BusinessDrivenEntropy' / low dominant coverage)
+    - custkey % 31 == 3  -> pinned CertEffectiveDate (2020-06-15) +
+      per-cert schedule variance -> same (Group, Date, Product, Plan)
+      key with 2+ distinct configs -> NON-CONFORMANT route (06b);
+      collision-free keys in those groups flow to the
+      plan/year-differentiated and granular modes (06c-06e)
 
 ``prestage_proposals`` — consolidation input. Planted strata:
 
@@ -76,6 +81,8 @@ BUILDER_VIEWS: list[tuple[str, str]] = [
                     + CASE WHEN c.GroupKey % 8 = 1 AND c.CertificateId % 3 = 0
                            THEN 1 ELSE 0 END
                     + CASE WHEN c.GroupKey % 19 = 4 THEN c.CertificateId
+                           ELSE 0 END
+                    + CASE WHEN c.GroupKey % 31 = 3 THEN c.CertificateId
                            ELSE 0 END) % 3
                               AS VARCHAR(20)) AS ScheduleCode,
                CASE WHEN c.GroupKey % 23 = 2 THEN 'A '
@@ -103,7 +110,9 @@ BUILDER_VIEWS: list[tuple[str, str]] = [
                           ELSE 'G' || CAST(o_custkey AS VARCHAR(20)) END
                        AS GroupId,
                      'Group ' || CAST(o_custkey AS VARCHAR(20)) AS GroupName,
-                     CAST(o_orderdate AS DATE) AS CertEffectiveDate,
+                     CASE WHEN o_custkey % 31 = 3 THEN DATE '2020-06-15'
+                          ELSE CAST(o_orderdate AS DATE) END
+                       AS CertEffectiveDate,
                      o_orderpriority AS ProductCode,
                      CASE WHEN o_orderkey % 11 = 0 THEN '*'
                           ELSE 'PL' || CAST(o_orderkey % 4 AS VARCHAR(20)) END

@@ -1,0 +1,434 @@
+"""Config-mode proposal-builder variants (ref sql/transforms/06b-06f).
+
+The reference's production builder routes certificate split configs
+through a cascade of increasingly granular proposal modes:
+
+    remainder (multi-config groups, after 06a simple groups)
+      ├─ 06b non-conformant: (Group, EffDate, Product, Plan) keys with
+      │      2+ distinct configs -> PolicyHierarchyAssignment records
+      │      (no proposal possible), remainder = conformant
+      ├─ 06c plan-differentiated: >1 config per (Group, Year, Product)
+      │      but exactly 1 per (Group, Year, Product, Plan)
+      │      -> one proposal per (G, Y, Product, Plan)
+      ├─ 06d year-differentiated: >1 config per (Group, Product, Plan)
+      │      across years but exactly 1 per (G, Y, Product, Plan)
+      │      -> one proposal per (G, Y, Product, Plan)
+      └─ 06e granular: one proposal per remaining distinct key
+    06f: nested split-configuration JSON + MD5 per proposal
+
+Spark-first shape: the whole cascade is keyed aggregation + broadcast
+anti-joins over the (session-cached) per-certificate criteria — no
+temp tables, no row loops. Every key table (non-conformant keys,
+plan/year-differentiated keys) is group-scale, orders of magnitude
+smaller than the certificate fact, so each routing step broadcasts
+its key set; the certificate side never shuffles after the single
+criteria aggregation.
+
+Determinism deviations (documented, SURVEY §7.1): the reference ids
+proposals 'P-G{group}-{maxnum + ROW_NUMBER()}' continuing a per-group
+counter seeded by earlier steps — insertion-order state that serializes
+the whole build. Here ProposalId = 'PROP-{MODE}-{group}-{year}-
+{product}-{plan}': a pure function of the key, stable under any
+execution order (the id embeds exactly the columns the reference's
+ROW_NUMBER orders by, so the mapping key -> proposal is 1:1 in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .builder import conformant_criteria, split_hierarchies
+
+KEY4 = ["GroupId", "EffYear", "ProductCode", "PlanCode"]
+
+
+def _with_year(df: DataFrame) -> DataFrame:
+    return df.withColumn("EffYear", F.year("CertEffectiveDate"))
+
+
+def multi_config_remainder(criteria: DataFrame) -> DataFrame:
+    """Certs of groups with 2+ distinct configs — what is left for the
+    config-mode cascade after the simple-groups path consumed the
+    single-config groups (ref 06a HAVING COUNT(DISTINCT ConfigJson)=1,
+    06a-proposals-simple-groups.sql:82-92)."""
+    ok = conformant_criteria(criteria)
+    multi = (
+        ok.groupBy("GroupId")
+        .agg(F.countDistinct("ConfigHash").alias("n_cfg"))
+        .filter(F.col("n_cfg") > 1)
+        .select("GroupId")
+    )
+    return _with_year(ok.join(F.broadcast(multi), "GroupId"))
+
+
+def nonconformant_keys(remainder: DataFrame) -> DataFrame:
+    """Keys with 2+ distinct configs even at full granularity — no
+    single proposal can represent them (ref 06b:23-33)."""
+    return (
+        remainder.groupBy("GroupId", "CertEffectiveDate", "ProductCode", "PlanCode")
+        .agg(F.countDistinct("ConfigHash").alias("DistinctConfigs"))
+        .filter(F.col("DistinctConfigs") > 1)
+        .drop("DistinctConfigs")
+    )
+
+
+_NC_KEY = ["GroupId", "CertEffectiveDate", "ProductCode", "PlanCode"]
+
+
+def nonconformant_certs(remainder: DataFrame) -> DataFrame:
+    """All certificates under a non-conformant key (ref 06b:46-53)."""
+    return remainder.join(F.broadcast(nonconformant_keys(remainder)), _NC_KEY)
+
+
+def conformant_remainder(remainder: DataFrame) -> DataFrame:
+    """remainder minus non-conformant keys (ref 06b:172-181)."""
+    return remainder.join(
+        F.broadcast(nonconformant_keys(remainder)), _NC_KEY, "left_anti"
+    )
+
+
+def _key_stats(df: DataFrame) -> DataFrame:
+    """Per (Group, Year, Product, Plan): config count + representative
+    config (MAX, ref 06c:42 MAX(ConfigJson)) + cert count + date span."""
+    return df.groupBy(*KEY4).agg(
+        F.countDistinct("ConfigHash").alias("NConfigs"),
+        F.max("ConfigHash").alias("ConfigHash"),
+        F.count(F.lit(1)).cast("int").alias("CertCount"),
+        F.min("CertEffectiveDate").alias("MinEffDate"),
+        F.max("CertEffectiveDate").alias("MaxEffDate"),
+    )
+
+
+def plan_differentiated_keys(conformant2: DataFrame) -> DataFrame:
+    """>1 config per (Group, Year, Product), exactly 1 once Plan is
+    added (ref 06c:25-64)."""
+    without_plan = (
+        conformant2.groupBy("GroupId", "EffYear", "ProductCode")
+        .agg(F.countDistinct("ConfigHash").alias("n"))
+        .filter(F.col("n") > 1)
+        .drop("n")
+    )
+    return (
+        _key_stats(conformant2)
+        .filter(F.col("NConfigs") == 1)
+        .join(F.broadcast(without_plan), ["GroupId", "EffYear", "ProductCode"])
+        .drop("NConfigs")
+    )
+
+
+def year_differentiated_keys(remainder2: DataFrame) -> DataFrame:
+    """>1 config per (Group, Product, Plan) across years, exactly 1
+    once Year is added (ref 06d:25-64)."""
+    without_year = (
+        remainder2.groupBy("GroupId", "ProductCode", "PlanCode")
+        .agg(F.countDistinct("ConfigHash").alias("n"))
+        .filter(F.col("n") > 1)
+        .drop("n")
+    )
+    return (
+        _key_stats(remainder2)
+        .filter(F.col("NConfigs") == 1)
+        .join(F.broadcast(without_year), ["GroupId", "ProductCode", "PlanCode"])
+        .drop("NConfigs")
+    )
+
+
+def granular_keys(remainder3: DataFrame) -> DataFrame:
+    """One key per remaining distinct (Group, Year, Product, Plan);
+    multi-config keys take the MAX config (ref 06e:35-46)."""
+    return _key_stats(remainder3).drop("NConfigs")
+
+
+def _anti_key4(df: DataFrame, keys: DataFrame) -> DataFrame:
+    return df.join(F.broadcast(keys.select(*KEY4)), KEY4, "left_anti")
+
+
+def mode_cascade(criteria: DataFrame) -> dict[str, DataFrame]:
+    """The full 06b-06e routing cascade as lazy DataFrames."""
+    remainder = multi_config_remainder(criteria)
+    conformant2 = conformant_remainder(remainder)
+    pdk = plan_differentiated_keys(conformant2)
+    remainder2 = _anti_key4(conformant2, pdk)
+    ydk = year_differentiated_keys(remainder2)
+    remainder3 = _anti_key4(remainder2, ydk)
+    return {
+        "remainder": remainder,
+        "nc_certs": nonconformant_certs(remainder),
+        "conformant2": conformant2,
+        "pd_keys": pdk,
+        "remainder2": remainder2,
+        "yd_keys": ydk,
+        "remainder3": remainder3,
+        "granular_keys": granular_keys(remainder3),
+    }
+
+
+def mode_proposal_id(mode: str) -> Column:
+    return F.concat_ws(
+        "-",
+        F.lit("PROP"),
+        F.lit(mode),
+        "GroupId",
+        F.col("EffYear").cast("string"),
+        "ProductCode",
+        "PlanCode",
+    )
+
+
+def mode_proposals(keys: DataFrame, mode: str, notes: str) -> DataFrame:
+    """Proposal projection shared by 06c/06d/06e (ref 06c:88-139,
+    06d:89-141, 06e:67-119): Status 2, date span, single-element
+    product/plan code lists, wildcard plan disables plan filtering
+    (ref 06d:122-130)."""
+    wildcard = F.col("PlanCode") == "*"
+    return keys.select(
+        mode_proposal_id(mode).alias("ProposalId"),
+        "GroupId",
+        F.col("EffYear").alias("EffectiveYear"),
+        "ProductCode",
+        "PlanCode",
+        "ConfigHash",
+        F.lit(2).alias("Status"),
+        F.lit(notes).alias("Notes"),
+        F.col("MinEffDate").alias("SubmittedDate"),
+        F.col("MinEffDate").alias("EffectiveDateFrom"),
+        F.when(F.col("MaxEffDate") != F.col("MinEffDate"), F.col("MaxEffDate"))
+        .alias("EffectiveDateTo"),
+        F.col("CertCount"),
+        F.col("ProductCode").alias("ProductCodes"),
+        F.when(wildcard, "*").otherwise(F.col("PlanCode")).alias("PlanCodes"),
+        F.when(wildcard, 0).otherwise(1).alias("EnablePlanCodeFiltering"),
+    )
+
+
+def mode_key_mappings(cascade: dict[str, DataFrame]) -> DataFrame:
+    """(Group, Year, Product, Plan) -> ProposalId for every key routed
+    to a config-mode proposal (ref 06c:150-174, 06d:152-..., 06e:130-
+    153). The three mode key sets are disjoint by construction
+    (each consumes the previous remainder), so the union needs no
+    NOT-EXISTS dedup."""
+    parts = []
+    for src, mode in (("pd_keys", "PD"), ("yd_keys", "YD"), ("granular_keys", "GR")):
+        parts.append(
+            cascade[src].select(
+                "GroupId",
+                F.col("EffYear").alias("EffectiveYear"),
+                "ProductCode",
+                "PlanCode",
+                mode_proposal_id(mode).alias("ProposalId"),
+                "ConfigHash",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_MODES = (
+    ("pd_keys", "PD", "Plan-differentiated"),
+    ("yd_keys", "YD", "Year-differentiated"),
+    ("granular_keys", "GR", "Granular"),
+)
+
+
+def tagged_keys(cascade: dict[str, DataFrame]) -> DataFrame:
+    """All three mode key tables as ONE frame with a Mode tag, so
+    downstream derivations (totals, representative certs) run as a
+    single aggregation pass instead of three branch re-executions."""
+    parts = [
+        cascade[src].select("*", F.lit(mode).alias("Mode"))
+        for src, mode, _ in _MODES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pid_col() -> Column:
+    return F.concat_ws(
+        "-",
+        F.lit("PROP"),
+        "Mode",
+        "GroupId",
+        F.col("EffYear").cast("string"),
+        "ProductCode",
+        "PlanCode",
+    )
+
+
+def mode_split_versions(
+    cascade: dict[str, DataFrame], criteria: DataFrame
+) -> DataFrame:
+    """One premium split version per mode proposal (ref 06c:182-213):
+    'PSV-{proposal}', dates from the proposal, TotalSplitPercent
+    derived from the key's representative config (the reference sums
+    the level-1 JSON percents; here: the TotalSplitPercent of the
+    certs carrying that config under the key). Single pass over the
+    mode-tagged key union — one broadcast, one aggregation."""
+    crit = _with_year(conformant_criteria(criteria)).select(
+        *KEY4, "ConfigHash", "TotalSplitPercent"
+    )
+    keys = tagged_keys(cascade)
+    total = (
+        crit.join(
+            F.broadcast(keys.select(*KEY4, "ConfigHash", "Mode")),
+            [*KEY4, "ConfigHash"],
+        )
+        .groupBy(*KEY4, "Mode")
+        .agg(F.min("TotalSplitPercent").alias("TotalSplitPercent"))
+    )
+    return keys.join(F.broadcast(total), [*KEY4, "Mode"]).select(
+        F.concat(F.lit("PSV-"), _pid_col()).alias("SplitVersionId"),
+        _pid_col().alias("ProposalId"),
+        F.lit("1.0").alias("VersionNumber"),
+        F.col("MinEffDate").alias("EffectiveFrom"),
+        F.when(F.col("MaxEffDate") != F.col("MinEffDate"), F.col("MaxEffDate"))
+        .alias("EffectiveTo"),
+        "TotalSplitPercent",
+        F.lit(1).alias("Status"),
+    )
+
+
+def nonconformant_pha(nc_certs: DataFrame) -> DataFrame:
+    """One PolicyHierarchyAssignment per non-conformant certificate
+    (ref 06b:70-102): the certificate keeps its full 100% split under
+    the first split's writing broker; the per-tier detail lands in
+    ``nonconformant_participants``."""
+    return nc_certs.select(
+        F.concat(F.lit("PHA-"), F.col("CertificateId").cast("string")).alias("Id"),
+        F.col("CertificateId").alias("PolicyId"),
+        "GroupId",
+        F.lit(100).cast("decimal(18,2)").cast("double").alias("SplitPercent"),
+        "WritingBrokerId",
+        F.lit(1).alias("SplitSequence"),
+        F.lit(1).alias("IsNonConforming"),
+        F.lit("Multiple configs for same (Group, Date, Product, Plan) key")
+        .alias("NonConformantReason"),
+        F.lit(0).alias("EntryType"),
+    ).filter(
+        F.col("WritingBrokerId").isNotNull() & (F.trim("WritingBrokerId") != "")
+    )
+
+
+def nonconformant_participants(
+    nc_certs: DataFrame, certs: DataFrame
+) -> DataFrame:
+    """One PolicyHierarchyParticipant per (certificate, split, tier)
+    of a non-conformant certificate (ref 06b:120-159 OPENJSON
+    explosion). The reference shreds the config JSON back into rows;
+    here the tier rows never left relational form, so this is a
+    broadcast semi-join of the certificate fact against the
+    (group-scale) non-conformant certificate set."""
+    keys = nc_certs.select("GroupId", "CertificateId").distinct()
+    return certs.join(F.broadcast(keys), ["GroupId", "CertificateId"]).select(
+        F.concat_ws(
+            "-",
+            F.lit("PHP"),
+            F.col("CertificateId").cast("string"),
+            F.col("CertSplitSeq").cast("string"),
+            F.col("SplitBrokerSeq").cast("string"),
+        ).alias("Id"),
+        F.concat(F.lit("PHA-"), F.col("CertificateId").cast("string")).alias(
+            "PolicyHierarchyAssignmentId"
+        ),
+        F.regexp_replace("SplitBrokerId", "P", "").try_cast("long").alias("BrokerId"),
+        F.col("SplitBrokerName").alias("BrokerName"),
+        F.col("SplitBrokerSeq").alias("TierLevel"),
+        F.col("CertSplitPercent").cast("decimal(18,2)").cast("double").alias(
+            "CommissionRate"
+        ),
+        "ScheduleCode",
+    ).filter(F.col("BrokerId").isNotNull())
+
+
+def _tiers_json(tiers_canonical: Column) -> Column:
+    """'1:P100:SCH-0;2:P110:SCH-1' -> JSON array text. Built by string
+    ops (identical expression on the DuckDB side) so the MD5 below is
+    engine-stable — engine-native FOR JSON/to_json formatting differs
+    across engines and would break hash parity (ref 06f:24-70)."""
+    entry = lambda t: F.concat(  # noqa: E731
+        F.lit('{"level":'),
+        F.split_part(t, F.lit(":"), F.lit(1)),
+        F.lit(',"brokerId":"'),
+        F.split_part(t, F.lit(":"), F.lit(2)),
+        F.lit('","schedule":"'),
+        F.split_part(t, F.lit(":"), F.lit(3)),
+        F.lit('"}'),
+    )
+    return F.concat(
+        F.lit("["),
+        F.array_join(F.transform(F.split(tiers_canonical, ";"), entry), ","),
+        F.lit("]"),
+    )
+
+
+def mode_prestage_split_configs(
+    cascade: dict[str, DataFrame], criteria: DataFrame, certs: DataFrame
+) -> DataFrame:
+    """06f: the nested split-configuration document + MD5 per
+    config-mode proposal (ref 06f:22-97). The reference UPDATEs each
+    proposal with a 3-level FOR JSON subquery tree; here the document
+    derives from the key's representative certificate (lowest id
+    carrying the key's config) whose per-split tier rows are already
+    canonical strings."""
+    per_split = split_hierarchies(certs).select(
+        "GroupId", "CertificateId", "CertSplitSeq", "CertSplitPercent",
+        "TiersCanonical",
+    )
+    ok = _with_year(conformant_criteria(criteria)).select(
+        *KEY4, "ConfigHash", "CertificateId"
+    )
+    keys = tagged_keys(cascade)
+    reps = (
+        ok.join(
+            F.broadcast(keys.select(*KEY4, "ConfigHash", "Mode")),
+            [*KEY4, "ConfigHash"],
+        )
+        .groupBy(*KEY4, "Mode")
+        .agg(F.min("CertificateId").alias("CertificateId"))
+        .select("GroupId", _pid_col().alias("ProposalId"), "CertificateId")
+    )
+    split_json = F.concat(
+        F.lit('{"splitPercent":'),
+        F.col("CertSplitPercent").cast("string"),
+        F.lit(',"sequence":'),
+        F.col("CertSplitSeq").cast("string"),
+        F.lit(',"tiers":'),
+        _tiers_json(F.col("TiersCanonical")),
+        F.lit("}"),
+    )
+    doc = (
+        # reps is key-scale (one row per mode proposal) — broadcast it
+        # against the big per-split fact, never the other way round
+        F.broadcast(reps)
+        .join(per_split, ["GroupId", "CertificateId"])
+        .withColumn("split_json", split_json)
+        .groupBy("ProposalId")
+        .agg(
+            F.sum("CertSplitPercent").cast("int").alias("TotalSplitPercent"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("CertSplitSeq", "split_json"))
+                    ),
+                    lambda s: s["split_json"],
+                ),
+            ).alias("SplitsJson"),
+        )
+        .select(
+            "ProposalId",
+            F.concat(
+                F.lit('{"totalSplitPercent":'),
+                F.col("TotalSplitPercent").cast("string"),
+                F.lit(',"splits":['),
+                F.col("SplitsJson"),
+                F.lit("]}"),
+            ).alias("SplitConfigurationJSON"),
+        )
+        .withColumn("SplitConfigurationMD5", F.md5("SplitConfigurationJSON"))
+    )
+    return doc

@@ -288,6 +288,68 @@ def gl_entries(s8: DataFrame) -> DataFrame:
     )
 
 
+def broker_trace(s8: DataFrame) -> DataFrame:
+    """One broker-traceability row per GL entry with prefixed ids
+    (ref sql/calc/run-calculation.sql:575-605): 'BT-{gl id}' linked to
+    'TRACE-{premium}', tier level/name, split + rate provenance, and
+    the assignment lineage (IsAssigned, AssignedFromBrokerId = the
+    original broker when the entry routes to a recipient).
+
+    Single-pass: same 1-2 element entry-array explode as
+    ``gl_entries`` with the tier/rate columns carried alongside the
+    exploded struct — the reference projects the already-materialized
+    GL table; here both GL and this trace derive from one s8 pass.
+    BrokerName is synthesized ('Broker-{id}') because the relational
+    fixtures carry broker ids only — documented deviation."""
+    gl_id = lambda tag: F.concat_ws(  # noqa: E731
+        "-", F.lit("GL"), "PremiumTransactionId", "HierarchyParticipantId",
+        F.lit(tag),
+    )
+    entry = lambda tag, broker, amount: F.struct(  # noqa: E731
+        gl_id(tag).alias("GlEntryId"),
+        F.lit("Original" if tag == "O" else "Assigned").alias("EntryType"),
+        broker.alias("BrokerId"),
+        amount.cast("double").alias("Amount"),
+    )
+    entries = F.array(
+        entry("O", F.col("EntityId"), F.col("RetainedCommission")),
+        F.when(
+            F.col("RecipientBrokerId").isNotNull()
+            & (F.col("AssignedCommission") != 0),
+            entry("A", F.col("RecipientBrokerId"), F.col("AssignedCommission")),
+        ),
+    )
+    e = s8.select(
+        "PremiumTransactionId", "Sequence", "SplitPercent", "TierLevel",
+        "AppliedRate", "RateSource", "HierarchyId", "HierarchyVersionId",
+        "EntityId",
+        F.explode(F.filter(entries, lambda x: x.isNotNull())).alias("e"),
+    )
+    assigned = F.col("e.EntryType") == "Assigned"
+    return e.select(
+        F.concat(F.lit("BT-"), F.col("e.GlEntryId")).alias("Id"),
+        F.concat(F.lit("TRACE-"), "PremiumTransactionId").alias(
+            "CommissionTraceabilityReportId"
+        ),
+        F.col("e.BrokerId").alias("BrokerId"),
+        F.concat(F.lit("Broker-"), F.col("e.BrokerId")).alias("BrokerName"),
+        F.col("TierLevel"),
+        F.concat(F.lit("Level "), F.col("TierLevel").cast("string")).alias(
+            "LevelName"
+        ),
+        F.col("Sequence").alias("SplitSequence"),
+        F.col("SplitPercent").cast("double").alias("SplitPercent"),
+        F.col("AppliedRate").cast("double").alias("RatePercent"),
+        "RateSource",
+        F.col("e.Amount").alias("CommissionAmount"),
+        "HierarchyId",
+        "HierarchyVersionId",
+        assigned.cast("int").alias("IsAssigned"),
+        F.when(assigned, F.col("EntityId")).alias("AssignedFromBrokerId"),
+        F.col("e.EntryType").alias("EntryType"),
+    )
+
+
 def traceability(c8: DataFrame) -> DataFrame:
     """Per-premium rollup + failure diagnosis (ref
     run-calculation.sql:470-561): every premium appears exactly once;
@@ -450,6 +512,7 @@ def run_calc(staging: dict[str, DataFrame]) -> dict[str, DataFrame]:
         "s7": c7.filter(survived_tier),
         "s8": s8,
         "gl": gl_entries(s8),
+        "broker_trace": broker_trace(s8),
         "trace": traceability(c8),
         "trace_full": traceability_full(c8),
     }

@@ -293,6 +293,54 @@ def calc_gl_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "calc_broker_trace",
+    oracle=_oracle("""
+    SELECT 'BT-GL-' || PremiumTransactionId || '-' || HierarchyParticipantId
+             || '-O' AS Id,
+           'TRACE-' || PremiumTransactionId AS CommissionTraceabilityReportId,
+           EntityId AS BrokerId,
+           'Broker-' || CAST(EntityId AS VARCHAR) AS BrokerName,
+           TierLevel,
+           'Level ' || CAST(TierLevel AS VARCHAR) AS LevelName,
+           Sequence AS SplitSequence,
+           CAST(SplitPercent AS DOUBLE) AS SplitPercent,
+           CAST(AppliedRate AS DOUBLE) AS RatePercent,
+           RateSource,
+           CAST(RetainedCommission AS DOUBLE) AS CommissionAmount,
+           HierarchyId, HierarchyVersionId,
+           0 AS IsAssigned,
+           CAST(NULL AS BIGINT) AS AssignedFromBrokerId,
+           'Original' AS EntryType
+    FROM s8
+    UNION ALL
+    SELECT 'BT-GL-' || PremiumTransactionId || '-' || HierarchyParticipantId
+             || '-A',
+           'TRACE-' || PremiumTransactionId,
+           RecipientBrokerId,
+           'Broker-' || CAST(RecipientBrokerId AS VARCHAR),
+           TierLevel,
+           'Level ' || CAST(TierLevel AS VARCHAR),
+           Sequence,
+           CAST(SplitPercent AS DOUBLE),
+           CAST(AppliedRate AS DOUBLE),
+           RateSource,
+           CAST(AssignedCommission AS DOUBLE),
+           HierarchyId, HierarchyVersionId,
+           1,
+           EntityId,
+           'Assigned'
+    FROM s8
+    WHERE RecipientBrokerId IS NOT NULL AND AssignedCommission <> 0"""),
+    survey_ref="§2.9 broker trace output: 1 row per GL entry with "
+    "prefixed ids + tier/rate/assignment lineage "
+    "(run-calculation.sql:575-605)",
+)
+def calc_broker_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    return s["broker_trace"]
+
+
+@query(
     "calc_traceability",
     oracle=_oracle("""
     , rollup AS (

@@ -51,8 +51,10 @@ def all_queries() -> dict[str, Query]:
         aggregates,
         auditq,
         builder,
+        builder_modes,
         calcdomain,
         dims,
+        exports,
         joins,
         llmdata,
         policies,

@@ -1,11 +1,15 @@
-"""Export sink semantics: idempotent insert-missing (S9) and immutable
-update-join (S10)."""
+"""Export sink semantics: idempotent insert-missing (S9), immutable
+update-join (S10), and the true keyed MERGE sync."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from apl_commissions_etl_spark.operators.export import update_join, upsert_missing
+from apl_commissions_etl_spark.operators.export import (
+    merge_upsert,
+    update_join,
+    upsert_missing,
+)
 
 
 def test_upsert_missing_is_idempotent(spark):
@@ -30,3 +34,31 @@ def test_update_join_recomputes_matched_rows_only(spark):
     assert out.columns == ["Id", "N", "Amt"]
     got = {r.Id: r.Amt for r in out.collect()}
     assert got == {1: 10.0, 2: 0.0, 3: 30.0}
+
+
+def test_merge_upsert_updates_inserts_and_preserves(spark):
+    prod = spark.createDataFrame(
+        [(1, "g1", "old"), (2, "g2", "old")], "Id int, G string, Note string"
+    )
+    src = spark.createDataFrame(
+        [(2, "g2-new", "new"), (3, "g3", "new")], "Id int, G string, Note string"
+    )
+    out = merge_upsert(prod, src, ["Id"], update_cols=["Note"])
+    assert out.columns == ["Id", "G", "Note"]
+    got = {r.Id: (r.G, r.Note) for r in out.collect()}
+    assert got == {
+        1: ("g1", "old"),      # unmatched target persists
+        2: ("g2", "new"),      # matched: Note updated, G (not in update_cols) kept
+        3: ("g3", "new"),      # unmatched source inserts
+    }
+    # idempotent: merging the same source again changes nothing
+    again = merge_upsert(out, src, ["Id"], update_cols=["Note"])
+    assert {r.Id: (r.G, r.Note) for r in again.collect()} == got
+
+
+def test_merge_upsert_defaults_to_all_shared_columns(spark):
+    prod = spark.createDataFrame([(1, "a", 1.0)], "Id int, V string, X double")
+    src = spark.createDataFrame([(1, "b")], "Id int, V string")
+    out = merge_upsert(prod, src, ["Id"])
+    row = out.collect()[0]
+    assert (row.V, row.X) == ("b", 1.0)  # V updated; X untouched (not in source)
