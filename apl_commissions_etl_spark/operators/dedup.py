@@ -87,16 +87,61 @@ def _pair_jaccard(shingles: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def frequent_shingles(shingles: DataFrame, max_df: int) -> DataFrame:
+    """Shingles whose document frequency exceeds ``max_df`` — the
+    'stop-shingles'. A shingle shared by d documents contributes
+    O(d²) rows to the candidate self-join, so one boilerplate phrase
+    shared by a million documents would single-handedly produce 10¹²
+    candidate pairs. The heavy-hitter set is tiny by definition
+    (few keys can exceed a high df), hence broadcastable."""
+    return (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by word-n-gram Jaccard >= threshold."""
+    """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    ``max_df`` guards the candidate join against hot shingles:
+    candidates come from the CAPPED shingle set (stop-shingles with
+    df > max_df dropped before the self-join, bounding any one
+    shingle's contribution to O(max_df²) pairs), while the Jaccard
+    itself is verified against the FULL shingle sets via
+    array_intersect — so surviving pairs score exactly as uncapped.
+    Only pairs whose every shared shingle is a stop-shingle are lost,
+    and such pairs are boilerplate collisions, not near-duplicates."""
     sh = word_shingles(df, id_col, text_col, n)
-    return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
+    if max_df is None:
+        return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
+    capped = sh.join(F.broadcast(frequent_shingles(sh, max_df)), "shingle", "left_anti")
+    cand = (
+        capped.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(capped.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = shingle_sets(sh, id_col)
+    joined = cand.join(
+        sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(inter * F.lit(1.0) / union, 6).cast("double").alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def shingle_sets(shingles: DataFrame, id_col: str) -> DataFrame:
@@ -126,6 +171,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 2,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding, ONE shuffle to build state then pure
     projections: shingle sets (groupBy) -> signatures = array_min of a
@@ -133,7 +179,15 @@ def minhash_lsh_pairs(
     equi-join proposes candidates -> candidates verified with exact
     Jaccard via array_intersect on the two shingle ARRAYS (only
     candidate pairs pay the set comparison — the all-pairs shingle
-    self-join never happens)."""
+    self-join never happens).
+
+    ``max_bucket`` guards the band join against hot buckets: a band
+    key shared by d documents contributes O(d²) candidates, and at
+    corpus scale one degenerate key (empty docs, boilerplate) can
+    dominate the whole join. Band keys with more than ``max_bucket``
+    members are skipped — such buckets are mass-duplicate clusters
+    that exact dedup (the cheaper pass that should run first) already
+    collapses, not near-duplicate structure."""
     rows_per_band = num_hashes // bands
     sh = word_shingles(df, id_col, text_col, n)
 
@@ -165,6 +219,15 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
             F.col(f"band{b}").alias("bk"),
         )
+        if max_bucket is not None:
+            hot = (
+                banded.groupBy(F.col(f"band{b}").alias("bk"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > max_bucket)
+                .select("bk")
+            )
+            left = left.join(F.broadcast(hot), "bk", "left_anti")
+            right = right.join(F.broadcast(hot), "bk", "left_anti")
         cand = (
             left.join(right, "bk")
             .filter(F.col("id_a") < F.col("id_b"))

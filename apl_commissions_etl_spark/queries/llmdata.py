@@ -159,17 +159,48 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(d, "doc_id", "text")
 
 
+#: hot-key guards: shingles/band keys shared by more than this many
+#: documents are excluded from candidate generation (a key shared by d
+#: docs costs O(d²) join rows — one boilerplate phrase at corpus scale
+#: would otherwise dominate the whole self-join). No-op at the test
+#: scales (max observed df is 9 / bucket 3); load-bearing at 100 TB.
+MAX_SHINGLE_DF = 20
+MAX_BAND_BUCKET = 20
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH {_SHINGLES_CTE}, {_PAIR_JACCARD_SQL}
-    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    WITH {_SHINGLES_CTE},
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+    capped AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           CAST(round(i.inter * 1.0 / (sx.n + sy.n - i.inter), 6) AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sx ON i.id_a = sx.doc_id
+    JOIN sizes sy ON i.id_b = sy.doc_id
+    WHERE i.inter * 1.0 / (sx.n + sy.n - i.inter) >= 0.5
     """,
-    survey_ref="north-star: n-gram Jaccard near-dup (shingle join, no cartesian)",
+    survey_ref="north-star: n-gram Jaccard near-dup (shingle join, no "
+    "cartesian); stop-shingles with df > 20 excluded from candidate "
+    "generation, Jaccard verified on full sets",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_df=MAX_SHINGLE_DF
+    )
 
 
 @query(
@@ -188,24 +219,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(concat_ws('|', h0, h1, h2, h3)) AS band0,
              md5(concat_ws('|', h4, h5, h6, h7)) AS band1
       FROM sigs),
+    hot0 AS (SELECT band0 FROM banded GROUP BY band0
+             HAVING COUNT(*) > {MAX_BAND_BUCKET}),
+    hot1 AS (SELECT band1 FROM banded GROUP BY band1
+             HAVING COUNT(*) > {MAX_BAND_BUCKET}),
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
         ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+      WHERE a.band0 NOT IN (SELECT band0 FROM hot0)
       UNION
       SELECT a.doc_id, b.doc_id
       FROM banded a JOIN banded b
-        ON a.band1 = b.band1 AND a.doc_id < b.doc_id)
+        ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+      WHERE a.band1 NOT IN (SELECT band1 FROM hot1))
     SELECT c.id_a, c.id_b, j.jaccard
     FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
     WHERE j.jaccard >= 0.5
     """,
-    survey_ref="north-star: MinHash+LSH (md5-permutation minhash, band join, verify)",
+    survey_ref="north-star: MinHash+LSH (md5-permutation minhash, band "
+    "join, verify); band buckets > 20 members skipped (mass-dup "
+    "clusters belong to exact dedup, not the near-dup join)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", n=3, num_hashes=8, bands=2, threshold=0.5
+        d, "doc_id", "text", n=3, num_hashes=8, bands=2, threshold=0.5,
+        max_bucket=MAX_BAND_BUCKET,
     )
 
 

@@ -167,3 +167,59 @@ def test_minhash_stable_after_hof_queries(spark, sf_dir):
         for r in qs["dedup_minhash_lsh"].spark_fn(spark, sf_dir).collect()
     }
     assert baseline == after
+
+
+def test_hot_shingle_cap_bounds_candidates(spark):
+    """A stop-shingle shared by every document must not make the
+    candidate join quadratic: with the df cap, boilerplate-only
+    overlaps produce NO candidate pairs, while a genuine near-dup
+    pair (sharing many sub-cap shingles) is still found with its
+    exact (uncapped) Jaccard."""
+    boiler = "terms and conditions apply to all"
+    rows = [(i, f"{boiler} document body {i} alpha beta gamma") for i in range(40)]
+    # one genuine near-dup pair sharing a long distinctive tail
+    tail = "the quick brown fox jumps over the lazy dog again and again"
+    rows += [(100, f"{boiler} {tail} one"), (101, f"{boiler} {tail} two")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.3, max_df=10
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert (100, 101) in got
+    # boilerplate-only pairs are gone: every surviving pair involves
+    # the two planted near-dups
+    assert all(a >= 100 and b >= 100 for a, b in got)
+
+    # the surviving pair's jaccard equals the uncapped (exact) value
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.3, max_df=None
+    )
+    exact = {(r.id_a, r.id_b): r.jaccard for r in uncapped.collect()}
+    assert got[(100, 101)] == exact[(100, 101)]
+
+
+def test_hot_band_bucket_cap_skips_degenerate_buckets(spark):
+    """40 identical documents collapse into one LSH band bucket; with
+    max_bucket the O(n²) bucket is skipped entirely while a small
+    near-dup cluster elsewhere still pairs up."""
+    clone = "identical boilerplate text repeated across the whole corpus here"
+    rows = [(i, clone) for i in range(40)]
+    tail = "a very distinctive sentence that only these two documents share fully"
+    rows += [(100, f"{tail} variant one"), (101, f"{tail} variant two")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", n=3, num_hashes=8, bands=2, threshold=0.3,
+        max_bucket=10,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 and b >= 100 for a, b in got)
+
+    # sanity: without the cap the clone cluster floods the result
+    flood = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", n=3, num_hashes=8, bands=2, threshold=0.3,
+        max_bucket=None,
+    )
+    assert flood.count() >= 40 * 39 // 2
