@@ -53,7 +53,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, needs_registration, register_base_tables
 
 BUILDER_VIEWS: list[tuple[str, str]] = [
     (
@@ -166,7 +166,8 @@ def builder_cte_sql() -> str:
 
 
 def register_builder_views(spark: SparkSession, sf_dir: str) -> None:
-    for t in ("orders", "customer"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_base_tables(spark, sf_dir, ("orders", "customer"))
+    if not needs_registration(spark, "builder", sf_dir):
+        return
     for name, sql in BUILDER_VIEWS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")

@@ -432,3 +432,201 @@ def mode_prestage_split_configs(
         .withColumn("SplitConfigurationMD5", F.md5("SplitConfigurationJSON"))
     )
     return doc
+
+
+# ---------------------------------------------------------------------------
+# 07: deprecated hierarchies transform (ref sql/transforms/
+# 07-deprecated-hierarchies.sql:24-309). Explicitly deprecated in the
+# reference but still runnable; ported for surface completeness.
+# ---------------------------------------------------------------------------
+
+
+def _pid_num(col: Column) -> Column:
+    return F.regexp_replace(col, "P", "").try_cast("long")
+
+
+def deprecated_hierarchy_entities(
+    certs: DataFrame, proposals: DataFrame
+) -> DataFrame:
+    """One hierarchy per (GroupId, CertSplitSeq, WritingBrokerId) — the
+    reference's NO-CONSOLIDATION rebuild (07-deprecated-hierarchies.sql):
+
+    - work_split_participants (:36-56): active per-tier rows grouped to
+      (group, split, writing broker, level, broker, schedule, percent)
+      with MIN effective date; writing broker = tier-1 broker of the
+      split (the raw input's WritingBrokerID column re-derived, since
+      the fixture models the typed layer).
+    - work_split_signatures (:66-80): ordered '<level>|<broker>|<sched>'
+      signature per (group, split, writing broker).
+    - work_hierarchy_id_map (:90-105): ROW_NUMBER per group ->
+      'H-<group>-<n>'. Order extended by WritingBrokerId for engine
+      determinism (the reference's ORDER BY CertSplitSeq, MinEffDate
+      can tie).
+    - FirstUplineId (:135-150): level-2 broker (MIN for determinism;
+      the reference's unordered TOP 1 is nondeterministic).
+    - prestage entity (:183-260): 3-level correlated-TOP-1 proposal
+      matcher (in-range > open-ended > most-recent) re-expressed as ONE
+      window argmax over a priority CASE — J9's pattern, one pass, no
+      per-row subqueries.
+
+    proposal_groups (:24-34) is the distinct groups of the 06 proposal
+    set: every config-mode route (06c/06d/06e keys, 06b non-conformant
+    certs) descends from the same conformant criteria here, so the
+    reference's 4-way UNION collapses to one distinct.
+    """
+    valid = certs.filter(
+        (F.trim("RecStatus") == "A")
+        & F.col("SplitBrokerId").isNotNull()
+        & (F.col("SplitBrokerId") != "")
+    )
+    wb = valid.groupBy("GroupId", "CertificateId", "CertSplitSeq").agg(
+        F.min_by("SplitBrokerId", "SplitBrokerSeq").alias("WritingBrokerPid")
+    )
+    parts = (
+        valid.join(wb, ["GroupId", "CertificateId", "CertSplitSeq"])
+        .select(
+            "GroupId",
+            "CertSplitSeq",
+            _pid_num(F.col("WritingBrokerPid")).alias("WritingBrokerId"),
+            F.col("SplitBrokerSeq").alias("TierLevel"),
+            _pid_num(F.col("SplitBrokerId")).alias("BrokerId"),
+            "ScheduleCode",
+            F.col("CertSplitPercent").cast("decimal(18,4)").alias(
+                "SplitPercent"
+            ),
+            "CertEffectiveDate",
+        )
+        .filter(
+            F.col("WritingBrokerId").isNotNull() & F.col("BrokerId").isNotNull()
+        )
+        .groupBy(
+            "GroupId", "CertSplitSeq", "WritingBrokerId", "TierLevel",
+            "BrokerId", "ScheduleCode", "SplitPercent",
+        )
+        .agg(F.min("CertEffectiveDate").alias("MinEffDate"))
+    )
+    pg = proposals.select("GroupId").distinct()
+    sig_item = F.concat(
+        F.col("TierLevel").cast("string"),
+        F.lit("|"),
+        F.col("BrokerId").cast("string"),
+        F.lit("|"),
+        F.coalesce("ScheduleCode", F.lit("")),
+    )
+    sigs = (
+        parts.join(F.broadcast(pg), "GroupId")
+        .withColumn("sig_item", sig_item)
+        .groupBy("GroupId", "CertSplitSeq", "WritingBrokerId")
+        .agg(
+            F.min("MinEffDate").alias("MinEffDate"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("TierLevel", "BrokerId", "sig_item")
+                        )
+                    ),
+                    lambda s: s["sig_item"],
+                ),
+            ).alias("StructureSignature"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w_id = Window.partitionBy("GroupId").orderBy(
+        "CertSplitSeq", "MinEffDate", "WritingBrokerId"
+    )
+    idmap = sigs.withColumn(
+        "HierarchyId",
+        F.concat(
+            F.lit("H-"),
+            "GroupId",
+            F.lit("-"),
+            F.row_number().over(w_id).cast("string"),
+        ),
+    )
+    upline = (
+        parts.filter(F.col("TierLevel") == 2)
+        .groupBy("GroupId", "CertSplitSeq", "WritingBrokerId")
+        .agg(F.min("BrokerId").alias("FirstUplineId"))
+    )
+    hd = idmap.join(
+        upline, ["GroupId", "CertSplitSeq", "WritingBrokerId"], "left"
+    )
+    cand = hd.join(
+        proposals.select(
+            "GroupId",
+            F.col("ProposalId").alias("PId"),
+            F.col("EffectiveDateFrom").alias("PFrom"),
+            F.col("EffectiveDateTo").alias("PTo"),
+        ),
+        "GroupId",
+        "left",
+    )
+    m1 = (
+        F.col("PFrom").isNotNull()
+        & (F.col("MinEffDate") >= F.col("PFrom"))
+        & (F.col("PTo").isNull() | (F.col("MinEffDate") <= F.col("PTo")))
+    )
+    m2 = (
+        F.col("PTo").isNull()
+        & F.col("PFrom").isNotNull()
+        & (F.col("MinEffDate") >= F.col("PFrom"))
+    )
+    prio = F.when(m1, 1).when(m2, 2).otherwise(3)
+    w_pick = Window.partitionBy("HierarchyId").orderBy(
+        prio.asc(),
+        F.col("PFrom").desc_nulls_last(),
+        F.col("PId").desc_nulls_last(),
+    )
+    chosen = (
+        cand.withColumn("prn", F.row_number().over(w_pick))
+        .filter(F.col("prn") == 1)
+        .drop("prn")
+    )
+    bn = certs.select(
+        _pid_num(F.col("SplitBrokerId")).alias("WritingBrokerId"),
+        "SplitBrokerName",
+    ).groupBy("WritingBrokerId").agg(F.min("SplitBrokerName").alias("BName"))
+    ginfo = certs.groupBy("GroupId").agg(
+        F.min("GroupName").alias("GName"), F.min("SitusState").alias("GState")
+    )
+    name_fallback = F.coalesce(
+        "BName",
+        F.concat(F.lit("Broker "), F.col("WritingBrokerId").cast("string")),
+    )
+    return (
+        chosen.join(F.broadcast(bn), "WritingBrokerId", "left")
+        .join(F.broadcast(ginfo), "GroupId", "left")
+        .select(
+            F.col("HierarchyId").alias("Id"),
+            F.concat(
+                F.lit("Hierarchy: "), "GroupId", F.lit(" - "), name_fallback
+            ).alias("Name"),
+            F.concat(
+                F.lit("Commission hierarchy for "),
+                F.coalesce("BName", F.lit("broker")),
+                F.lit(" on group "),
+                "GroupId",
+            ).alias("Description"),
+            F.lit(0).alias("HierType"),
+            F.lit(1).alias("Status"),
+            F.col("PId").alias("ProposalId"),
+            "GroupId",
+            F.col("GName").alias("GroupName"),
+            F.regexp_replace("GroupId", "G", "").alias("GroupNumber"),
+            F.col("WritingBrokerId").alias("BrokerId"),
+            F.col("BName").alias("BrokerName"),
+            F.lit(1).alias("BrokerLevel"),
+            F.lit("Migration").alias("SourceType"),
+            F.col("GState").alias("SitusState"),
+            F.col("MinEffDate").alias("EffectiveDate"),
+            F.concat("HierarchyId", F.lit("-V1")).alias("CurrentVersionId"),
+            F.lit(1).alias("CurrentVersionNumber"),
+            F.lit(0).alias("IsDeleted"),
+            "CertSplitSeq",
+            "FirstUplineId",
+            "StructureSignature",
+        )
+    )

@@ -11,6 +11,11 @@ Planted dirt:
       sources — the reference's asymmetry)
     - suppkey % 11 == 3  -> individual missing (filled by later source)
     - suppkey % 5 == 0   -> empty HireDate string
+    - banking dirt (ref 12-broker-banking-infos.sql gating): empty
+      routing/account/type strings (row excluded only when ANY of the
+      three is blank), whitespace-padded routing > 9 chars (LEFT-9
+      truncation), 20-char account (LEFT-17), mixed-case AccountType
+      first-letter classification
     - partkey strata     -> Year1/Year2/Year66/Level blank, '0', or
       non-numeric 'N/A' (zero-as-missing fallback,
       ref 04-schedules.sql:128-141)
@@ -20,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, needs_registration, register_base_tables
 
 DIM_VIEWS: list[tuple[str, str]] = [
     (
@@ -35,14 +40,28 @@ DIM_VIEWS: list[tuple[str, str]] = [
                     ELSE 'Unknown' END AS CurrentStatus,
                'b' || CAST(s_suppkey AS VARCHAR(20)) || '@x.com' AS EmailAddress,
                CASE WHEN s_suppkey % 5 = 0 THEN ''
-                    ELSE '2010-01-15' END AS HireDate
+                    ELSE '2010-01-15' END AS HireDate,
+               CASE WHEN s_suppkey % 6 = 0 THEN ''
+                    WHEN s_suppkey % 6 = 1
+                    THEN '  0210000' || CAST(s_suppkey % 10 AS VARCHAR(2))
+                         || '99  '
+                    ELSE '061000' || LPAD(CAST(s_suppkey % 1000
+                         AS VARCHAR(4)), 3, '0') END AS BankRoutingNumber,
+               CASE WHEN s_suppkey % 7 = 2 THEN ''
+                    WHEN s_suppkey % 7 = 3
+                    THEN '99887766554433221100'
+                    ELSE '4000' || CAST(s_suppkey AS VARCHAR(20)) END
+                 AS AccountNumber,
+               CASE s_suppkey % 5 WHEN 0 THEN '' WHEN 1 THEN 'Checking'
+                    WHEN 2 THEN ' checking ' WHEN 3 THEN 'SAVINGS'
+                    ELSE 'C' END AS AccountType
         FROM supplier
         WHERE s_suppkey % 11 <> 3
         UNION ALL
         SELECT 'PX' || CAST(s_suppkey AS VARCHAR(20)),
                'JunkF' || CAST(s_suppkey AS VARCHAR(20)),
                'JunkL' || CAST(s_suppkey AS VARCHAR(20)),
-               'Active', '', ''
+               'Active', '', '', '123456789', '111', 'Checking'
         FROM supplier
         WHERE s_suppkey % 37 = 1
         """,
@@ -55,7 +74,17 @@ DIM_VIEWS: list[tuple[str, str]] = [
                CASE c_custkey % 3 WHEN 0 THEN 'Active'
                     WHEN 1 THEN 'Terminated' ELSE '' END AS CurrentStatus,
                'o' || CAST(c_custkey AS VARCHAR(20)) || '@x.com' AS EmailAddress,
-               '2012-03-01' AS HireDate
+               '2012-03-01' AS HireDate,
+               CASE WHEN c_custkey % 6 = 4 THEN ''
+                    ELSE '0260' || LPAD(CAST(c_custkey % 100000
+                         AS VARCHAR(6)), 5, '0') || '7' END
+                 AS BankRoutingNumber,
+               CASE WHEN c_custkey % 9 = 5 THEN ''
+                    ELSE '7000' || CAST(c_custkey AS VARCHAR(20)) END
+                 AS AccountNumber,
+               CASE c_custkey % 8 WHEN 0 THEN 'CHK'
+                    WHEN 2 THEN 'Savings'
+                    WHEN 4 THEN ' checking ' ELSE 'S' END AS AccountType
         FROM customer
         WHERE c_custkey % 2 = 0
         """,
@@ -249,7 +278,11 @@ def dims_cte_sql() -> str:
 
 
 def register_dim_views(spark: SparkSession, sf_dir: str) -> None:
-    for t in ("supplier", "customer", "nation", "part", "orders", "lineitem"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_base_tables(
+        spark, sf_dir,
+        ("supplier", "customer", "nation", "part", "orders", "lineitem"),
+    )
+    if not needs_registration(spark, "dims", sf_dir):
+        return
     for name, sql in DIM_VIEWS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, needs_registration, register_base_tables
 
 #: (view_name, ANSI SQL) in dependency order. Runs unchanged on Spark
 #: and DuckDB (oracle side wraps them as CTEs).
@@ -211,7 +211,8 @@ def fixtures_cte_sql() -> str:
 def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the same fixtures as Spark temp views (base tables
     registered first)."""
-    for t in ("lineitem", "orders", "customer"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_base_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    if not needs_registration(spark, "fixtures", sf_dir):
+        return
     for name, sql in FIXTURE_VIEWS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")

@@ -1003,3 +1003,210 @@ def builder_pha_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2099-01-01").cast("date").alias("EffectiveTo"),
         "TiersCanonical",
     )
+
+
+# ---------------------------------------------------------------------------
+# 06z: proposal broker-name backfill (ref sql/transforms/
+# 06z-update-proposal-broker-names.sql:17-31) — runs after 06a-06g;
+# joins the brokers dim and replaces NULL/empty/placeholder names
+# ---------------------------------------------------------------------------
+
+
+def _backfill_oracle() -> str:
+    from ..plans.dims_fixtures import dims_cte_sql
+    from .dims import BROKERS_DIM_CTES
+
+    return f"""WITH {builder_cte_sql()},
+{BUILDER_CTES},
+{dims_cte_sql()},
+{BROKERS_DIM_CTES},
+props AS (
+  SELECT ProposalId,
+         TRY_CAST(REPLACE(PrimaryBrokerId, 'P', '') AS BIGINT) AS BrokerId
+  FROM proposals
+  WHERE TRY_CAST(REPLACE(PrimaryBrokerId, 'P', '') AS BIGINT) IS NOT NULL
+)
+SELECT p.ProposalId, p.BrokerId,
+       CASE WHEN b.Name IS NOT NULL AND TRIM(b.Name) <> ''
+            THEN TRIM(b.Name)
+            ELSE 'Broker ' || CAST(p.BrokerId AS VARCHAR) END AS BrokerName,
+       CASE WHEN b.Name IS NOT NULL AND TRIM(b.Name) <> ''
+            THEN 1 ELSE 0 END AS WasUpdated
+FROM props p LEFT JOIN brokers_dim b ON b.Id = p.BrokerId"""
+
+
+@query(
+    "builder_broker_names_backfill",
+    oracle=_backfill_oracle(),
+    survey_ref="§2 remaining entity transform 06z: UPDATE-join broker "
+    "name backfill re-expressed as a projection — placeholder names "
+    "('Broker <id>') replaced by the dim name when non-empty "
+    "(06z-update-proposal-broker-names.sql:17-31)",
+)
+def builder_broker_names_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dims import _views as _dims_views
+    from .dims import brokers_dim_frame
+
+    _dims_views(spark, sf_dir)
+    props = builder.build_proposals(_criteria(spark, sf_dir)).select(
+        "ProposalId",
+        F.regexp_replace("PrimaryBrokerId", "P", "")
+        .try_cast("long")
+        .alias("BrokerId"),
+    ).filter(F.col("BrokerId").isNotNull())
+    b = brokers_dim_frame(spark).select(
+        F.col("Id").alias("BrokerId"), F.col("Name").alias("DimName")
+    )
+    placeholder = F.concat(F.lit("Broker "), F.col("BrokerId").cast("string"))
+    updated = F.col("DimName").isNotNull() & (F.trim("DimName") != "")
+    return (
+        props.join(F.broadcast(b), "BrokerId", "left")
+        .select(
+            "ProposalId",
+            "BrokerId",
+            F.when(updated, F.trim("DimName"))
+            .otherwise(placeholder)
+            .alias("BrokerName"),
+            updated.cast("int").alias("WasUpdated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 07: deprecated hierarchies (ref sql/transforms/
+# 07-deprecated-hierarchies.sql:24-309)
+# ---------------------------------------------------------------------------
+
+_DEP_HIER_SQL = """
+    , dep_valid AS (
+      SELECT * FROM input_certificate_info
+      WHERE TRIM(RecStatus) = 'A'
+        AND SplitBrokerId IS NOT NULL AND SplitBrokerId <> ''
+    ),
+    dep_wb AS (
+      SELECT GroupId, CertificateId, CertSplitSeq,
+             arg_min(SplitBrokerId, SplitBrokerSeq) AS WritingBrokerPid
+      FROM dep_valid GROUP BY GroupId, CertificateId, CertSplitSeq
+    ),
+    dep_parts AS (
+      SELECT GroupId, CertSplitSeq, WritingBrokerId, TierLevel, BrokerId,
+             ScheduleCode, SplitPercent, MIN(CertEffectiveDate) AS MinEffDate
+      FROM (
+        SELECT v.GroupId, v.CertSplitSeq,
+               TRY_CAST(REPLACE(w.WritingBrokerPid, 'P', '') AS BIGINT)
+                 AS WritingBrokerId,
+               v.SplitBrokerSeq AS TierLevel,
+               TRY_CAST(REPLACE(v.SplitBrokerId, 'P', '') AS BIGINT)
+                 AS BrokerId,
+               v.ScheduleCode,
+               CAST(v.CertSplitPercent AS DECIMAL(18,4)) AS SplitPercent,
+               v.CertEffectiveDate
+        FROM dep_valid v
+        JOIN dep_wb w ON w.GroupId = v.GroupId
+                     AND w.CertificateId = v.CertificateId
+                     AND w.CertSplitSeq = v.CertSplitSeq
+      )
+      WHERE WritingBrokerId IS NOT NULL AND BrokerId IS NOT NULL
+      GROUP BY GroupId, CertSplitSeq, WritingBrokerId, TierLevel, BrokerId,
+               ScheduleCode, SplitPercent
+    ),
+    dep_pg AS (SELECT DISTINCT GroupId FROM proposals),
+    dep_sigs AS (
+      SELECT p.GroupId, p.CertSplitSeq, p.WritingBrokerId,
+             MIN(p.MinEffDate) AS MinEffDate,
+             string_agg(CAST(p.TierLevel AS VARCHAR) || '|'
+                        || CAST(p.BrokerId AS VARCHAR) || '|'
+                        || COALESCE(p.ScheduleCode, ''), ','
+                        ORDER BY p.TierLevel, p.BrokerId, p.ScheduleCode)
+               AS StructureSignature
+      FROM dep_parts p JOIN dep_pg USING (GroupId)
+      GROUP BY p.GroupId, p.CertSplitSeq, p.WritingBrokerId
+    ),
+    dep_idmap AS (
+      SELECT *, 'H-' || GroupId || '-' || CAST(ROW_NUMBER() OVER (
+               PARTITION BY GroupId
+               ORDER BY CertSplitSeq, MinEffDate, WritingBrokerId)
+               AS VARCHAR) AS HierarchyId
+      FROM dep_sigs
+    ),
+    dep_upline AS (
+      SELECT GroupId, CertSplitSeq, WritingBrokerId,
+             MIN(BrokerId) AS FirstUplineId
+      FROM dep_parts WHERE TierLevel = 2
+      GROUP BY GroupId, CertSplitSeq, WritingBrokerId
+    ),
+    dep_hd AS (
+      SELECT i.*, u.FirstUplineId
+      FROM dep_idmap i LEFT JOIN dep_upline u
+        ON u.GroupId = i.GroupId AND u.CertSplitSeq = i.CertSplitSeq
+       AND u.WritingBrokerId = i.WritingBrokerId
+    ),
+    dep_pick AS (
+      SELECT * FROM (
+        SELECT h.*, p.ProposalId AS PId, p.EffectiveDateFrom AS PFrom,
+               p.EffectiveDateTo AS PTo,
+               ROW_NUMBER() OVER (PARTITION BY h.HierarchyId ORDER BY
+                 CASE WHEN p.EffectiveDateFrom IS NOT NULL
+                       AND h.MinEffDate >= p.EffectiveDateFrom
+                       AND (p.EffectiveDateTo IS NULL
+                            OR h.MinEffDate <= p.EffectiveDateTo) THEN 1
+                      WHEN p.EffectiveDateTo IS NULL
+                       AND p.EffectiveDateFrom IS NOT NULL
+                       AND h.MinEffDate >= p.EffectiveDateFrom THEN 2
+                      ELSE 3 END,
+                 p.EffectiveDateFrom DESC NULLS LAST,
+                 p.ProposalId DESC NULLS LAST) AS prn
+        FROM dep_hd h LEFT JOIN proposals p ON p.GroupId = h.GroupId
+      ) WHERE prn = 1
+    ),
+    dep_bn AS (
+      SELECT TRY_CAST(REPLACE(SplitBrokerId, 'P', '') AS BIGINT)
+               AS WritingBrokerId,
+             MIN(SplitBrokerName) AS BName
+      FROM input_certificate_info GROUP BY 1
+    ),
+    dep_ginfo AS (
+      SELECT GroupId, MIN(GroupName) AS GName, MIN(SitusState) AS GState
+      FROM input_certificate_info GROUP BY GroupId
+    )
+    SELECT k.HierarchyId AS Id,
+           'Hierarchy: ' || k.GroupId || ' - '
+             || COALESCE(b.BName,
+                         'Broker ' || CAST(k.WritingBrokerId AS VARCHAR))
+             AS Name,
+           'Commission hierarchy for ' || COALESCE(b.BName, 'broker')
+             || ' on group ' || k.GroupId AS Description,
+           0 AS HierType, 1 AS Status,
+           k.PId AS ProposalId,
+           k.GroupId, g.GName AS GroupName,
+           REPLACE(k.GroupId, 'G', '') AS GroupNumber,
+           k.WritingBrokerId AS BrokerId,
+           b.BName AS BrokerName,
+           1 AS BrokerLevel, 'Migration' AS SourceType,
+           g.GState AS SitusState,
+           k.MinEffDate AS EffectiveDate,
+           k.HierarchyId || '-V1' AS CurrentVersionId,
+           1 AS CurrentVersionNumber, 0 AS IsDeleted,
+           k.CertSplitSeq, k.FirstUplineId, k.StructureSignature
+    FROM dep_pick k
+    LEFT JOIN dep_bn b ON b.WritingBrokerId = k.WritingBrokerId
+    LEFT JOIN dep_ginfo g ON g.GroupId = k.GroupId"""
+
+
+@query(
+    "deprecated_hierarchies",
+    oracle=_oracle(_DEP_HIER_SQL),
+    survey_ref="§2 transform 07 (deprecated): one hierarchy per "
+    "(group, split seq, writing broker) with ordered structure "
+    "signature, ROW_NUMBER hierarchy ids, level-2 first upline, and "
+    "the 3-level correlated-TOP-1 proposal matcher re-expressed as a "
+    "single priority-window argmax (07-deprecated-hierarchies.sql:"
+    "24-309)",
+)
+def deprecated_hierarchies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.builder_modes import deprecated_hierarchy_entities
+
+    return deprecated_hierarchy_entities(
+        _certs(spark, sf_dir),
+        builder.build_proposals(_criteria(spark, sf_dir)),
+    )

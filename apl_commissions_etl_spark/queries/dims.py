@@ -51,10 +51,10 @@ def _pid_to_id(col: F.Column) -> F.Column:
     return F.regexp_replace(col, "P", "").try_cast("long")
 
 
-@query(
-    "dim_brokers",
-    oracle=_oracle("""
-    , ind AS (
+#: CTE block producing ``brokers_dim`` — shared by dim_brokers and the
+#: 06z broker-name backfill oracle (queries/builder.py)
+BROKERS_DIM_CTES = """
+    ind AS (
       SELECT TRY_CAST(REPLACE(PartyUniqueId, 'P', '') AS BIGINT) AS Id,
              PartyUniqueId AS ExternalPartyId,
              IndividualLastName || ', ' || IndividualFirstName AS Name,
@@ -82,18 +82,32 @@ def _pid_to_id(col: F.Column) -> F.Column:
     ),
     unioned AS (
       SELECT * FROM ind UNION ALL SELECT * FROM org UNION ALL SELECT * FROM ph
-    )
-    SELECT Id, ExternalPartyId, Name, BrokerType, Status, Email, HireDate,
-           SourcePriority
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ExternalPartyId
-              ORDER BY SourcePriority) AS rn FROM unioned)
-    WHERE rn = 1"""),
+    ),
+    brokers_dim AS (
+      SELECT Id, ExternalPartyId, Name, BrokerType, Status, Email, HireDate,
+             SourcePriority
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY ExternalPartyId
+                ORDER BY SourcePriority) AS rn FROM unioned)
+      WHERE rn = 1
+    )"""
+
+
+@query(
+    "dim_brokers",
+    oracle=_oracle(
+        ", " + BROKERS_DIM_CTES + "\n    SELECT * FROM brokers_dim"
+    ),
     survey_ref="§7.3 #3 brokers: multi-source priority union replacing "
     "sequential NOT-IN inserts (01-brokers.sql:20-195) with ONE window "
     "dedup — same result, one shuffle; P2/P7 id normalization; J8",
 )
 def dim_brokers(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
+    return brokers_dim_frame(spark)
+
+
+def brokers_dim_frame(spark: SparkSession) -> DataFrame:
+    """The deduped brokers dim (dims fixture views must be registered)."""
     ind = spark.table("raw_individual_brokers").filter(
         F.col("PartyUniqueId").isNotNull() & (F.col("PartyUniqueId") != "")
     ).select(
@@ -472,3 +486,138 @@ def dim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         groups.schema,
     ).join(groups.select("Id"), "Id", "left_anti")
     return groups.unionByName(sentinel)
+
+
+# ---------------------------------------------------------------------------
+# Broker banking info (ref sql/transforms/12-broker-banking-infos.sql)
+# ---------------------------------------------------------------------------
+
+def _banking_gate(alias: str) -> str:
+    return f"""{alias}.BankRoutingNumber IS NOT NULL
+        AND TRIM({alias}.BankRoutingNumber) <> ''
+        AND {alias}.AccountNumber IS NOT NULL
+        AND TRIM({alias}.AccountNumber) <> ''
+        AND {alias}.AccountType IS NOT NULL
+        AND TRIM({alias}.AccountType) <> ''
+        AND {alias}.PartyUniqueId IS NOT NULL AND {alias}.PartyUniqueId <> ''
+        AND TRY_CAST(REPLACE({alias}.PartyUniqueId, 'P', '') AS BIGINT)
+            IS NOT NULL"""
+
+
+@query(
+    "dim_broker_banking",
+    oracle=_oracle("""
+    , ind_bank AS (
+      SELECT TRY_CAST(REPLACE(ri.PartyUniqueId, 'P', '') AS BIGINT)
+               AS BrokerId,
+             1 AS PaymentPreference,
+             'Unknown' AS BankName,
+             LEFT(TRIM(ri.BankRoutingNumber), 9) AS RoutingNumber,
+             LEFT(TRIM(ri.AccountNumber), 17) AS AccountNumber,
+             CASE WHEN LEFT(UPPER(TRIM(ri.AccountType)), 1) = 'C'
+                  THEN 'Checking' ELSE 'Savings' END AS AccountType,
+             TRIM(COALESCE(ri.IndividualFirstName, '')
+                  || CASE WHEN ri.IndividualFirstName IS NOT NULL
+                           AND ri.IndividualLastName IS NOT NULL
+                          THEN ' ' ELSE '' END
+                  || COALESCE(ri.IndividualLastName, ''))
+               AS AccountHolderName,
+             'Source: raw individual brokers - ETL import' AS Notes,
+             0 AS IsDeleted
+      FROM raw_individual_brokers ri
+      WHERE """ + _banking_gate("ri") + """
+    ),
+    org_bank AS (
+      SELECT TRY_CAST(REPLACE(ro.PartyUniqueId, 'P', '') AS BIGINT)
+               AS BrokerId,
+             1 AS PaymentPreference,
+             'Unknown' AS BankName,
+             LEFT(TRIM(ro.BankRoutingNumber), 9) AS RoutingNumber,
+             LEFT(TRIM(ro.AccountNumber), 17) AS AccountNumber,
+             CASE WHEN LEFT(UPPER(TRIM(ro.AccountType)), 1) = 'C'
+                  THEN 'Checking' ELSE 'Savings' END AS AccountType,
+             LEFT(TRIM(ro.OrganizationName), 255) AS AccountHolderName,
+             'Source: raw org brokers - ETL import' AS Notes,
+             0 AS IsDeleted
+      FROM raw_org_brokers ro
+      WHERE """ + _banking_gate("ro") + """
+        AND TRY_CAST(REPLACE(ro.PartyUniqueId, 'P', '') AS BIGINT) NOT IN
+            (SELECT BrokerId FROM ind_bank)
+    )
+    SELECT BrokerId, PaymentPreference, BankName, RoutingNumber,
+           AccountNumber, AccountType, AccountHolderName,
+           AccountHolderName AS PayeeName, Notes, IsDeleted
+    FROM ind_bank
+    UNION ALL
+    SELECT BrokerId, PaymentPreference, BankName, RoutingNumber,
+           AccountNumber, AccountType, AccountHolderName,
+           AccountHolderName AS PayeeName, Notes, IsDeleted
+    FROM org_bank"""),
+    survey_ref="§2 remaining entity transform: ACH banking extraction "
+    "with all-3-fields gate, LEFT-9/LEFT-17 truncation, first-letter "
+    "account-type classification, individual-over-org dedup "
+    "(12-broker-banking-infos.sql:58-200)",
+)
+def dim_broker_banking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+
+    def gate(df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.col("BankRoutingNumber").isNotNull()
+            & (F.trim("BankRoutingNumber") != "")
+            & F.col("AccountNumber").isNotNull()
+            & (F.trim("AccountNumber") != "")
+            & F.col("AccountType").isNotNull()
+            & (F.trim("AccountType") != "")
+            & F.col("PartyUniqueId").isNotNull()
+            & (F.col("PartyUniqueId") != "")
+            & _pid_to_id(F.col("PartyUniqueId")).isNotNull()
+        )
+
+    def common(df: DataFrame, holder: F.Column, notes: str) -> DataFrame:
+        return df.select(
+            _pid_to_id(F.col("PartyUniqueId")).alias("BrokerId"),
+            F.lit(1).alias("PaymentPreference"),
+            F.lit("Unknown").alias("BankName"),
+            F.substring(F.trim("BankRoutingNumber"), 1, 9).alias(
+                "RoutingNumber"
+            ),
+            F.substring(F.trim("AccountNumber"), 1, 17).alias("AccountNumber"),
+            F.when(
+                F.upper(F.substring(F.trim("AccountType"), 1, 1)) == "C",
+                "Checking",
+            )
+            .otherwise("Savings")
+            .alias("AccountType"),
+            holder.alias("AccountHolderName"),
+            F.lit(notes).alias("Notes"),
+            F.lit(0).alias("IsDeleted"),
+        )
+
+    ind = common(
+        gate(spark.table("raw_individual_brokers")),
+        F.trim(
+            F.concat(
+                F.coalesce("IndividualFirstName", F.lit("")),
+                F.when(
+                    F.col("IndividualFirstName").isNotNull()
+                    & F.col("IndividualLastName").isNotNull(),
+                    " ",
+                ).otherwise(""),
+                F.coalesce("IndividualLastName", F.lit("")),
+            )
+        ),
+        "Source: raw individual brokers - ETL import",
+    )
+    org = common(
+        gate(spark.table("raw_org_brokers")),
+        F.substring(F.trim("OrganizationName"), 1, 255),
+        "Source: raw org brokers - ETL import",
+    ).join(F.broadcast(ind.select("BrokerId")), "BrokerId", "left_anti")
+    return ind.unionByName(org).withColumn(
+        "PayeeName", F.col("AccountHolderName")
+    ).select(
+        "BrokerId", "PaymentPreference", "BankName", "RoutingNumber",
+        "AccountNumber", "AccountType", "AccountHolderName", "PayeeName",
+        "Notes", "IsDeleted",
+    )

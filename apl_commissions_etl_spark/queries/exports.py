@@ -143,3 +143,143 @@ def export_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(
         prod, src, ["ProposalId"], update_cols=["LeadBrokerId", "SyncNote"]
     )
+
+
+# ---------------------------------------------------------------------------
+# 18/19: schedule-rate-tier + hierarchy-product-rate export entities
+# (ref sql/export/18-export-schedule-rate-tiers.sql:60-90,
+#  sql/export/19-export-hierarchy-product-rates.sql:59-89).
+# Shared verbatim Spark/DuckDB: tier/product-rate staging derived from
+# the schedule-rate fixture; "production" subsets exercise the EXISTS
+# gate, the NOT-IN dedup, and the skipped-record report.
+# ---------------------------------------------------------------------------
+
+RATE_TIER_CTES = """
+stg_schedule_rate_tiers AS (
+  SELECT 'SRT-' || ScheduleCode || '-' || ProductCode || '-'
+           || CAST(GroupSizeFrom AS VARCHAR(10)) AS Id,
+         ScheduleCode || '-' || ProductCode AS ScheduleRateId,
+         GroupSizeFrom AS MinVolume,
+         CASE WHEN GroupSizeTo >= 100 THEN CAST(NULL AS INT)
+              ELSE GroupSizeTo END AS MaxVolume,
+         FirstYearRate AS Rate, FirstYearRate, RenewalRate
+  FROM stg_schedule_rates
+),
+prod_schedule_rates AS (
+  SELECT DISTINCT ScheduleCode || '-' || ProductCode AS Id
+  FROM stg_schedule_rates WHERE ScheduleCode <> 'SCH-2'
+),
+prod_schedule_rate_tiers AS (
+  SELECT * FROM stg_schedule_rate_tiers
+  WHERE MinVolume = 1 AND ScheduleRateId LIKE 'SCH-0-%'
+),
+stg_hierarchy_product_rates AS (
+  SELECT 'HPPR-' || hp.HierarchyParticipantId || '-' || sr.ProductCode
+           AS Id,
+         hp.HierarchyParticipantId,
+         sr.ProductCode,
+         sr.FirstYearRate,
+         sr.RenewalRate,
+         CASE WHEN hp.EntityId % 5 = 0 THEN CAST(NULL AS DATE)
+              ELSE DATE '2019-01-01' END AS RawEffectiveFrom,
+         CAST(NULL AS DATE) AS EffectiveTo,
+         'ETL hierarchy product rate' AS Notes,
+         hp.EntityId
+  FROM stg_hierarchy_participants hp
+  JOIN stg_schedule_rates sr
+    ON sr.ScheduleCode = hp.ScheduleCode AND sr.GroupSizeFrom = 1
+),
+prod_hierarchy_participants AS (
+  SELECT HierarchyParticipantId FROM stg_hierarchy_participants
+  WHERE EntityId % 4 <> 1
+),
+prod_hierarchy_product_rates AS (
+  SELECT Id FROM stg_hierarchy_product_rates WHERE EntityId % 8 = 0
+)
+"""
+
+_TIER_EXPORT_SQL = """
+SELECT t.Id, t.ScheduleRateId, t.MinVolume, t.MaxVolume, t.Rate,
+       t.FirstYearRate, t.RenewalRate, 0 AS IsDeleted
+FROM stg_schedule_rate_tiers t
+WHERE EXISTS (SELECT 1 FROM prod_schedule_rates r
+              WHERE r.Id = t.ScheduleRateId)
+  AND t.Id NOT IN (SELECT Id FROM prod_schedule_rate_tiers)"""
+
+_TIER_SUMMARY_SQL = """
+SELECT CASE WHEN MaxVolume IS NULL
+            THEN CAST(MinVolume AS VARCHAR(10)) || '+'
+            ELSE CAST(MinVolume AS VARCHAR(10)) || '-'
+                 || CAST(MaxVolume AS VARCHAR(10)) END AS VolumeRange,
+       CAST(COUNT(*) AS INT) AS Cnt,
+       CAST(AVG(CAST(Rate AS DOUBLE)) AS DOUBLE) AS AvgRate
+FROM (
+  SELECT MinVolume, MaxVolume, Rate FROM prod_schedule_rate_tiers
+  UNION ALL
+  SELECT t.MinVolume, t.MaxVolume, t.Rate
+  FROM stg_schedule_rate_tiers t
+  WHERE EXISTS (SELECT 1 FROM prod_schedule_rates r
+                WHERE r.Id = t.ScheduleRateId)
+    AND t.Id NOT IN (SELECT Id FROM prod_schedule_rate_tiers)
+) after_export
+GROUP BY CASE WHEN MaxVolume IS NULL
+              THEN CAST(MinVolume AS VARCHAR(10)) || '+'
+              ELSE CAST(MinVolume AS VARCHAR(10)) || '-'
+                   || CAST(MaxVolume AS VARCHAR(10)) END"""
+
+_HPPR_EXPORT_SQL = """
+SELECT r.Id, r.HierarchyParticipantId, r.ProductCode, r.FirstYearRate,
+       r.RenewalRate,
+       COALESCE(r.RawEffectiveFrom, DATE '0001-01-01') AS EffectiveFrom,
+       r.EffectiveTo, r.Notes, 0 AS IsDeleted
+FROM stg_hierarchy_product_rates r
+WHERE EXISTS (SELECT 1 FROM prod_hierarchy_participants hp
+              WHERE hp.HierarchyParticipantId = r.HierarchyParticipantId)
+  AND r.Id NOT IN (SELECT Id FROM prod_hierarchy_product_rates)"""
+
+
+def _tier_oracle(final_select: str) -> str:
+    return f"WITH {fixtures_cte_sql()},\n{RATE_TIER_CTES}\n{final_select}"
+
+
+def _tier_spark(spark: SparkSession, sf_dir: str, final_select: str) -> DataFrame:
+    register_fixture_views(spark, sf_dir)
+    return spark.sql(f"WITH {RATE_TIER_CTES}\n{final_select}")
+
+
+@query(
+    "export_schedule_rate_tiers",
+    oracle=_tier_oracle(_TIER_EXPORT_SQL),
+    survey_ref="§2 export entity 18: group-size tiered rates — EXISTS "
+    "production-rate gate + NOT-IN idempotent dedup "
+    "(18-export-schedule-rate-tiers.sql:60-90)",
+)
+def export_schedule_rate_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tier_spark(spark, sf_dir, _TIER_EXPORT_SQL)
+
+
+@query(
+    "export_rate_tier_volume_summary",
+    oracle=_tier_oracle(_TIER_SUMMARY_SQL),
+    survey_ref="§2 export entity 18 verification: post-export tier "
+    "counts + avg rate banded by volume range with open-ended 'N+' "
+    "label (18-export-schedule-rate-tiers.sql:135-151)",
+)
+def export_rate_tier_volume_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _tier_spark(spark, sf_dir, _TIER_SUMMARY_SQL)
+
+
+@query(
+    "export_hierarchy_product_rates",
+    oracle=_tier_oracle(_HPPR_EXPORT_SQL),
+    survey_ref="§2 export entity 19: per-(participant, product) "
+    "commission rates — EXISTS participant gate, NOT-IN dedup, "
+    "sentinel 0001-01-01 EffectiveFrom coalesce "
+    "(19-export-hierarchy-product-rates.sql:59-89)",
+)
+def export_hierarchy_product_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _tier_spark(spark, sf_dir, _HPPR_EXPORT_SQL)

@@ -54,8 +54,38 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+#: (applicationId, view-family) -> sf_dir already registered.  Replacing
+#: a temp view (CREATE OR REPLACE / createOrReplaceTempView) makes Spark
+#: uncache every cached plan that depends on it — so re-registering the
+#: same fixture views before every query silently dropped the
+#: session-scoped criteria/cascade caches and re-ran whole cascades
+#: (measured: builder_mode_key_mappings 24s in a 120-query session vs
+#: 2s isolated).  Views are static per (session, sf_dir): register once.
+_VIEW_REGISTRY: dict[tuple[str, str], str] = {}
+
+
+def needs_registration(spark: SparkSession, family: str, sf_dir: str) -> bool:
+    """True exactly once per (session, family, sf_dir); switching sf_dir
+    re-registers (and correctly invalidates stale caches)."""
+    key = (spark.sparkContext.applicationId, family)
+    if _VIEW_REGISTRY.get(key) == sf_dir:
+        return False
+    _VIEW_REGISTRY[key] = sf_dir
+    return True
+
+
+def register_base_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register parquet base tables as temp views, each at most once per
+    (session, sf_dir) — several fixture families share these names, and
+    a redundant replace would uncache everything built on them."""
+    for t in tables:
+        if needs_registration(spark, f"base:{t}", sf_dir):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view so operators can be written in
     either the DataFrame or SQL API against the same names."""
-    for t in TABLES:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_base_tables(spark, sf_dir)

@@ -27,7 +27,9 @@ HEADLINE = [
     "calc_traceability",
     "builder_proposals",
     "builder_overlap_fix",
+    "builder_mode_split_configs",
     "consolidate_proposals",
+    "export_merge_upsert",
     "join_date_band",
     "join_rate_fallback",
     "win_dedup_keep_latest",
