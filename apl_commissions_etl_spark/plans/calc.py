@@ -456,7 +456,9 @@ def traceability_full(c8: DataFrame) -> DataFrame:
     )
 
 
-def run_calc(staging: dict[str, DataFrame]) -> dict[str, DataFrame]:
+def run_calc(
+    staging: dict[str, DataFrame], persist=None
+) -> dict[str, DataFrame]:
     """Chain all stages; returns every intermediate + outputs keyed by
     stage name (the reference materializes each as calc_N -- callers
     can checkpoint any of these for audit parity).
@@ -465,27 +467,37 @@ def run_calc(staging: dict[str, DataFrame]) -> dict[str, DataFrame]:
     inner-join stage views ``s3``..``s8`` are null-rejecting filters
     over it (Catalyst rewrites them to inner joins), and both
     traceability outputs aggregate the unfiltered ``c8`` in a single
-    pass."""
+    pass.
+
+    ``persist``: optional hook applied to the two shared frames (the
+    stage-3 prefix ``c3`` and the full cascade ``c8``) — the session
+    harness passes ``DataFrame.cache`` so the dozen registered calc
+    queries materialize the cascade once per session instead of once
+    per query, mirroring the reference's materialized calc_N tables
+    (run-calculation.sql TRUNCATE+INSERT per stage). At cluster scale
+    the same hook would checkpoint to parquet instead."""
+    if persist is None:
+        persist = lambda df: df  # noqa: E731
     s1 = stage1_premium_context(
         staging["stg_premium_transactions"], staging["stg_policies"]
     )
     s2 = stage2_proposals_resolved(s1, staging["stg_proposals"])
-    c3 = stage3_splits_applied(
+    c3 = persist(stage3_splits_applied(
         s2,
         staging["stg_premium_split_versions"],
         staging["stg_premium_split_participants"],
-    )
+    ))
     c4 = stage4_hierarchies_resolved(c3, staging["stg_hierarchy_versions"])
     c5 = stage5_participants_expanded(c4, staging["stg_hierarchy_participants"])
     c6 = stage6_rates_applied(
         c5, staging["stg_certificate_rates"], staging["stg_schedule_rates"]
     )
     c7 = stage7_commissions(c6)
-    c8 = stage8_assignments_applied(
+    c8 = persist(stage8_assignments_applied(
         c7,
         staging["stg_commission_assignment_versions"],
         staging["stg_commission_assignment_recipients"],
-    )
+    ))
     # Explicitly null-reject EVERY survivor key, not just the last one:
     # InferFiltersFromConstraints runs only ONCE in Catalyst's batch
     # order, so a single isNotNull converts at most two outer-join

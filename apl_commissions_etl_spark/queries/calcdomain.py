@@ -149,8 +149,20 @@ def _staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return _STAGING_CACHE[key]
 
 
+#: session-scoped cascade cache — run_calc's shared frames (c3, c8)
+#: are cached once per (session, sf) so the dozen registered calc
+#: queries don't each re-execute the 8-stage cascade (same pattern as
+#: the builder criteria cache; the reference materializes each stage)
+_STAGES_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return calc.run_calc(_staging(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STAGES_CACHE:
+        _STAGES_CACHE[key] = calc.run_calc(
+            _staging(spark, sf_dir), persist=lambda df: df.cache()
+        )
+    return _STAGES_CACHE[key]
 
 
 @query(

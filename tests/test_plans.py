@@ -48,15 +48,17 @@ def test_calc_cascade_broadcasts_all_dims(spark, sf_dir):
 
 def test_dim_filter_prunes_before_join(spark, sf_dir):
     # status filters on version dims fold into the dim subtree, not a
-    # post-join filter over the exploded fact. Build from FRESH views
-    # (the session staging cache would replace the dim subtree with an
-    # InMemoryRelation and hide the filter placement).
+    # post-join filter over the exploded fact. Spark's cache manager
+    # substitutes ANY matching analyzed plan with its InMemoryRelation
+    # (hiding filter placement), so drop the session caches populated
+    # by the broadcast test above before building the fresh cascade.
     from apl_commissions_etl_spark.plans import calc
     from apl_commissions_etl_spark.plans.fixtures import (
         FIXTURE_VIEWS,
         register_fixture_views,
     )
 
+    spark.catalog.clearCache()
     register_fixture_views(spark, sf_dir)
     staging = {name: spark.table(name) for name, _ in FIXTURE_VIEWS}
     s3 = calc.run_calc(staging)["s3"]
