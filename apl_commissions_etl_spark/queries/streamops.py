@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import query
 from ..sources.testdata import load_table
+from ..streaming import joins as sj
 from ..streaming import windows as sw
 
 
@@ -102,3 +103,64 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.dedup_keep_first(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval joins (§2.10 new surface): purchase<-click
+# attribution within a 30-minute window; the streaming form is Spark's
+# supported equi-key + event-time-range self-join
+# ---------------------------------------------------------------------------
+
+_PAIR_SQL = """
+    SELECT p.event_id AS purchase_id, p.ts AS purchase_ts, p.user_id,
+           p.value AS purchase_value,
+           c.event_id AS click_id, c.ts AS click_ts,
+           c.value AS click_value,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+             - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    {join_kind} JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts AND p.ts < c.ts + INTERVAL '30 minutes'"""
+
+
+@query(
+    "stream_interval_join",
+    oracle=_PAIR_SQL.format(join_kind="INNER"),
+    survey_ref="§2.10 streaming (new surface): stream-stream interval "
+    "self-join — equi-key user_id + event-time range bound (state "
+    "bounded by watermark + interval); batch form = theta range join",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sj.click_purchase_pairs(_events(spark, sf_dir))
+
+
+@query(
+    "stream_interval_join_outer",
+    oracle=_PAIR_SQL.format(join_kind="LEFT"),
+    survey_ref="§2.10 streaming (new surface): LEFT-OUTER stream-stream "
+    "interval join — purchases with no attributable click surface with "
+    "null click columns once the watermark passes the join horizon",
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sj.click_purchase_pairs(_events(spark, sf_dir), how="left")
+
+
+@query(
+    "stream_attribution_rollup",
+    oracle=f"""
+    WITH pairs AS ({_PAIR_SQL.format(join_kind="INNER")})
+    SELECT purchase_id, user_id,
+           CAST(COUNT(click_id) AS INT) AS n_clicks,
+           MAX(gap_seconds) AS max_gap_seconds,
+           CAST(SUM(CAST(click_value AS DECIMAL(18,2))) AS DOUBLE)
+             AS clicks_value
+    FROM pairs GROUP BY purchase_id, user_id""",
+    survey_ref="§2.10 streaming (new surface): per-purchase attribution "
+    "rollup over the interval-join pairs (batch summary downstream of "
+    "the streaming join sink)",
+)
+def stream_attribution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sj.attribution_rollup(
+        sj.click_purchase_pairs(_events(spark, sf_dir))
+    )

@@ -165,3 +165,62 @@ def test_session_window_streaming_equals_batch(spark, tmp_path):
         r for r in got.collect() if r.user_id == 1
     )
     assert len(sess_u1) == 2
+
+
+def test_interval_join_streaming_equals_batch(spark, sf_dir, tmp_path):
+    from apl_commissions_etl_spark.streaming import joins as sj
+
+    src = str(tmp_path / "events_src_ij")
+    batch = load_table(spark, sf_dir, "events")
+    batch.repartition(4).write.parquet(src)
+
+    stream = sw.stream_events(spark, src, schema=batch.schema)
+    got = run_stream(
+        spark, sj.click_purchase_pairs(stream), "t_ijoin", "append",
+        str(tmp_path / "ckpt_ijoin"),
+    )
+    want = sj.click_purchase_pairs(spark.read.parquet(src))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_interval_join_outer_streaming_flushes_nulls(spark, sf_dir, tmp_path):
+    # Left-outer stream-stream join emits a null-side row only once the
+    # watermark passes the join horizon. A far-future sentinel event in
+    # a LATER microbatch (maxFilesPerTrigger=1; the file source orders
+    # batches by file modification time) advances the watermark past
+    # every real purchase, flushing all pending unmatched rows.
+    import time
+
+    from apl_commissions_etl_spark.streaming import joins as sj
+
+    src = tmp_path / "events_src_oj"
+    batch = load_table(spark, sf_dir, "events")
+    batch.coalesce(1).write.parquet(str(src))
+    time.sleep(1.1)  # sentinel file must be strictly newer
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(int(-1), max_ts + dt.timedelta(days=10), int(-1), "purchase",
+          0.0, "{}")],
+        schema=batch.schema,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .withWatermark("ts", sw.WATERMARK)
+    )
+    got = run_stream(
+        spark, sj.click_purchase_pairs(stream, how="leftOuter"), "t_ojoin",
+        "append", str(tmp_path / "ckpt_ojoin"),
+    ).filter(F.col("user_id") >= 0)
+    want = sj.click_purchase_pairs(
+        spark.read.parquet(str(src)), how="left"
+    ).filter(F.col("user_id") >= 0)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
