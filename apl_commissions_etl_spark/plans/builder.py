@@ -98,12 +98,19 @@ def split_hierarchies(certs: DataFrame) -> DataFrame:
     )
 
 
-def selection_criteria(certs: DataFrame) -> DataFrame:
+def selection_criteria(
+    certs: DataFrame, per_split: DataFrame | None = None
+) -> DataFrame:
     """One row per (group, certificate): split config hash, total split
     percent, writing broker (ref extractSelectionCriteria,
     proposal-builder.ts:601-734). splitSeq is EXCLUDED from the config
-    hash body (only pct@hierHash in seq order, :1005-1012)."""
-    per_split = split_hierarchies(certs)
+    hash body (only pct@hierHash in seq order, :1005-1012).
+
+    ``per_split`` lets callers reuse a session-cached
+    ``split_hierarchies`` frame — the whole-fact aggregation dominates
+    steady-state latency when re-derived per query."""
+    if per_split is None:
+        per_split = split_hierarchies(certs)
     return (
         per_split.groupBy(
             "GroupId", "GroupName", "CertificateId", "CertEffectiveDate",
@@ -395,7 +402,11 @@ def proposal_split_versions(proposals: DataFrame) -> DataFrame:
     )
 
 
-def proposal_hierarchies(criteria: DataFrame, certs: DataFrame) -> DataFrame:
+def proposal_hierarchies(
+    criteria: DataFrame,
+    certs: DataFrame,
+    per_split: DataFrame | None = None,
+) -> DataFrame:
     """Proposal-scoped hierarchy entities: every proposal owns its
     hierarchies even when structures are identical — the id suffixes
     the proposal ('{hash}-PROPOSAL-{proposal}', ref
@@ -406,7 +417,9 @@ def proposal_hierarchies(criteria: DataFrame, certs: DataFrame) -> DataFrame:
     ok = conformant_criteria(criteria).select(
         "GroupId", "CertificateId", "ConfigHash"
     )
-    per_split = split_hierarchies(certs).select(
+    if per_split is None:
+        per_split = split_hierarchies(certs)
+    per_split = per_split.select(
         "GroupId", "CertificateId", "CertSplitSeq", "CertSplitPercent",
         "HierarchyHash", "TiersCanonical", "WritingBrokerId",
     )

@@ -366,7 +366,10 @@ def _tiers_json(tiers_canonical: Column) -> Column:
 
 
 def mode_prestage_split_configs(
-    cascade: dict[str, DataFrame], criteria: DataFrame, certs: DataFrame
+    cascade: dict[str, DataFrame],
+    criteria: DataFrame,
+    certs: DataFrame,
+    per_split: DataFrame | None = None,
 ) -> DataFrame:
     """06f: the nested split-configuration document + MD5 per
     config-mode proposal (ref 06f:22-97). The reference UPDATEs each
@@ -374,7 +377,9 @@ def mode_prestage_split_configs(
     derives from the key's representative certificate (lowest id
     carrying the key's config) whose per-split tier rows are already
     canonical strings."""
-    per_split = split_hierarchies(certs).select(
+    if per_split is None:
+        per_split = split_hierarchies(certs)
+    per_split = per_split.select(
         "GroupId", "CertificateId", "CertSplitSeq", "CertSplitPercent",
         "TiersCanonical",
     )
