@@ -109,8 +109,10 @@ def agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
-           SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_bulk,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_discounted,
+           CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bulk,
            CAST(SUM(CASE WHEN l_tax = 0
                          THEN CAST(round(l_extendedprice * 100) AS BIGINT)
                          ELSE 0 END) / 100.0 AS DOUBLE)
@@ -236,7 +238,8 @@ def agg_min_per_key_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS (
       SELECT o_custkey,
              COUNT(*) AS total,
-             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS finished
       FROM orders GROUP BY o_custkey
     )
     SELECT o_custkey, total, finished,

@@ -88,17 +88,30 @@ def _certs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("input_certificate_info")
 
 
-#: session-scoped criteria cache — the reference materializes builder
-#: inputs once per run; re-deriving the hash aggregation per query
+#: session-scoped caches — the reference materializes builder inputs
+#: once per run; re-deriving the whole-fact hash aggregations per query
 #: dominates steady-state latency otherwise
 _CRITERIA_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PER_SPLIT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _per_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached ``split_hierarchies`` frame (one row per
+    certificate split with canonical tier string + hierarchy hash) —
+    the single most expensive shared subplan across builder queries."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PER_SPLIT_CACHE:
+        _PER_SPLIT_CACHE[key] = builder.split_hierarchies(
+            _certs(spark, sf_dir)
+        ).cache()
+    return _PER_SPLIT_CACHE[key]
 
 
 def _criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CRITERIA_CACHE:
         _CRITERIA_CACHE[key] = builder.selection_criteria(
-            _certs(spark, sf_dir)
+            _certs(spark, sf_dir), per_split=_per_split(spark, sf_dir)
         ).cache()
     return _CRITERIA_CACHE[key]
 
@@ -113,7 +126,7 @@ def _criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SHA-256 hierarchy hash (proposal-builder.ts:665-714)",
 )
 def builder_split_hierarchies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return builder.split_hierarchies(_certs(spark, sf_dir)).select(
+    return _per_split(spark, sf_dir).select(
         "GroupId", "CertificateId", "CertSplitSeq", "CertSplitPercent",
         "TiersCanonical", "HierarchyHash", "WritingBrokerId",
     )
@@ -737,7 +750,9 @@ def builder_split_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def builder_proposal_hierarchies(spark: SparkSession, sf_dir: str) -> DataFrame:
     certs = _certs(spark, sf_dir)
-    return builder.proposal_hierarchies(_criteria(spark, sf_dir), certs)
+    return builder.proposal_hierarchies(
+        _criteria(spark, sf_dir), certs, per_split=_per_split(spark, sf_dir)
+    )
 
 
 @query(
@@ -979,7 +994,7 @@ def builder_pha_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("TotalSplitPercent") != 100)
         | ((F.col("TotalSplitPercent") == 100) & builder.invalid_group(F.col("GroupId")))
     ).select("GroupId", "CertificateId", "CertEffectiveDate")
-    per_split = builder.split_hierarchies(certs).select(
+    per_split = _per_split(spark, sf_dir).select(
         "GroupId", "CertificateId", "CertSplitSeq", "CertSplitPercent",
         "TiersCanonical", "WritingBrokerId",
     )

@@ -15,9 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import builder_modes as modes
-from ..plans.builder import split_hierarchies
 from ..registry import query
-from .builder import BUILDER_CTES, _certs, _criteria, builder_cte_sql
+from .builder import BUILDER_CTES, _certs, _criteria, _per_split, builder_cte_sql
 
 # ---------------------------------------------------------------------------
 # DuckDB mirror of the 06b-06e cascade (extends BUILDER_CTES' criteria/
@@ -375,7 +374,10 @@ def _rep_sql(keys_cte: str, mode: str) -> str:
 )
 def builder_mode_split_configs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modes.mode_prestage_split_configs(
-        _cascade(spark, sf_dir), _criteria(spark, sf_dir), _certs(spark, sf_dir)
+        _cascade(spark, sf_dir),
+        _criteria(spark, sf_dir),
+        _certs(spark, sf_dir),
+        per_split=_per_split(spark, sf_dir),
     )
 
 

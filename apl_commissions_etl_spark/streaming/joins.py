@@ -71,9 +71,13 @@ def click_purchase_pairs(events: DataFrame, how: str = "inner") -> DataFrame:
         clicks["click_id"],
         clicks["click_ts"],
         clicks["click_value"],
+        # ANSI forbids timestamp->numeric casts; unix_seconds truncates
+        # like the oracle's floor(epoch()). The NTZ->TIMESTAMP cast
+        # interprets in session tz, but the offset cancels in the
+        # subtraction, so gap_seconds is tz-independent.
         (
-            purchases["purchase_ts"].cast("long")
-            - clicks["click_ts"].cast("long")
+            F.unix_seconds(purchases["purchase_ts"].cast("timestamp"))
+            - F.unix_seconds(clicks["click_ts"].cast("timestamp"))
         ).alias("gap_seconds"),
     )
 

@@ -38,12 +38,13 @@ def stream_events(spark: SparkSession, source_dir: str, schema=None) -> DataFram
         # streaming file sources require a declared schema; infer once
         # from the existing files (driver-side metadata read only)
         schema = spark.read.parquet(source_dir).schema
-    return (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .load(source_dir)
-        .withWatermark("ts", WATERMARK)
-    )
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    # Parquet event time may surface as TIMESTAMP_NTZ (writer-dependent);
+    # watermarks require TIMESTAMP. Session tz is UTC, so the cast is
+    # instant-preserving.
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream.withWatermark("ts", WATERMARK)
 
 
 def _decimal_sum(col: str) -> F.Column:

@@ -97,6 +97,24 @@ def main():
             n_noor += 1
             continue
         try:
+            # HUGEINT/UHUGEINT outputs round-trip exactly through
+            # fetchall() but degrade to float64 through pandas/arrow
+            # fetches (no int128 dtype) -- a driver whose harness
+            # fetches via pandas would hash-mismatch vs Spark's int64,
+            # so treat them as a hard failure here (r02 root cause).
+            rel = con.sql(q.oracle)
+            huge = [
+                c
+                for c, t in zip(rel.columns, rel.types)
+                if str(t) in ("HUGEINT", "UHUGEINT")
+            ]
+            if huge:
+                print(
+                    f"FAIL {name}: oracle emits int128 column(s) {huge} "
+                    "(pandas-fetch degrades to float64; CAST AS BIGINT)"
+                )
+                n_fail += 1
+                continue
             cur = con.execute(q.oracle)
             ocols_raw = [d[0] for d in cur.description]
             orows_raw = cur.fetchall()

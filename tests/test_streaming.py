@@ -212,6 +212,7 @@ def test_interval_join_outer_streaming_flushes_nulls(spark, sf_dir, tmp_path):
         .schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
         .load(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", sw.WATERMARK)
     )
     got = run_stream(
