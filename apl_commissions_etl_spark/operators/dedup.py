@@ -281,6 +281,65 @@ def simhash_signature(
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster labels for the near-duplicate graph: every node gets the
+    MINIMUM id reachable through the (undirected) edge set, plus the
+    cluster size — the step that turns pair output (MinHash/Jaccard/
+    cosine) into deduplication groups.
+
+    Min-label propagation: each round, every node takes the min of its
+    own label and its neighbors' labels; converges in O(graph diameter)
+    rounds. Near-duplicate graphs are unions of small, dense clusters,
+    so the diameter — and the round count — is tiny regardless of
+    corpus size. Each round is ONE shuffle of the (sparse) edge list
+    joined to the label frame; ``edges`` is eagerly localCheckpoint-ed
+    first so the upstream candidate-generation plan (LSH etc.) runs
+    exactly once, and each round's labels are checkpointed to truncate
+    the iterative lineage. For adversarial graphs with long chains the
+    alternating large-star/small-star variant (O(log n) rounds) is the
+    drop-in upgrade; the per-round dataflow below is the same.
+    """
+    edges = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint()
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        flowed = und.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(flowed)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:

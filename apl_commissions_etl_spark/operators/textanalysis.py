@@ -7,7 +7,7 @@ inside the parquet scan stage with zero extra shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lists for the n-gram/stopword heuristic.
@@ -121,3 +121,55 @@ def fingerprint_bow(col: Column | str) -> Column:
     """Bag-of-words fingerprint: MD5 over the sorted token multiset --
     word-order-insensitive (rolling-hash-style doc identity)."""
     return F.md5(F.array_join(F.array_sort(words(col)), " "))
+
+
+#: PII patterns, chosen to parse identically under Java regex (Spark)
+#: and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{7,}"
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking: one output row per (doc,
+    window), the shape LLM pretraining pipelines feed to tokenizers.
+    ``stride < size`` yields ``size - stride`` tokens of overlap.
+
+    Pure narrow expressions (split -> sequence -> explode -> slice):
+    runs inside the scan stage with zero shuffles, so at 100 TB the
+    chunker is I/O-bound. The explode multiplies rows ~n_tokens/stride
+    per doc -- partition sizing should budget for that fan-out, not the
+    input row count."""
+    toks = df.select(F.col(id_col), words(text_col).alias("toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    ex = toks.select(F.col(id_col), "toks", F.explode(starts).alias("start"))
+    chunk = F.slice("toks", F.col("start") + 1, F.lit(size))
+    return ex.select(
+        F.col(id_col),
+        (F.col("start") / stride).cast("int").alias("chunk_seq"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails then long digit runs, reporting per-doc match
+    counts -- the standard pre-training scrub pass. Single projection,
+    no shuffle; regex work is JVM-side codegen."""
+    c = F.col(text_col)
+    n_emails = F.regexp_count(c, F.lit(EMAIL_RE)).cast("int")
+    after_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_longnums = F.regexp_count(after_email, F.lit(LONGNUM_RE)).cast("int")
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_longnums.alias("n_longnums"),
+        F.regexp_replace(after_email, LONGNUM_RE, "<NUM>").alias("scrubbed"),
+    )

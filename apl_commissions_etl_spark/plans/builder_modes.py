@@ -144,23 +144,33 @@ def _anti_key4(df: DataFrame, keys: DataFrame) -> DataFrame:
     return df.join(F.broadcast(keys.select(*KEY4)), KEY4, "left_anti")
 
 
-def mode_cascade(criteria: DataFrame) -> dict[str, DataFrame]:
-    """The full 06b-06e routing cascade as lazy DataFrames."""
-    remainder = multi_config_remainder(criteria)
-    conformant2 = conformant_remainder(remainder)
-    pdk = plan_differentiated_keys(conformant2)
-    remainder2 = _anti_key4(conformant2, pdk)
-    ydk = year_differentiated_keys(remainder2)
-    remainder3 = _anti_key4(remainder2, ydk)
+def mode_cascade(criteria: DataFrame, persist=None) -> dict[str, DataFrame]:
+    """The full 06b-06e routing cascade.
+
+    ``persist`` (e.g. ``lambda df: df.localCheckpoint()``) is applied
+    to EVERY stage, so each level's plan references the materialized
+    predecessor instead of re-expanding its whole subtree. Without it
+    the anti-join chain grows the analyzed plan multiplicatively (the
+    sf0.1 granular_keys plan reaches ~800 scan nodes), and with AQE
+    re-planning per action, driver-side planning time — not execution —
+    dominates every downstream query. The reference materializes each
+    06b-06e step as a table for the same reason."""
+    p = persist if persist is not None else (lambda df: df)
+    remainder = p(multi_config_remainder(criteria))
+    conformant2 = p(conformant_remainder(remainder))
+    pdk = p(plan_differentiated_keys(conformant2))
+    remainder2 = p(_anti_key4(conformant2, pdk))
+    ydk = p(year_differentiated_keys(remainder2))
+    remainder3 = p(_anti_key4(remainder2, ydk))
     return {
         "remainder": remainder,
-        "nc_certs": nonconformant_certs(remainder),
+        "nc_certs": p(nonconformant_certs(remainder)),
         "conformant2": conformant2,
         "pd_keys": pdk,
         "remainder2": remainder2,
         "yd_keys": ydk,
         "remainder3": remainder3,
-        "granular_keys": granular_keys(remainder3),
+        "granular_keys": p(granular_keys(remainder3)),
     }
 
 

@@ -101,9 +101,13 @@ def _per_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single most expensive shared subplan across builder queries."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PER_SPLIT_CACHE:
+        # localCheckpoint, not cache(): every builder query embeds this
+        # frame several times; lineage truncation keeps their analyzed
+        # plans small (AQE re-plans per action, so plan size is a
+        # per-query driver cost, not a one-off)
         _PER_SPLIT_CACHE[key] = builder.split_hierarchies(
             _certs(spark, sf_dir)
-        ).cache()
+        ).localCheckpoint()
     return _PER_SPLIT_CACHE[key]
 
 
@@ -112,7 +116,7 @@ def _criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _CRITERIA_CACHE:
         _CRITERIA_CACHE[key] = builder.selection_criteria(
             _certs(spark, sf_dir), per_split=_per_split(spark, sf_dir)
-        ).cache()
+        ).localCheckpoint()
     return _CRITERIA_CACHE[key]
 
 

@@ -149,10 +149,11 @@ _CASCADE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 def _cascade(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CASCADE_CACHE:
-        c = modes.mode_cascade(_criteria(spark, sf_dir))
-        for name in ("nc_certs", "pd_keys", "yd_keys", "granular_keys"):
-            c[name] = c[name].cache()
-        _CASCADE_CACHE[key] = c
+        # localCheckpoint (not cache): truncates each stage's lineage so
+        # downstream plans stay LogicalRDD-leaf-sized — see mode_cascade
+        _CASCADE_CACHE[key] = modes.mode_cascade(
+            _criteria(spark, sf_dir), persist=lambda df: df.localCheckpoint()
+        )
     return _CASCADE_CACHE[key]
 
 

@@ -159,8 +159,11 @@ _STAGES_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _STAGES_CACHE:
+        # localCheckpoint: the cascade's shared frames are embedded in a
+        # dozen queries; lineage truncation keeps their plans small
+        # (AQE re-plans per action — see mode_cascade's rationale)
         _STAGES_CACHE[key] = calc.run_calc(
-            _staging(spark, sf_dir), persist=lambda df: df.cache()
+            _staging(spark, sf_dir), persist=lambda df: df.localCheckpoint()
         )
     return _STAGES_CACHE[key]
 

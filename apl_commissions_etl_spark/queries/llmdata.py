@@ -203,10 +203,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SHINGLES_CTE}, {_PAIR_JACCARD_SQL},
+#: full MinHash-LSH pipeline as a reusable CTE chain ending in
+#: ``lsh_pairs(id_a, id_b, jaccard)`` — shared by the pair query and
+#: the connected-components clustering oracle.
+_LSH_PAIRS_SQL = f"""{_SHINGLES_CTE}, {_PAIR_JACCARD_SQL},
     sigs AS (
       SELECT doc_id,
              MIN(md5(concat('0:', s))) AS h0, MIN(md5(concat('1:', s))) AS h1,
@@ -232,10 +232,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id, b.doc_id
       FROM banded a JOIN banded b
         ON a.band1 = b.band1 AND a.doc_id < b.doc_id
-      WHERE a.band1 NOT IN (SELECT band1 FROM hot1))
-    SELECT c.id_a, c.id_b, j.jaccard
-    FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-    WHERE j.jaccard >= 0.5
+      WHERE a.band1 NOT IN (SELECT band1 FROM hot1)),
+    lsh_pairs AS (
+      SELECT c.id_a, c.id_b, j.jaccard
+      FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+      WHERE j.jaccard >= 0.5)"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_LSH_PAIRS_SQL}
+    SELECT id_a, id_b, jaccard FROM lsh_pairs
     """,
     survey_ref="north-star: MinHash+LSH (md5-permutation minhash, band "
     "join, verify); band buckets > 20 members skipped (mass-dup "
@@ -247,6 +255,91 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n=3, num_hashes=8, bands=2, threshold=0.5,
         max_bucket=MAX_BAND_BUCKET,
     )
+
+
+@query(
+    "dedup_cluster_labels",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION ALL
+      SELECT id_b, id_a FROM lsh_pairs),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.dst, r.r FROM reach r JOIN bidir b ON b.src = r.node),
+    lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+           FROM lab GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, sz.cluster_size
+    FROM lab l JOIN sz USING (cluster_id)
+    """,
+    survey_ref="north-star: near-dup CLUSTERS — connected components "
+    "over the MinHash-LSH pair graph via min-label propagation "
+    "(O(diameter) rounds, one edge-shuffle per round); oracle = "
+    "recursive-CTE transitive closure",
+)
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair output -> dedup groups: every doc labeled with the min
+    doc_id of its near-duplicate component (singletons keep their own
+    id), plus component size."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=2, threshold=0.5,
+        max_bucket=MAX_BAND_BUCKET,
+    )
+    return dedup.connected_components(
+        pairs.select("id_a", "id_b"), d.select("doc_id"), "doc_id"
+    )
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    c AS (SELECT doc_id, w, len(w) AS n,
+                 unnest(range(0, greatest(len(w), 1), 48)) AS start
+          FROM t)
+    SELECT doc_id,
+           CAST(start // 48 AS INT) AS chunk_seq,
+           array_to_string(list_slice(w, start + 1, least(start + 64, n)),
+                           ' ') AS chunk_text,
+           CAST(least(64, n - start) AS INT) AS n_tokens
+    FROM c
+    """,
+    survey_ref="north-star: overlapping token-window chunking "
+    "(64-token windows, stride 48) — scan-stage narrow explode, the "
+    "pretraining tokenizer feed shape",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ta.chunk_tokens(d, "doc_id", "text", size=64, stride=48)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{ta.EMAIL_RE}')) AS INT)
+               AS n_emails,
+             regexp_replace(text, '{ta.EMAIL_RE}', '<EMAIL>', 'g') AS t1
+      FROM documents)
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1, '{ta.LONGNUM_RE}')) AS INT)
+             AS n_longnums,
+           regexp_replace(t1, '{ta.LONGNUM_RE}', '<NUM>', 'g') AS scrubbed
+    FROM e
+    """,
+    survey_ref="north-star: PII scrub (email + long-digit-run "
+    "redaction with match counts) — single JVM-regex projection, "
+    "patterns valid in both Java regex and RE2",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ta.pii_scrub(d, "doc_id", "text")
 
 
 @query(

@@ -223,3 +223,74 @@ def test_hot_band_bucket_cap_skips_degenerate_buckets(spark):
         max_bucket=None,
     )
     assert flood.count() >= 40 * 39 // 2
+
+
+def test_connected_components_path_graph(spark):
+    """A 5-node path (needs multiple propagation rounds) plus an
+    isolated node and a separate triangle: labels = component minima,
+    sizes correct."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 7, 10, 11, 12]], "doc_id long"
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup.connected_components(edges, nodes, "doc_id").collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 10: 10, 11: 10, 12: 10,
+    }
+    assert got[3][1] == 5 and got[7][1] == 1 and got[11][1] == 3
+
+
+def test_chunk_overlap_reconstructs_tokens(spark, sf_dir):
+    """Chunk invariants: seqs are dense from 0; every chunk except the
+    last has exactly `size` tokens; stride-prefix concatenation of all
+    chunks reproduces the original token stream."""
+    from apl_commissions_etl_spark.operators import textanalysis as ta
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    size, stride = 16, 12
+    chunks = ta.chunk_tokens(d, "doc_id", "text", size=size, stride=stride)
+    rows = chunks.orderBy("doc_id", "chunk_seq").collect()
+    toks = {
+        r.doc_id: r.toks
+        for r in d.select("doc_id", ta.words("text").alias("toks")).collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, rs in by_doc.items():
+        assert [r.chunk_seq for r in rs] == list(range(len(rs)))
+        rebuilt: list = []
+        for r in rs[:-1]:
+            assert r.n_tokens == size or r.n_tokens == len(toks[doc_id]) - (
+                r.chunk_seq * stride
+            )
+            rebuilt.extend(r.chunk_text.split(" ")[:stride])
+        rebuilt.extend(rs[-1].chunk_text.split(" "))
+        assert rebuilt == toks[doc_id]
+
+
+def test_pii_scrub_redacts_planted_values(spark):
+    from apl_commissions_etl_spark.operators import textanalysis as ta
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or call 5551234567 now"),
+            (2, "no pii here, just 123 and a short 42"),
+            (3, "a@b.io mails a@b.io twice; card 4111111111111111"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ta.pii_scrub(df, "doc_id", "text").collect()}
+    assert got[1].n_emails == 1 and got[1].n_longnums == 1
+    assert got[1].scrubbed == "contact <EMAIL> or call <NUM> now"
+    assert got[2].n_emails == 0 and got[2].n_longnums == 0
+    assert got[2].scrubbed == "no pii here, just 123 and a short 42"
+    assert got[3].n_emails == 2 and got[3].n_longnums == 1
+    assert got[3].scrubbed == "<EMAIL> mails <EMAIL> twice; card <NUM>"

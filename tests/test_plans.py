@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from apl_commissions_etl_spark.queries.calcdomain import _stages
 from apl_commissions_etl_spark.sources.testdata import load_table
 
 
@@ -37,7 +36,19 @@ def test_column_pruning_reaches_read_schema(spark, sf_dir):
 
 
 def test_calc_cascade_broadcasts_all_dims(spark, sf_dir):
-    gl = _stages(spark, sf_dir)["gl"]
+    # build the cascade WITHOUT the session checkpoint cache: the
+    # registered queries run over localCheckpoint-ed stages (lineage
+    # truncated, joins hidden inside the checkpoint), so the broadcast
+    # posture must be asserted on a fresh un-persisted plan
+    from apl_commissions_etl_spark.plans import calc
+    from apl_commissions_etl_spark.plans.fixtures import (
+        FIXTURE_VIEWS,
+        register_fixture_views,
+    )
+
+    register_fixture_views(spark, sf_dir)
+    staging = {name: spark.table(name) for name, _ in FIXTURE_VIEWS}
+    gl = calc.run_calc(staging)["gl"]
     plan = _plan(gl)
     assert plan.count("BroadcastHashJoin") >= 9
     assert "SortMergeJoin" not in plan
