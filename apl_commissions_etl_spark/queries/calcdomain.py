@@ -161,9 +161,16 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if key not in _STAGES_CACHE:
         # localCheckpoint: the cascade's shared frames are embedded in a
         # dozen queries; lineage truncation keeps their plans small
-        # (AQE re-plans per action — see mode_cascade's rationale)
+        # (AQE re-plans per action — see mode_cascade's rationale).
+        # repartition first: the cascade is broadcast-join-narrow, so a
+        # small fact file yields ONE partition end-to-end and every
+        # downstream aggregation's partial phase runs single-threaded;
+        # on a real cluster the fact arrives in thousands of splits and
+        # this spread is what the scan would have provided.
+        par = spark.sparkContext.defaultParallelism
         _STAGES_CACHE[key] = calc.run_calc(
-            _staging(spark, sf_dir), persist=lambda df: df.localCheckpoint()
+            _staging(spark, sf_dir),
+            persist=lambda df: df.repartition(par).localCheckpoint(),
         )
     return _STAGES_CACHE[key]
 
