@@ -145,9 +145,16 @@ def sample_frames(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # hash the uppercase-hex rendering of the byte slice: hex is
+            # ASCII, so the same digest is reproducible from any engine
+            # whose sha256 takes strings (DuckDB oracle parity) while
+            # the slicing itself stays byte-accurate
             hashes = [
                 hashlib.sha256(
                     bytes(p)[i * frame_every_bytes : (i + 1) * frame_every_bytes]
+                    .hex()
+                    .upper()
+                    .encode()
                 ).hexdigest()
                 for p, i in zip(pdf["payload"], pdf["frame_index"])
             ]

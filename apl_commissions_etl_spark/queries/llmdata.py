@@ -450,6 +450,61 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
+             CAST(64 + (octet_length(encode(text)) // 64) % 64 AS INT)
+               AS height
+      FROM documents)
+    SELECT doc_id, width, height,
+           CAST(greatest(floor(width * least(224.0 / width, 224.0 / height)),
+                         1) AS INT) AS resized_w,
+           CAST(greatest(floor(height * least(224.0 / width, 224.0 / height)),
+                         1) AS INT) AS resized_h
+    FROM d
+    """,
+    survey_ref="north-star: multimodal resize plan — aspect-preserving "
+    "fit-within-box geometry as pure JVM expressions over decoded "
+    "metadata (pixel work would slot into the Arrow batch stage)",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    decoded = multimodal.decode_features(
+        multimodal.attach_binary_payload(d, "text"), "doc_id"
+    ).select("doc_id", "width", "height")
+    return multimodal.resize_plan(decoded, 224, 224)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             hex(encode(text)) AS hx,
+             unnest(range(0, greatest(octet_length(encode(text)) // 1024, 1)))
+               AS i
+      FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS frame_index,
+           sha256(substring(hx, CAST(i * 2048 + 1 AS BIGINT), 2048))
+             AS frame_hash
+    FROM f
+    """,
+    survey_ref="north-star: video-style frame sampling — native "
+    "sequence+explode cardinality, Arrow mapInPandas per-frame stage "
+    "(stub hashes each byte slice; a real codec slots into the same "
+    "batch function)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(
+        multimodal.attach_binary_payload(d, "text"), "doc_id",
+        frame_every_bytes=1024,
+    )
+
+
+@query(
     "ann_topk_ivf",
     oracle="""
     WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec

@@ -34,6 +34,8 @@ HEADLINE = [
     "join_rate_fallback",
     "win_dedup_keep_latest",
     "dedup_minhash_lsh",
+    "dedup_cluster_labels",
+    "text_chunk_overlap",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "stream_session_window",
