@@ -106,3 +106,44 @@ def update_join(
         for c in target.columns
     ]
     return joined.select(*out_cols)
+
+
+def blob_stage(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """S6 blob-staging sink: write the frame to object storage bucketed
+    by a deterministic key hash, then read it back and emit the load
+    MANIFEST (per-bucket row count + content digest) the bulk loader
+    consumes — the reference stages CSVs in Azure Blob and issues one
+    server-side BULK INSERT per staged file (proposal-builder.ts:
+    415-423, 2166-2199).
+
+    The bucket is ``key % n_buckets`` (explicit and engine-checkable,
+    not the opaque shuffle partitioner), so the manifest is a pure
+    function of the data: the staging round-trip is verified by the
+    same SQL oracle that never saw the filesystem. At scale ``path`` is
+    an object-store URI and each bucket is one loader unit; locally it
+    is a directory of parquet parts."""
+    staged = df.withColumn(
+        "_bucket", F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int")
+    )
+    staged.write.partitionBy("_bucket").mode("overwrite").parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    return (
+        back.groupBy(F.col("_bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.col(key_col))),
+                        lambda k: k.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("keys_digest"),
+        )
+    )

@@ -283,3 +283,37 @@ def export_hierarchy_product_rates(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _tier_spark(spark, sf_dir, _HPPR_EXPORT_SQL)
+
+
+@query(
+    "export_blob_staged",
+    oracle="""
+    SELECT CAST(o_orderkey % 8 AS INT) AS bucket,
+           COUNT(*) AS n_rows,
+           md5(array_to_string(list_sort(list(o_orderkey)), ','))
+             AS keys_digest
+    FROM orders
+    GROUP BY 1
+    """,
+    survey_ref="§2.1 S6 blob staging: bucketed parquet stage + read-back "
+    "load manifest (per-bucket count + key digest) — the Azure-Blob "
+    "BULK INSERT flow (proposal-builder.ts:415-423,2166-2199) on "
+    "immutable storage; manifest is data-deterministic so the oracle "
+    "verifies the round-trip without seeing the filesystem",
+)
+def export_blob_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages the orders table under the engine's scratch dir and
+    returns the manifest built from the FILES READ BACK (a failed or
+    partial write would change the digest)."""
+    import os
+    import tempfile
+
+    from ..sources.testdata import load_table
+    from ..operators.export import blob_stage
+
+    o = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_blob_stage_{spark.sparkContext.applicationId}",
+    )
+    return blob_stage(o, path, "o_orderkey", n_buckets=8)

@@ -472,3 +472,37 @@ def join_closest_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderkey", F.col("cat_name").alias("closest_series"))
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT s.s_nationkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+    survey_ref="§4 custom-work 4 skew handling: salted equi-join "
+    "(big side salted, small side exploded across 16 salts) with "
+    "result identical to the plain join — the explicit second line of "
+    "defense behind AQE skew splitting (operators/skew.py)",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting changes the physical shuffle layout, never the result:
+    the oracle is the PLAIN join+agg."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li, s.withColumnRenamed("s_suppkey", "l_suppkey"), ["l_suppkey"],
+        salts=16,
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
+    )
