@@ -88,17 +88,21 @@ def dim_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_builder_views(spark, sf_dir)
     i = spark.table("input_certificate_info")
     active = i.filter((F.col("CertificateId") > 0) & (F.trim("RecStatus") == "A"))
-    min_seq = active.groupBy("CertificateId").agg(
-        F.min("CertSplitSeq").alias("MinSeq")
-    )
+    # min split seq per certificate as a window over the same partition
+    # key the aggregation below shuffles on: ONE scan of the fact and
+    # ONE exchange (the window's hash partitioning satisfies the
+    # groupBy's distribution), vs the reference's derived-table
+    # self-join which scans the input twice (09-policies.sql:41-63)
+    from pyspark.sql.window import Window as W
+
     pol = (
-        active.filter(F.col("SplitBrokerSeq") == 1)
-        .join(
-            min_seq,
-            (active.CertificateId == min_seq.CertificateId)
-            & (active.CertSplitSeq == min_seq.MinSeq),
+        active.withColumn(
+            "MinSeq", F.min("CertSplitSeq").over(W.partitionBy("CertificateId"))
         )
-        .drop(min_seq.CertificateId)
+        .filter(
+            (F.col("SplitBrokerSeq") == 1)
+            & (F.col("CertSplitSeq") == F.col("MinSeq"))
+        )
         .groupBy("CertificateId")
         .agg(
             F.max("Company").alias("Company"),
