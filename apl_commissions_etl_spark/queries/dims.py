@@ -621,3 +621,267 @@ def dim_broker_banking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AccountNumber", "AccountType", "AccountHolderName", "PayeeName",
         "Notes", "IsDeleted",
     )
+
+
+# ---------------------------------------------------------------------------
+# Products / product codes / plans (ref sql/transforms/03-products.sql)
+# ---------------------------------------------------------------------------
+
+from ..plans.builder_fixtures import builder_cte_sql, register_builder_views  # noqa: E402
+
+
+def _both_oracle(final_select: str) -> str:
+    return f"WITH {builder_cte_sql()},\n{dims_cte_sql()}\n{final_select}"
+
+
+def _both_views(spark: SparkSession, sf_dir: str) -> None:
+    register_builder_views(spark, sf_dir)
+    register_dim_views(spark, sf_dir)
+
+
+@query(
+    "dim_products",
+    oracle=_both_oracle("""
+    , cert_products AS (
+      SELECT TRIM(ProductCode) AS Id,
+             TRIM(ProductCode) AS ProductCode,
+             MAX(COALESCE(NULLIF(TRIM(ProductCategory), ''),
+                          TRIM(ProductCode))) AS ProductName,
+             MAX(TRIM(ProductMasterCategory)) AS MasterCategory,
+             MAX(TRIM(ProductCategory)) AS Category,
+             1 AS IsActive,
+             'Product: ' || TRIM(ProductCode) || ' ('
+               || COALESCE(NULLIF(MAX(TRIM(ProductCategory)), ''), 'Unknown')
+               || ')' AS Description
+      FROM input_certificate_info
+      WHERE TRIM(ProductCode) <> ''
+      GROUP BY TRIM(ProductCode)
+    ),
+    sched_products AS (
+      SELECT TRIM(ProductCode) AS Id,
+             TRIM(ProductCode) AS ProductCode,
+             MAX(COALESCE(NULLIF(TRIM(Category), ''),
+                          TRIM(ProductCode))) AS ProductName,
+             MAX(TRIM(Category)) AS MasterCategory,
+             MAX(TRIM(Category)) AS Category,
+             1 AS IsActive,
+             'Product: ' || TRIM(ProductCode)
+               || ' (from schedule rates)' AS Description
+      FROM raw_schedule_rates
+      WHERE TRIM(ProductCode) <> ''
+      GROUP BY TRIM(ProductCode)
+    )
+    SELECT * FROM cert_products
+    UNION ALL
+    SELECT s.* FROM sched_products s
+    WHERE NOT EXISTS (SELECT 1 FROM cert_products c WHERE c.Id = s.Id)"""),
+    survey_ref="§7.3 #3 products: unique products from certificates "
+    "union schedule-rate products not already present (anti-join J8), "
+    "trim-keyed dedup A6, name fallback P6 (03-products.sql:28-85)",
+)
+def dim_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _both_views(spark, sf_dir)
+    code = F.trim("ProductCode")
+
+    certs = (
+        spark.table("input_certificate_info")
+        .filter(code != "")
+        .groupBy(code.alias("Id"))
+        .agg(
+            F.max(
+                F.coalesce(F.nullif(F.trim("ProductCategory"), F.lit("")), code)
+            ).alias("ProductName"),
+            F.max(F.trim("ProductMasterCategory")).alias("MasterCategory"),
+            F.max(F.trim("ProductCategory")).alias("Category"),
+        )
+        .select(
+            "Id",
+            F.col("Id").alias("ProductCode"),
+            "ProductName",
+            "MasterCategory",
+            "Category",
+            F.lit(1).alias("IsActive"),
+            F.concat(
+                F.lit("Product: "), F.col("Id"), F.lit(" ("),
+                F.coalesce(F.nullif("Category", F.lit("")), F.lit("Unknown")),
+                F.lit(")"),
+            ).alias("Description"),
+        )
+    )
+    scheds = (
+        spark.table("raw_schedule_rates")
+        .filter(code != "")
+        .groupBy(code.alias("Id"))
+        .agg(
+            F.max(
+                F.coalesce(F.nullif(F.trim("Category"), F.lit("")), code)
+            ).alias("ProductName"),
+            F.max(F.trim("Category")).alias("MasterCategory"),
+            F.max(F.trim("Category")).alias("Category"),
+        )
+        .select(
+            "Id",
+            F.col("Id").alias("ProductCode"),
+            "ProductName",
+            "MasterCategory",
+            "Category",
+            F.lit(1).alias("IsActive"),
+            F.concat(
+                F.lit("Product: "), F.col("Id"), F.lit(" (from schedule rates)")
+            ).alias("Description"),
+        )
+    )
+    new_scheds = scheds.join(
+        F.broadcast(certs.select("Id")), "Id", "left_anti"
+    )
+    return certs.unionByName(new_scheds)
+
+
+@query(
+    "dim_product_codes",
+    oracle=_both_oracle("""
+    , cert_codes AS (
+      SELECT 'PC-' || TRIM(ProductCategory) || '-' || TRIM(ProductCode) AS Id,
+             TRIM(ProductCategory) AS ProductId,
+             TRIM(ProductCode) AS Code,
+             TRIM(ProductCategory) || ' - ' || TRIM(ProductCode)
+               AS Description,
+             COALESCE(array_to_string(
+               list_sort(list(DISTINCT TRIM(SitusState))
+                         FILTER (WHERE TRIM(SitusState) <> '')), ','), '')
+               AS AllowedStates,
+             'Active' AS Status,
+             COUNT(DISTINCT TRIM(GroupId)) AS GroupsCount,
+             CAST(0 AS BIGINT) AS SchedulesCount
+      FROM input_certificate_info
+      WHERE TRIM(ProductCategory) <> '' AND TRIM(ProductCode) <> ''
+      GROUP BY TRIM(ProductCategory), TRIM(ProductCode)
+    ),
+    sched_codes AS (
+      SELECT 'PC-' || TRIM(Category) || '-' || TRIM(ProductCode) AS Id,
+             TRIM(Category) AS ProductId,
+             TRIM(ProductCode) AS Code,
+             COALESCE(MAX(TRIM(OffGroupLetterDescription)),
+                      TRIM(Category) || ' - ' || TRIM(ProductCode))
+               AS Description,
+             '' AS AllowedStates,
+             'Active' AS Status,
+             CAST(0 AS BIGINT) AS GroupsCount,
+             COUNT(DISTINCT ScheduleName) AS SchedulesCount
+      FROM raw_schedule_rates
+      WHERE TRIM(Category) <> '' AND TRIM(ProductCode) <> ''
+      GROUP BY TRIM(Category), TRIM(ProductCode)
+    )
+    SELECT * FROM cert_codes
+    UNION ALL
+    SELECT s.* FROM sched_codes s
+    WHERE NOT EXISTS (SELECT 1 FROM cert_codes c WHERE c.Code = s.Code)"""),
+    survey_ref="§7.3 #3 product codes: per (category, product) rollup "
+    "with COUNT(DISTINCT GroupId), ordered STRING_AGG AllowedStates A5, "
+    "schedule-sourced codes anti-joined on Code only "
+    "(03-products.sql:95-185); deterministic 'PC-{cat}-{code}' id "
+    "replaces the global ROW_NUMBER + MAX(Id)+offset W1/W6",
+)
+def dim_product_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _both_views(spark, sf_dir)
+    cat, code = F.trim("ProductCategory"), F.trim("ProductCode")
+    certs = (
+        spark.table("input_certificate_info")
+        .filter((cat != "") & (code != ""))
+        .groupBy(cat.alias("ProductId"), code.alias("Code"))
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_set(
+                        F.when(F.trim("SitusState") != "", F.trim("SitusState"))
+                    )
+                ),
+                ",",
+            ).alias("AllowedStates"),
+            F.countDistinct(F.trim("GroupId")).alias("GroupsCount"),
+        )
+        .select(
+            F.concat_ws("-", F.lit("PC"), "ProductId", "Code").alias("Id"),
+            "ProductId",
+            "Code",
+            F.concat(F.col("ProductId"), F.lit(" - "), F.col("Code")).alias(
+                "Description"
+            ),
+            "AllowedStates",
+            F.lit("Active").alias("Status"),
+            "GroupsCount",
+            F.lit(0).cast("long").alias("SchedulesCount"),
+        )
+    )
+    scat = F.trim("Category")
+    scheds = (
+        spark.table("raw_schedule_rates")
+        .filter((scat != "") & (code != ""))
+        .groupBy(scat.alias("ProductId"), code.alias("Code"))
+        .agg(
+            F.max(F.trim("OffGroupLetterDescription")).alias("OffDesc"),
+            F.countDistinct("ScheduleName").alias("SchedulesCount"),
+        )
+        .select(
+            F.concat_ws("-", F.lit("PC"), "ProductId", "Code").alias("Id"),
+            "ProductId",
+            "Code",
+            F.coalesce(
+                "OffDesc",
+                F.concat(F.col("ProductId"), F.lit(" - "), F.col("Code")),
+            ).alias("Description"),
+            F.lit("").alias("AllowedStates"),
+            F.lit("Active").alias("Status"),
+            F.lit(0).cast("long").alias("GroupsCount"),
+            "SchedulesCount",
+        )
+    )
+    new_scheds = scheds.join(
+        F.broadcast(certs.select("Code")), "Code", "left_anti"
+    ).select(*certs.columns)
+    return certs.unionByName(new_scheds)
+
+
+@query(
+    "dim_plans",
+    oracle=_both_oracle("""
+    SELECT ProductCode || '-' || PlanCode AS Id,
+           ProductCode AS ProductId,
+           PlanCode,
+           PlanCode AS Name,
+           'Plan ' || PlanCode || ' for product ' || ProductCode
+             AS Description,
+           0 AS Status
+    FROM (
+      SELECT TRIM(ProductCode) AS ProductCode, TRIM(PlanCode) AS PlanCode
+      FROM input_certificate_info
+      WHERE TRIM(ProductCode) <> '' AND TRIM(PlanCode) <> ''
+        AND TRIM(PlanCode) <> 'N/A'
+      GROUP BY TRIM(ProductCode), TRIM(PlanCode)
+    )"""),
+    survey_ref="§7.3 #3 plans: one plan per trimmed (product, plan) "
+    "pair excluding ''/'N/A', 'Product-Plan' composite id "
+    "(03-products.sql:190-225)",
+)
+def dim_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _both_views(spark, sf_dir)
+    code, plan = F.trim("ProductCode"), F.trim("PlanCode")
+    return (
+        spark.table("input_certificate_info")
+        .filter((code != "") & (plan != "") & (plan != "N/A"))
+        .select(code.alias("ProductCode"), plan.alias("PlanCode"))
+        .distinct()
+        .select(
+            F.concat(F.col("ProductCode"), F.lit("-"), F.col("PlanCode")).alias(
+                "Id"
+            ),
+            F.col("ProductCode").alias("ProductId"),
+            "PlanCode",
+            F.col("PlanCode").alias("Name"),
+            F.concat(
+                F.lit("Plan "), F.col("PlanCode"), F.lit(" for product "),
+                F.col("ProductCode"),
+            ).alias("Description"),
+            F.lit(0).alias("Status"),
+        )
+    )
