@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..operators.consolidate import consolidate_proposals
 from ..plans import builder
@@ -1228,4 +1229,106 @@ def deprecated_hierarchies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deprecated_hierarchy_entities(
         _certs(spark, sf_dir),
         builder.build_proposals(_criteria(spark, sf_dir)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 08-hierarchy-splits: state rules + catch-all conversion (ref
+# sql/transforms/08-hierarchy-splits.sql:28-140)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hier_state_rules",
+    oracle=_oracle("""
+    , srules_src AS (
+      SELECT DISTINCT 'HV-' || ps.HierarchyHash AS HierarchyVersionId,
+             TRIM(i.SitusState) AS State
+      FROM per_split ps
+      JOIN input_certificate_info i
+        ON i.GroupId = ps.GroupId AND i.CertificateId = ps.CertificateId
+       AND i.CertSplitSeq = ps.CertSplitSeq
+      WHERE TRIM(i.SitusState) <> '' AND i.RecStatus = 'A'
+        AND TRY_CAST(REPLACE(ps.WritingBrokerId, 'P', '') AS BIGINT)
+            IS NOT NULL
+    ),
+    numbered AS (
+      SELECT HierarchyVersionId, State,
+             ROW_NUMBER() OVER (PARTITION BY HierarchyVersionId
+                                ORDER BY State) AS rn,
+             COUNT(*) OVER (PARTITION BY HierarchyVersionId) AS n
+      FROM srules_src
+    )
+    SELECT CASE WHEN n = 1 THEN 'SR-' || HierarchyVersionId || '-ALL'
+                ELSE 'SR-' || HierarchyVersionId || '-' || State END AS Id,
+           HierarchyVersionId,
+           CASE WHEN n = 1 THEN 'ALL' ELSE State END AS ShortName,
+           CASE WHEN n = 1 THEN 'All States' ELSE State END AS Name,
+           CASE WHEN n = 1
+                THEN 'Catch-all state rule (applies to all states)'
+                ELSE 'State rule for ' || State || ' in hierarchy '
+                     || HierarchyVersionId END AS Description,
+           CASE WHEN n = 1 THEN 1 ELSE 0 END AS RuleType,
+           CAST(rn AS INT) AS SortOrder
+    FROM numbered"""),
+    survey_ref="§7.3 #6 hierarchy splits: one state rule per (hierarchy "
+    "version, issued state) of active certs with valid writing broker, "
+    "W2 SortOrder; single-rule versions converted to catch-all "
+    "(ShortName 'ALL', Type 1, '-ALL' id rewrite) — the HAVING "
+    "COUNT(*)=1 + DELETE/UPDATE pass as a window-count projection "
+    "(08-hierarchy-splits.sql:28-140); version id replaces the "
+    "hierarchy display name in Description (deterministic keys §7.1)",
+)
+def hier_state_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _per_split(spark, sf_dir).select(
+        "GroupId", "CertificateId", "CertSplitSeq", "HierarchyHash",
+        "WritingBrokerId",
+    ).filter(
+        F.regexp_replace("WritingBrokerId", "P", "").try_cast("long").isNotNull()
+    )
+    i = _certs(spark, sf_dir).select(
+        "GroupId", "CertificateId", "CertSplitSeq", "SitusState", "RecStatus"
+    ).filter((F.trim("SitusState") != "") & (F.col("RecStatus") == "A"))
+    src = (
+        ps.join(i, ["GroupId", "CertificateId", "CertSplitSeq"])
+        .select(
+            F.concat(F.lit("HV-"), "HierarchyHash").alias("HierarchyVersionId"),
+            F.trim("SitusState").alias("State"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("HierarchyVersionId")
+    numbered = src.select(
+        "HierarchyVersionId",
+        "State",
+        F.row_number().over(w.orderBy("State")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    catchall = F.col("n") == 1
+    return numbered.select(
+        F.when(
+            catchall,
+            F.concat(F.lit("SR-"), "HierarchyVersionId", F.lit("-ALL")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("SR-"), "HierarchyVersionId", F.lit("-"), F.col("State")
+            )
+        )
+        .alias("Id"),
+        "HierarchyVersionId",
+        F.when(catchall, "ALL").otherwise(F.col("State")).alias("ShortName"),
+        F.when(catchall, "All States").otherwise(F.col("State")).alias("Name"),
+        F.when(
+            catchall, F.lit("Catch-all state rule (applies to all states)")
+        )
+        .otherwise(
+            F.concat(
+                F.lit("State rule for "), F.col("State"),
+                F.lit(" in hierarchy "), F.col("HierarchyVersionId"),
+            )
+        )
+        .alias("Description"),
+        F.when(catchall, 1).otherwise(0).alias("RuleType"),
+        F.col("rn").cast("int").alias("SortOrder"),
     )
