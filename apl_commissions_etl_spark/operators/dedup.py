@@ -172,6 +172,7 @@ def minhash_lsh_pairs(
     bands: int = 2,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    persist=None,
 ) -> DataFrame:
     """MinHash + LSH banding, ONE shuffle to build state then pure
     projections: shingle sets (groupBy) -> signatures = array_min of a
@@ -187,7 +188,14 @@ def minhash_lsh_pairs(
     dominate the whole join. Band keys with more than ``max_bucket``
     members are skipped — such buckets are mass-duplicate clusters
     that exact dedup (the cheaper pass that should run first) already
-    collapses, not near-duplicate structure."""
+    collapses, not near-duplicate structure.
+
+    ``persist`` (e.g. ``lambda df: df.localCheckpoint()``) is applied
+    to the banded-signature frame, which the candidate stage otherwise
+    references once per (band x side x hot-bucket agg) -- 8 executions
+    of the heaviest aggregation for the default 2 bands (Catalyst does
+    not deduplicate non-exchange subtrees). At cluster scale this is
+    the signatures table every LSH system materializes."""
     rows_per_band = num_hashes // bands
     sh = word_shingles(df, id_col, text_col, n)
 
@@ -208,6 +216,8 @@ def minhash_lsh_pairs(
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band{b}"))
     banded = banded.select(F.col(id_col), F.col("sh"), *band_cols)
+    if persist is not None:
+        banded = persist(banded)
 
     candidates = None
     for b in range(bands):

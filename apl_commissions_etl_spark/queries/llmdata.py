@@ -14,6 +14,17 @@ from ..operators import dedup, multimodal, similarity, textanalysis as ta
 from ..registry import query
 from ..sources.testdata import load_table
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents spread across the session's parallelism: the corpus
+    file is small enough to arrive as ONE parquet split, which would
+    run the (CPU-heavy) shingle/minhash/simhash pipelines
+    single-threaded; at corpus scale the scan itself provides the
+    spread and the repartition is a no-op cost-wise (docs are tiny
+    rows, the explode happens after)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+
+
 # Shared oracle CTE fragments ------------------------------------------------
 
 _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
@@ -155,7 +166,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="north-star: exact dedup via hash-groupBy",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.exact_dedup(d, "doc_id", "text")
 
 
@@ -197,7 +208,7 @@ MAX_BAND_BUCKET = 20
     "generation, Jaccard verified on full sets",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.5, max_df=MAX_SHINGLE_DF
     )
@@ -250,10 +261,11 @@ _LSH_PAIRS_SQL = f"""{_SHINGLES_CTE}, {_PAIR_JACCARD_SQL},
     "clusters belong to exact dedup, not the near-dup join)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=8, bands=2, threshold=0.5,
         max_bucket=MAX_BAND_BUCKET,
+        persist=lambda f: f.localCheckpoint(),
     )
 
 
@@ -285,10 +297,11 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair output -> dedup groups: every doc labeled with the min
     doc_id of its near-duplicate component (singletons keep their own
     id), plus component size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=8, bands=2, threshold=0.5,
         max_bucket=MAX_BAND_BUCKET,
+        persist=lambda f: f.localCheckpoint(),
     )
     return dedup.connected_components(
         pairs.select("id_a", "id_b"), d.select("doc_id"), "doc_id"
@@ -314,7 +327,7 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pretraining tokenizer feed shape",
 )
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return ta.chunk_tokens(d, "doc_id", "text", size=64, stride=48)
 
 
@@ -365,7 +378,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="north-star: SimHash (md5-hex-parity bits, engine-independent)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.simhash_signature(d, "doc_id", "text", bits=16)
 
 
