@@ -1332,3 +1332,50 @@ def hier_state_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(catchall, 1).otherwise(0).alias("RuleType"),
         F.col("rn").cast("int").alias("SortOrder"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §5.2 statistical sampling validation as a registered query (ref
+# scripts/validate-certificate-resolution.ts:104-196)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "validate_sampling_report",
+    oracle=_oracle(f"""
+    , strat AS (
+      SELECT *, CASE WHEN {_INVALID_GROUP} THEN 'DTC'
+                     WHEN TotalSplitPercent <> 100 THEN 'NonConformant'
+                     WHEN SplitCount > 1 THEN 'MultiSplit'
+                     ELSE 'SingleSplit' END AS Scenario
+      FROM criteria),
+    sampled AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY Scenario
+                 ORDER BY sha256('sample:' || CAST(CertificateId AS VARCHAR)))
+               AS rn
+        FROM strat) WHERE rn <= 20)
+    SELECT Scenario,
+           CAST(COUNT(*) AS BIGINT) AS sampled,
+           CAST(COUNT(*) AS BIGINT) AS matched
+    FROM sampled GROUP BY Scenario"""),
+    survey_ref="§5.2 sampling validator: deterministic stratified "
+    "sample (hash-ordered top-20 per scenario, replacing ORDER BY "
+    "NEWID() O3) whose config hash is RE-DERIVED through Spark SQL "
+    "text — an independent code path from the DataFrame builder — and "
+    "compared; the oracle encodes the all-match expectation "
+    "(validate-certificate-resolution.ts:104-196, >=95% gate)",
+)
+def validate_sampling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import validate as v
+
+    sampled = v.sample_stratified(_criteria(spark, sf_dir), 20)
+    rederived = spark.sql(v.REDERIVE_SQL)
+    joined = sampled.join(rederived, ["GroupId", "CertificateId"], "left")
+    return joined.groupBy("Scenario").agg(
+        F.count(F.lit(1)).alias("sampled"),
+        F.sum((F.col("ConfigHash") == F.col("RederivedHash")).cast("int"))
+        .cast("long")
+        .alias("matched"),
+    )
