@@ -219,3 +219,47 @@ def cosine_topk_ivf(
         k,
         query_norm=qnorm,
     )
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the IVF centroids: assign (map-side argmax,
+    no shuffle) then recompute each cell's mean, repeated ``iters``
+    times. Deterministic across partition orders AND engines: each
+    component is quantized to 1e-9 (round to long) so the per-cell sum
+    is exact integer math, and the final division runs in double with
+    identical operands everywhere — double SUM would be
+    accumulation-order-dependent and unhashable against an oracle.
+
+    Centroid means collect to the driver (n_centroids x dims rows,
+    bounded); at 64K-centroid scale the means stay distributed and the
+    assignment becomes a broadcast join on the cell id instead of a
+    literal argmax -- same dataflow, different carrier."""
+    for _ in range(iters):
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
+        exploded = assigned.select(
+            "cell", F.posexplode(_d(F.col(vec_col))).alias("pos", "val")
+        )
+        stats = (
+            exploded.groupBy("cell", "pos")
+            .agg(
+                F.sum(F.round(F.col("val") * 1e9).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (
+                float(r["s"]) / 1e9
+            ) / float(r["c"])
+        centroids = [
+            (cid, [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_cell.items())
+        ]
+    return centroids

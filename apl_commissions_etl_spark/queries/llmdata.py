@@ -576,3 +576,75 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcol = F.lit(qvec).cast("array<double>")
     cents = similarity.ivf_centroids(emb, n_centroids=16)
     return similarity.cosine_topk_ivf(emb, qcol, cents, k=10, nprobe=4)
+
+
+def _km_iter_sql(prev_cent: str, a: str, m: str, c: str) -> str:
+    """One Lloyd iteration as DuckDB CTEs: argmax-cosine assignment
+    (ROW_NUMBER tie-broken by cid, matching the engine's array_max over
+    (sim, -cid)) then 1e-9-quantized integer means per (cell, dim)."""
+    return f"""
+    {a} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.c)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.c, c.c))) DESC, c.cid) AS rn
+        FROM e CROSS JOIN {prev_cent} c) WHERE rn = 1),
+    {m} AS (
+      SELECT cid, pos,
+             CAST(SUM(CAST(round(val * 1000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS mval
+      FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+            FROM {a})
+      GROUP BY cid, pos),
+    {c} AS (SELECT cid, list(mval ORDER BY pos) AS c FROM {m} GROUP BY cid)"""
+
+
+@query(
+    "ann_topk_ivf_kmeans",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 16),
+    {_km_iter_sql('cent0', 'a1', 'm1', 'cent1')},
+    {_km_iter_sql('cent1', 'a2', 'm2', 'cent2')},
+    af AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.c)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.c, c.c))) DESC, c.cid) AS rn
+        FROM e CROSS JOIN cent2 c) WHERE rn = 1),
+    qn AS (SELECT v AS qe, sqrt(list_dot_product(v, v)) AS qnorm
+           FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cid FROM cent2 c, qn
+      ORDER BY list_dot_product(c.c, qn.qe)
+                 / (sqrt(list_dot_product(c.c, c.c)) * qn.qnorm) DESC, c.cid
+      LIMIT 4)
+    SELECT af.vec_id,
+           CAST(list_dot_product(af.v, qn.qe)
+                / (sqrt(list_dot_product(af.v, af.v)) * qn.qnorm)
+             AS DOUBLE) AS cosine
+    FROM af, qn
+    WHERE af.cid IN (SELECT cid FROM probe)
+    ORDER BY cosine DESC, af.vec_id
+    LIMIT 10
+    """,
+    survey_ref="north-star: IVF with k-means-TRAINED centroids — two "
+    "deterministic Lloyd iterations (map-side argmax assignment, "
+    "1e-9-quantized integer means so the update is partition-order- "
+    "and engine-independent), then nprobe cell-pruned top-k; the "
+    "training loop is the iterative-algorithm pattern the reference "
+    "lacks entirely",
+)
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").limit(1).collect()[0][0]
+    )
+    qcol = F.lit(qvec).cast("array<double>")
+    seeds = similarity.ivf_centroids(emb, n_centroids=16)
+    trained = similarity.kmeans_refine(emb, seeds, iters=2)
+    return similarity.cosine_topk_ivf(emb, qcol, trained, k=10, nprobe=4)
