@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         calcdomain,
         dims,
         exports,
+        ingest,
         joins,
         llmdata,
         policies,
