@@ -294,3 +294,57 @@ def test_pii_scrub_redacts_planted_values(spark):
     assert got[2].scrubbed == "no pii here, just 123 and a short 42"
     assert got[3].n_emails == 2 and got[3].n_longnums == 1
     assert got[3].scrubbed == "<EMAIL> mails <EMAIL> twice; card <NUM>"
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property test: on random small graphs, min-label propagation
+    agrees with a reference union-find on every node's component
+    minimum and component size."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(st.integers(0, 25), st.integers(0, 25))
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(edge, min_size=0, max_size=30))
+    def check(pairs):
+        pairs = [(a, b) for a, b in pairs if a != b]
+        nodes = sorted({n for p in pairs for n in p} | {0, 25})
+        # reference union-find
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want_label = {n: find(n) for n in nodes}
+        sizes: dict = {}
+        for n in nodes:
+            sizes[want_label[n]] = sizes.get(want_label[n], 0) + 1
+
+        edges_df = spark.createDataFrame(
+            pairs or [(0, 0)], "id_a long, id_b long"
+        )
+        if not pairs:
+            edges_df = edges_df.filter("id_a <> id_a")  # empty edge set
+        nodes_df = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+        got = {
+            r.doc_id: (r.cluster_id, r.cluster_size)
+            for r in dedup.connected_components(
+                edges_df, nodes_df, "doc_id"
+            ).collect()
+        }
+        assert {n: got[n][0] for n in nodes} == want_label
+        assert all(got[n][1] == sizes[want_label[n]] for n in nodes)
+
+    check()
