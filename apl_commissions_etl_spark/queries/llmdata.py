@@ -648,3 +648,79 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = similarity.ivf_centroids(emb, n_centroids=16)
     trained = similarity.kmeans_refine(emb, seeds, iters=2)
     return similarity.cosine_topk_ivf(emb, qcol, trained, k=10, nprobe=4)
+
+
+@query(
+    "pipeline_pretrain_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION ALL
+      SELECT id_b, id_a FROM lsh_pairs),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.dst, r.r FROM reach r JOIN bidir b ON b.src = r.node),
+    lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY node),
+    scored AS (
+      SELECT d.doc_id, d.text,
+             len(list_filter({_WORDS},
+                 x -> x IN ('the','a','of','and','value'))) AS en_s,
+             len(list_filter({_WORDS},
+                 x -> x IN ('el','la','de','que','los'))) AS es_s,
+             len(list_filter({_WORDS},
+                 x -> x IN ('de5','le5','shi4','zai4','he2'))) AS zh_s,
+             least(length(trim(text)) / 200.0, 1.0) AS len_score,
+             len(list_filter({_WORDS}, x -> x IN
+                 ('the','a','of','and','in','to')))
+               * 1.0 / len({_WORDS}) AS sw,
+             list_sum(list_transform({_WORDS}, x -> length(x)))
+               * 1.0 / len({_WORDS}) AS wl
+      FROM documents d),
+    kept AS (
+      SELECT s.doc_id, s.text
+      FROM scored s JOIN lab ON lab.doc_id = s.doc_id
+      WHERE lab.cluster_id = s.doc_id
+        AND s.en_s > 0 AND s.en_s >= s.es_s AND s.en_s >= s.zh_s
+        AND round(greatest(0.0,
+              s.len_score * 0.4
+              + greatest(1.0 - abs(s.sw - 0.15) * 2, 0.0) * 0.3
+              + (CASE WHEN s.wl >= 3 AND s.wl <= 10
+                      THEN 1.0 ELSE 0.5 END) * 0.3), 6) >= 0.35),
+    toks AS (SELECT doc_id, {_WORDS.replace("text", "text")} AS w FROM kept),
+    c AS (SELECT doc_id, w, len(w) AS n,
+                 unnest(range(0, greatest(len(w), 1), 48)) AS start
+          FROM toks)
+    SELECT doc_id,
+           CAST(start // 48 AS INT) AS chunk_seq,
+           array_to_string(list_slice(w, start + 1, least(start + 64, n)),
+                           ' ') AS chunk_text,
+           CAST(least(64, n - start) AS INT) AS n_tokens
+    FROM c
+    """,
+    survey_ref="north-star FLAGSHIP composition: the full pretraining "
+    "corpus pipeline in one plan — near-dup clustering keeps each "
+    "cluster's canonical doc, language-ID keeps detected-English, "
+    "quality score gates at 0.35, survivors chunked into 64-token "
+    "windows at stride 48; every stage is the already-verified "
+    "operator, composed",
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a user of the engine actually runs end-to-end: dedup ->
+    lang filter -> quality gate -> chunk, as one composed dataflow."""
+    d = _docs(spark, sf_dir)
+    labels = dedup.connected_components(
+        _lsh_pairs(spark, sf_dir).select("id_a", "id_b"),
+        d.select("doc_id"),
+        "doc_id",
+    )
+    kept = (
+        d.join(labels, "doc_id")
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .filter(ta.lang_id("text") == "en")
+        .filter(ta.quality_score("text") >= 0.35)
+        .select("doc_id", "text")
+    )
+    return ta.chunk_tokens(kept, "doc_id", "text", size=64, stride=48)

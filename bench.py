@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_cluster_labels",
     "text_chunk_overlap",
+    "pipeline_pretrain_corpus",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "stream_session_window",
