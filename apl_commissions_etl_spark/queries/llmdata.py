@@ -435,10 +435,33 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(emb, qcol, k=10)
 
 
+_SIGN_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN {{v}}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+) + ")"
+
+
 @query(
     "ann_topk_lsh",
-    oracle=None,  # approximate operator: verified by recall test vs brute force
-    survey_ref="north-star: ANN sign-LSH bucketed scale path",
+    # the approximation is DETERMINISTIC (axis-aligned sign planes), so
+    # the bucketed result is fully hash-checkable — recall vs brute
+    # force is additionally tested in tests/test_llmdata.py
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qe, {_SIGN_BUCKET_SQL.format(v='v')} AS qb
+          FROM e WHERE vec_id = 0)
+    SELECT e.vec_id,
+           CAST(list_dot_product(e.v, q.qe)
+                / (sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(q.qe, q.qe)))
+             AS DOUBLE) AS cosine
+    FROM e, q
+    WHERE {_SIGN_BUCKET_SQL.format(v='e.v')} = q.qb
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+    survey_ref="north-star: ANN sign-LSH bucketed scale path — the "
+    "bucket key is a partition-prunable column; deterministic planes "
+    "make even the approximate result value-hash-checkable",
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
