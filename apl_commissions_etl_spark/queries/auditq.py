@@ -50,3 +50,138 @@ _ORACLE = (
 )
 def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return referential_checks(_staging(spark, sf_dir))
+
+
+@query(
+    "audit_resolution_chain",
+    oracle=f"""
+    WITH {fixtures_cte_sql()},
+    flags AS (
+      SELECT pol.PolicyId,
+             MAX(CASE WHEN p.ProposalId IS NOT NULL THEN 1 ELSE 0 END)
+               AS f_prop,
+             MAX(CASE WHEN sv.SplitVersionId IS NOT NULL THEN 1 ELSE 0 END)
+               AS f_sv,
+             MAX(CASE WHEN sp.SplitParticipantId IS NOT NULL
+                      THEN 1 ELSE 0 END) AS f_sp,
+             MAX(CASE WHEN hv.HierarchyVersionId IS NOT NULL
+                      THEN 1 ELSE 0 END) AS f_hv,
+             MAX(CASE WHEN hp.HierarchyParticipantId IS NOT NULL
+                      THEN 1 ELSE 0 END) AS f_hp
+      FROM stg_policies pol
+      LEFT JOIN stg_proposals p
+        ON p.GroupId = pol.GroupId
+       AND (pol.EffectiveDate >= p.EffectiveDateFrom
+            OR p.EffectiveDateFrom IS NULL)
+       AND (pol.EffectiveDate <= p.EffectiveDateTo
+            OR p.EffectiveDateTo IS NULL)
+      LEFT JOIN stg_premium_split_versions sv
+        ON sv.ProposalId = p.ProposalId AND sv.Status = 1
+       AND pol.EffectiveDate >= sv.EffectiveFrom
+       AND (pol.EffectiveDate <= sv.EffectiveTo OR sv.EffectiveTo IS NULL)
+      LEFT JOIN stg_premium_split_participants sp
+        ON sp.SplitVersionId = sv.SplitVersionId
+      LEFT JOIN stg_hierarchy_versions hv
+        ON hv.HierarchyId = sp.HierarchyId AND hv.Status = 1
+      LEFT JOIN stg_hierarchy_participants hp
+        ON hp.HierarchyVersionId = hv.HierarchyVersionId
+      GROUP BY pol.PolicyId
+    )
+    SELECT 'total_policies' AS step, CAST(COUNT(*) AS BIGINT) AS n FROM flags
+    UNION ALL SELECT 'proposal_resolved', CAST(SUM(f_prop) AS BIGINT)
+      FROM flags
+    UNION ALL SELECT 'split_version_active', CAST(SUM(f_sv) AS BIGINT)
+      FROM flags
+    UNION ALL SELECT 'split_participants', CAST(SUM(f_sp) AS BIGINT)
+      FROM flags
+    UNION ALL SELECT 'hierarchy_version_active', CAST(SUM(f_hv) AS BIGINT)
+      FROM flags
+    UNION ALL SELECT 'hierarchy_participants', CAST(SUM(f_hp) AS BIGINT)
+      FROM flags""",
+    survey_ref="§5.3 verify-commission-requirements.sql:17-120 — the "
+    "reference walks ONE sample policy through proposal -> split "
+    "version -> participants -> hierarchy chain with per-step PASS/"
+    "FAIL prints; set-based re-expression walks EVERY policy in one "
+    "left-join pass and reports the funnel (each step's flag implies "
+    "the previous via the join chain)",
+)
+def audit_resolution_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    s = _staging(spark, sf_dir)
+    pol = s["stg_policies"]
+    p = s["stg_proposals"]
+    sv = s["stg_premium_split_versions"].filter(F.col("Status") == 1)
+    sp = s["stg_premium_split_participants"]
+    hv = s["stg_hierarchy_versions"].filter(F.col("Status") == 1)
+    hp = s["stg_hierarchy_participants"]
+
+    joined = (
+        pol.alias("pol")
+        .join(
+            p.alias("p"),
+            (F.col("p.GroupId") == F.col("pol.GroupId"))
+            & (
+                (F.col("pol.EffectiveDate") >= F.col("p.EffectiveDateFrom"))
+                | F.col("p.EffectiveDateFrom").isNull()
+            )
+            & (
+                (F.col("pol.EffectiveDate") <= F.col("p.EffectiveDateTo"))
+                | F.col("p.EffectiveDateTo").isNull()
+            ),
+            "left",
+        )
+        .join(
+            sv.alias("sv"),
+            (F.col("sv.ProposalId") == F.col("p.ProposalId"))
+            & (F.col("pol.EffectiveDate") >= F.col("sv.EffectiveFrom"))
+            & (
+                (F.col("pol.EffectiveDate") <= F.col("sv.EffectiveTo"))
+                | F.col("sv.EffectiveTo").isNull()
+            ),
+            "left",
+        )
+        .join(
+            sp.alias("sp"),
+            F.col("sp.SplitVersionId") == F.col("sv.SplitVersionId"),
+            "left",
+        )
+        .join(
+            hv.alias("hv"),
+            F.col("hv.HierarchyId") == F.col("sp.HierarchyId"),
+            "left",
+        )
+        .join(
+            hp.alias("hp"),
+            F.col("hp.HierarchyVersionId") == F.col("hv.HierarchyVersionId"),
+            "left",
+        )
+    )
+    flags = joined.groupBy("pol.PolicyId").agg(
+        F.max(F.col("p.ProposalId").isNotNull().cast("int")).alias("f_prop"),
+        F.max(F.col("sv.SplitVersionId").isNotNull().cast("int")).alias("f_sv"),
+        F.max(
+            F.col("sp.SplitParticipantId").isNotNull().cast("int")
+        ).alias("f_sp"),
+        F.max(
+            F.col("hv.HierarchyVersionId").isNotNull().cast("int")
+        ).alias("f_hv"),
+        F.max(
+            F.col("hp.HierarchyParticipantId").isNotNull().cast("int")
+        ).alias("f_hp"),
+    )
+    steps = [
+        ("total_policies", F.count(F.lit(1))),
+        ("proposal_resolved", F.sum("f_prop")),
+        ("split_version_active", F.sum("f_sv")),
+        ("split_participants", F.sum("f_sp")),
+        ("hierarchy_version_active", F.sum("f_hv")),
+        ("hierarchy_participants", F.sum("f_hp")),
+    ]
+    out = None
+    for name, agg_col in steps:
+        part = flags.agg(agg_col.cast("long").alias("n")).select(
+            F.lit(name).alias("step"), "n"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
