@@ -196,6 +196,23 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _LSH_PAIRS_CACHE[key]
 
 
+#: session-scoped cluster labels — shared by dedup_cluster_labels and
+#: the composed pretraining pipeline (the iterative CC loop runs once
+#: per session, like every other materialized shared frame)
+_CLUSTER_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLUSTER_LABELS_CACHE:
+        _CLUSTER_LABELS_CACHE[key] = dedup.connected_components(
+            _lsh_pairs(spark, sf_dir).select("id_a", "id_b"),
+            _docs(spark, sf_dir).select("doc_id"),
+            "doc_id",
+        ).localCheckpoint()
+    return _CLUSTER_LABELS_CACHE[key]
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -309,11 +326,7 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair output -> dedup groups: every doc labeled with the min
     doc_id of its near-duplicate component (singletons keep their own
     id), plus component size."""
-    d = _docs(spark, sf_dir)
-    pairs = _lsh_pairs(spark, sf_dir)
-    return dedup.connected_components(
-        pairs.select("id_a", "id_b"), d.select("doc_id"), "doc_id"
-    )
+    return _cluster_labels(spark, sf_dir)
 
 
 @query(
@@ -734,11 +747,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What a user of the engine actually runs end-to-end: dedup ->
     lang filter -> quality gate -> chunk, as one composed dataflow."""
     d = _docs(spark, sf_dir)
-    labels = dedup.connected_components(
-        _lsh_pairs(spark, sf_dir).select("id_a", "id_b"),
-        d.select("doc_id"),
-        "doc_id",
-    )
+    labels = _cluster_labels(spark, sf_dir)
     kept = (
         d.join(labels, "doc_id")
         .filter(F.col("cluster_id") == F.col("doc_id"))
