@@ -1,0 +1,308 @@
+"""Corpus-preparation queries: the operations a production pretraining
+data pipeline runs between raw ingest and shard writing — repetition
+filtering, stratified + weighted sampling, sequence packing,
+benchmark-contamination detection, embedding quantization.
+
+Every query has a full DuckDB value-hash oracle. Cross-engine parity
+rules used throughout:
+
+- ratios are raw IEEE double divisions of exact integer counts (no
+  round() step — Spark rounds half-up, DuckDB half-even, and e.g.
+  k/128 hits an exact 7th-decimal 5);
+- sampling is md5-hex-prefix bucketing (same bytes both engines), with
+  numeric thresholds compared as ints (Spark conv(hex,16,10), DuckDB
+  CAST('0x'||hex AS INT));
+- quantization uses floor(x/scale + 0.5), not round(), for an
+  engine-independent halfway rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import corpus
+from ..registry import query
+from ..sources.testdata import load_table
+from .llmdata import _NORM, _WORDS, _docs
+
+# DuckDB-side mirrors of the shared text normalization -----------------------
+
+_DUCK_U12 = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS INT)"
+
+_WORDS_CTE = f"""
+w AS (
+  SELECT doc_id, {_WORDS} AS w, len({_WORDS}) AS n_words
+  FROM documents)
+"""
+
+
+@query(
+    "corpus_repetition_filter",
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    topw AS (
+      SELECT doc_id, MAX(cnt) AS max_freq FROM (
+        SELECT doc_id, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(w) AS tok FROM w)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN n_words >= 3
+                  THEN list_transform(range(1, n_words - 1),
+                       i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+                  ELSE [] END AS sh
+      FROM w)
+    SELECT w.doc_id,
+           w.n_words,
+           1.0 - CAST(len(list_distinct(w.w)) AS DOUBLE) / w.n_words
+             AS dup_word_frac,
+           CAST(t.max_freq AS DOUBLE) / w.n_words AS top_word_frac,
+           CASE WHEN len(sh.sh) > 0
+                THEN 1.0 - CAST(len(list_distinct(sh.sh)) AS DOUBLE) / len(sh.sh)
+                ELSE 0.0 END AS dup_3gram_frac,
+           CAST(
+             (1.0 - CAST(len(list_distinct(w.w)) AS DOUBLE) / w.n_words) <= 0.95
+             AND CAST(t.max_freq AS DOUBLE) / w.n_words <= 0.2
+             AS BOOLEAN) AS keep
+    FROM w JOIN topw t USING (doc_id) JOIN sh USING (doc_id)
+    """,
+    survey_ref="north-star: Gopher/MassiveText repetition filters "
+    "(dup-word / top-word / dup-3-gram fractions) as codegen folds — "
+    "no explode shuffle on the Spark side",
+)
+def corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    m = corpus.repetition_metrics(d, "doc_id", "text")
+    return m.select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "top_word_frac",
+        "dup_3gram_frac",
+        ((F.col("dup_word_frac") <= 0.95) & (F.col("top_word_frac") <= 0.2)).alias(
+            "keep"
+        ),
+    )
+
+
+#: per-language keep rates out of 4096 hash buckets (en downsampled 4x,
+#: everything else kept) — the "rebalance a web-heavy crawl" move
+_STRAT_THRESH = {"en": 1024, "de": 4096, "es": 4096, "fr": 4096, "zh": 4096}
+
+
+@query(
+    "corpus_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_DUCK_U12} <
+      CASE lang WHEN 'en' THEN 1024 ELSE 4096 END
+    """,
+    survey_ref="north-star: deterministic stratified sampling — "
+    "per-stratum md5-bucket thresholds, reproducible on any executor "
+    "with no RNG state (O3's hash-sample generalized per stratum)",
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    thresh = F.when(F.col("lang") == "en", 1024).otherwise(4096)
+    return d.filter(corpus.hash_bucket("doc_id") < thresh).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_WORDS}) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin_id,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset
+    FROM c
+    """,
+    survey_ref="north-star: token-budget sequence packing — per-source "
+    "streams cut into 512-token bins by one window cumsum; each "
+    "executor packs its shard independently",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators import textanalysis as ta
+
+    return corpus.pack_sequences(
+        d, "doc_id", "source", ta.token_count_ws("text"), budget=512
+    )
+
+
+#: every 29th doc plays the held-out benchmark; the rest are "train"
+_BENCH_PRED = "doc_id % 29 = 0"
+
+
+@query(
+    "corpus_contamination_ngram",
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN n_words >= 3
+                    THEN list_transform(range(1, n_words - 1),
+                         i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+                    ELSE [] END) AS s
+        FROM w)),
+    bench AS (SELECT DISTINCT s FROM sh WHERE {_BENCH_PRED}),
+    train AS (SELECT doc_id, s FROM sh WHERE NOT ({_BENCH_PRED})),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM train t JOIN bench b ON t.s = b.s
+      GROUP BY t.doc_id)
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / s.n_shingles
+             AS overlap_frac,
+           CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / s.n_shingles >= 0.5
+             AS contaminated
+    FROM sizes s LEFT JOIN hits h USING (doc_id)
+    """,
+    survey_ref="north-star: benchmark-contamination detection — train "
+    "docs vs held-out shingle set via broadcast semi-structured join "
+    "(the benchmark side is tiny at any corpus scale)",
+)
+def corpus_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    from ..operators import textanalysis as ta
+
+    w = ta.words("text")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(corpus.word_shingles(w, F.size(w)))
+        ).alias("s"),
+    )
+    is_bench = F.col("doc_id") % 29 == 0
+    bench = sh.filter(is_bench).select("s").distinct()
+    train = sh.filter(~is_bench)
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    out = sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+    )
+    frac = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        (frac >= 0.5).alias("contaminated"),
+    )
+
+
+@query(
+    "corpus_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             greatest(CAST(list_max(list_transform(embedding, x -> abs(x)))
+                           AS DOUBLE), 1e-12) / CAST(127 AS DOUBLE) AS scale
+      FROM embeddings)
+    SELECT vec_id, label, scale,
+           array_to_string(list_transform(embedding,
+             x -> CAST(greatest(-127, least(127,
+                  CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)))
+                  AS VARCHAR)), ',') AS q8
+    FROM s
+    """,
+    survey_ref="north-star: symmetric per-vector int8 quantization of "
+    "the embedding column — pure array lambdas in the scan stage, the "
+    "compression step before ANN index build",
+)
+def corpus_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    scale, q = corpus.quantize_int8(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        "label",
+        scale.alias("scale"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q8"),
+    )
+
+
+_MIX_RATES_SQL = """
+counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+wts AS (
+  SELECT source, n_docs,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4')
+              THEN CAST(2 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END AS mix_weight
+  FROM counts),
+base AS (SELECT MIN(CAST(n_docs AS DOUBLE) / mix_weight) AS c_base FROM wts),
+rates AS (
+  SELECT w.source, w.n_docs, w.mix_weight,
+         least(CAST(1 AS DOUBLE),
+               b.c_base * w.mix_weight / CAST(w.n_docs AS DOUBLE)) AS keep_rate
+  FROM wts w CROSS JOIN base b)
+"""
+
+
+def _mix_weight() -> F.Column:
+    return F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 2.0
+    ).otherwise(1.0)
+
+
+@query(
+    "corpus_mix_rates",
+    oracle=f"WITH {_MIX_RATES_SQL} SELECT source, n_docs, mix_weight, "
+    "keep_rate FROM rates",
+    survey_ref="north-star: weighted source mixing — temperature-style "
+    "rebalancing rates from a group-scale count aggregate (one tiny "
+    "shuffle; rates broadcast back to the corpus side)",
+)
+def corpus_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return corpus.source_mix_rates(counts, _mix_weight())
+
+
+@query(
+    "corpus_mix_weighted",
+    oracle=f"""
+    WITH {_MIX_RATES_SQL}
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3) AS INT)
+          < CAST(floor(r.keep_rate * 4096) AS INT)
+    """,
+    survey_ref="north-star: weighted source mixing applied — "
+    "deterministic md5-bucket downsampling against the per-source "
+    "rates; the decision is a pure function of (doc_id, rate), no "
+    "coordination across executors",
+)
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    rates = corpus.source_mix_rates(counts, _mix_weight()).select(
+        "source", "keep_rate"
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            corpus.hash_bucket("doc_id")
+            < F.floor(F.col("keep_rate") * 4096).cast("int")
+        )
+        .select("doc_id", "source")
+    )

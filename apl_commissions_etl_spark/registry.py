@@ -53,6 +53,7 @@ def all_queries() -> dict[str, Query]:
         builder,
         builder_modes,
         calcdomain,
+        corpusprep,
         dims,
         exports,
         ingest,
