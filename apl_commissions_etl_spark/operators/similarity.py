@@ -164,19 +164,49 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid cell — entirely
-    map-side: the centroid list is a literal array of (sim, -cid)
-    structs and array_max picks (max sim, then min cid). No shuffle,
-    no window; at 100 TB the cell id becomes the partition key."""
-    cnorms = engine_norms(emb, dict(centroids))
-    with_norm = emb.withColumn("_vnorm", norm(F.col(vec_col)))
+    map-side: the centroids are ONE literal array of (cid, cvec)
+    structs scored by a single transform loop, and array_max over
+    (sim, -cid) picks (max sim, then min cid). No shuffle, no window;
+    at 100 TB the cell id becomes the partition key.
+
+    The centroid DATA lives in the literal array, not in the generated
+    code: an earlier revision unrolled one inlined dot product per
+    centroid, and the resulting whole-stage Java was so large that
+    janino recompiles (after codegen-cache eviction by neighboring
+    queries) cost ~4s per run — and would grow linearly with centroid
+    count. One loop over an array literal keeps the generated code
+    constant-size regardless of n_centroids."""
     entries = ",".join(
-        "named_struct('sim', "
-        f"{_dot_sql(_dcol_sql(vec_col), _vec_sql(cv))}"
-        f" / (`_vnorm` * {_dlit_sql(cnorms[cid])}), 'ncid', {-cid}L)"
+        f"named_struct('cid', {cid}L, 'cvec', {_vec_sql(cv)})"
         for cid, cv in centroids
     )
-    best = F.array_max(F.expr(f"array({entries})"))
-    return with_norm.withColumn("cell", -best["ncid"]).drop("_vnorm")
+    cmat = F.expr(f"array({entries})")
+    with_pre = emb.withColumn("_ev", _d(F.col(vec_col))).withColumn(
+        "_vnorm", norm(F.col(vec_col))
+    )
+
+    def score(c: Column) -> Column:
+        d = F.aggregate(
+            F.zip_with(F.col("_ev"), c["cvec"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cn = F.sqrt(
+            F.aggregate(
+                F.zip_with(c["cvec"], c["cvec"], lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return F.struct(
+            (d / (F.col("_vnorm") * cn)).alias("sim"),
+            (-c["cid"]).alias("ncid"),
+        )
+
+    best = F.array_max(F.transform(cmat, score))
+    return (
+        with_pre.withColumn("cell", -best["ncid"]).drop("_ev", "_vnorm")
+    )
 
 
 def cosine_topk_ivf(
