@@ -59,16 +59,24 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # best-of-2 timed runs: steady-state latency, robust to transient
-    # host load and codegen-cache eviction between queries
+    # best-of-3 timed runs: steady-state latency. Observed noise shape
+    # on the bench host: roughly one ~10s stall per bench session at a
+    # fixed point in wall time, landing on whichever query is active
+    # (it moved from ann_topk_ivf to pipeline_pretrain_corpus when the
+    # former got faster) — per-run timings go to stderr so a polluted
+    # sample is visible, and best-of-3 keeps it out of the recorded
+    # number
     timings: dict[str, float] = {}
     for name in names:
         best = None
-        for _ in range(2):
+        for i in range(3):
             t0 = time.time()
             df = qs[name].spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
+            print(
+                f"[bench] {name} run{i} {dt:.3f}s", file=sys.stderr, flush=True
+            )
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
 
