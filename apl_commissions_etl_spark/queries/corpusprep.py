@@ -306,3 +306,154 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics + the round's flagship composition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_ngram_topk",
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    grams AS (
+      SELECT unnest(CASE WHEN n_words >= 3
+                 THEN list_transform(range(1, n_words - 1),
+                      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+                 ELSE [] END) AS gram
+      FROM w),
+    counts AS (SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram)
+    SELECT gram, n FROM counts ORDER BY n DESC, gram LIMIT 25
+    """,
+    survey_ref="north-star: corpus-level heavy hitters — top-k 3-grams "
+    "via map-side partial counts + TakeOrderedAndProject (per-partition "
+    "top-k, no global sort); the vocabulary/boilerplate profiling pass",
+)
+def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textanalysis as ta
+
+    d = _docs(spark, sf_dir)
+    w = ta.words("text")
+    grams = d.select(
+        F.explode(corpus.word_shingles(w, F.size(w))).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(25)
+    )
+
+
+@query(
+    "corpus_dup_rate_by_source",
+    oracle=f"""
+    WITH fp AS (
+      SELECT source, md5({_NORM}) AS fp FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*)
+             AS dup_rate
+    FROM fp GROUP BY source
+    """,
+    survey_ref="north-star: per-source exact-duplicate rates (the "
+    "corpus-health dashboard aggregate over the dedup fingerprint); "
+    "one combinable shuffle on (source, fp)",
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textanalysis as ta
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("source", ta.fingerprint_exact("text").alias("fp"))
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_dup_docs"),
+        (
+            (F.count("*") - F.countDistinct("fp")).cast("double") / F.count("*")
+        ).alias("dup_rate"),
+    )
+
+
+@query(
+    "pipeline_finetune_pack",
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    topw AS (
+      SELECT doc_id, MAX(cnt) AS max_freq FROM (
+        SELECT doc_id, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(w) AS tok FROM w)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    clean AS (
+      SELECT d.doc_id, d.lang, d.source, ww.n_words
+      FROM documents d
+      JOIN w ww USING (doc_id) JOIN topw t USING (doc_id)
+      WHERE 1.0 - CAST(len(list_distinct(ww.w)) AS DOUBLE) / ww.n_words <= 0.95
+        AND CAST(t.max_freq AS DOUBLE) / ww.n_words <= 0.2),
+    sampled AS (
+      SELECT * FROM clean
+      WHERE {_DUCK_U12} < CASE lang WHEN 'en' THEN 1024 ELSE 4096 END),
+    counts AS (SELECT source, COUNT(*) AS n_docs FROM sampled GROUP BY source),
+    wts AS (
+      SELECT source, n_docs,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                  THEN CAST(2 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END AS mix_weight
+      FROM counts),
+    base AS (SELECT MIN(CAST(n_docs AS DOUBLE) / mix_weight) AS c_base FROM wts),
+    rates AS (
+      SELECT w2.source,
+             least(CAST(1 AS DOUBLE),
+                   b.c_base * w2.mix_weight / CAST(w2.n_docs AS DOUBLE))
+               AS keep_rate
+      FROM wts w2 CROSS JOIN base b),
+    mixed AS (
+      SELECT s.doc_id, s.source, s.n_words
+      FROM sampled s JOIN rates r USING (source)
+      WHERE CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 3) AS INT)
+            < CAST(floor(r.keep_rate * 4096) AS INT)),
+    packed AS (
+      SELECT doc_id, source, n_words AS n_tokens,
+             SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM mixed)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin_id,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset
+    FROM packed
+    """,
+    survey_ref="north-star FLAGSHIP composition #2: the fine-tuning "
+    "shard-prep pipeline in one plan — repetition gate, stratified "
+    "rebalance, weighted source mixing, token-budget packing; every "
+    "stage is the already-verified round-4 operator, composed",
+)
+def pipeline_finetune_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second end-to-end composition: what a fine-tuning data pipeline
+    runs — repetition filter -> stratified sample -> weighted mix ->
+    sequence packing — as one composed dataflow (the packing window is
+    the only shuffle after the repetition metric folds)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = corpus.repetition_metrics(d, "doc_id", "text")
+    clean = (
+        d.join(m, "doc_id")
+        .filter((F.col("dup_word_frac") <= 0.95) & (F.col("top_word_frac") <= 0.2))
+        .select("doc_id", "lang", "source", "n_words")
+    )
+    thresh = F.when(F.col("lang") == "en", 1024).otherwise(4096)
+    sampled = clean.filter(corpus.hash_bucket("doc_id") < thresh)
+    counts = sampled.groupBy("source").agg(F.count("*").alias("n_docs"))
+    rates = corpus.source_mix_rates(counts, _mix_weight()).select(
+        "source", "keep_rate"
+    )
+    mixed = (
+        sampled.join(F.broadcast(rates), "source")
+        .filter(
+            corpus.hash_bucket("doc_id")
+            < F.floor(F.col("keep_rate") * 4096).cast("int")
+        )
+        .select("doc_id", "source", "n_words")
+    )
+    return corpus.pack_sequences(
+        mixed, "doc_id", "source", F.col("n_words"), budget=512
+    )
