@@ -60,6 +60,7 @@ def all_queries() -> dict[str, Query]:
         joins,
         llmdata,
         policies,
+        reporting,
         scalars,
         setops,
         streamops,
