@@ -94,3 +94,75 @@ def test_repetition_metrics_known_values(spark):
     assert math.isclose(rows[3].dup_word_frac, 1.0 - 2.0 / 6.0)
     # 4 shingles: 'x y x','y x y','x y x','y x y' -> 2 distinct
     assert math.isclose(rows[3].dup_3gram_frac, 0.5)
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Property test: on random (id, part, tokens) rows, the window
+    packing agrees with a sequential Python fold per partition."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.integers(0, 40),  # doc id (may collide across parts)
+        st.sampled_from(["p0", "p1", "p2"]),
+        st.integers(0, 700),  # token count (can exceed the budget)
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(row, min_size=1, max_size=40, unique_by=lambda r: (r[0], r[1])))
+    def check(rows):
+        df = spark.createDataFrame(rows, "doc_id long, part string, n long")
+        got = {
+            (r.doc_id, r.part): (r.bin_id, r.start_offset)
+            for r in corpus.pack_sequences(
+                df, "doc_id", "part", F.col("n"), budget=100
+            ).collect()
+        }
+        for part in {r[1] for r in rows}:
+            offset = 0
+            for doc_id, _, n in sorted(r for r in rows if r[1] == part):
+                assert got[(doc_id, part)] == (offset // 100, offset)
+                offset += n
+
+    check()
+
+
+def test_repetition_metrics_match_python_reference(spark):
+    """Property test: repetition ratios agree with a direct Python
+    computation over random word-soup documents."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    doc = st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=1, max_size=12
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(doc, min_size=1, max_size=10))
+    def check(docs):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            r.id: r
+            for r in corpus.repetition_metrics(df, "id", "text").collect()
+        }
+        for i, ws in enumerate(docs):
+            n = len(ws)
+            want_dup = 1.0 - len(set(ws)) / n
+            want_top = max(ws.count(w) for w in set(ws)) / n
+            sh = [" ".join(ws[j : j + 3]) for j in range(n - 2)] if n >= 3 else []
+            want_3g = (1.0 - len(set(sh)) / len(sh)) if sh else 0.0
+            r = got[i]
+            assert abs(r.dup_word_frac - want_dup) < 1e-12
+            assert abs(r.top_word_frac - want_top) < 1e-12
+            assert abs(r.dup_3gram_frac - want_3g) < 1e-12
+
+    check()
