@@ -1,0 +1,187 @@
+"""Sequence analytics over the event stream: funnel conversion,
+cohort retention, event-transition matrix. New surface beyond the
+reference (its event data lives in run logs it never queries) — the
+standard product-analytics operators an engine at this scale is asked
+for, each a clean composition of window/agg primitives.
+
+Scale notes: every query here shuffles on user_id exactly once (the
+per-user min/first aggregations) and the follow-up joins reuse that
+partitioning; cohort/transition outputs are day/type-cardinality
+(tiny). Timestamps are microsecond integers in both engines, so
+interval arithmetic and datediff are exact — no float drift anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.testdata import load_table
+
+#: funnel step window: each step must follow the previous within 24h
+STEP_HOURS = 24
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _funnel_users(e: DataFrame) -> DataFrame:
+    """Per user: earliest signup t1, earliest click in (t1, t1+24h],
+    earliest purchase in (t2, t2+24h] — min-qualifying-timestamp
+    funnel semantics (ties resolved by MIN, deterministic)."""
+    t1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    step = F.expr(f"INTERVAL {STEP_HOURS} HOURS")
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3")
+    )
+
+
+_FUNNEL_SQL = f"""
+t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL {STEP_HOURS} HOURS
+  GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > t2.t2 AND e.ts <= t2.t2 + INTERVAL {STEP_HOURS} HOURS
+  GROUP BY e.user_id)
+"""
+
+
+@query(
+    "seq_funnel_users",
+    oracle=f"""
+    WITH {_FUNNEL_SQL}
+    SELECT t1.user_id, t1.t1, t2.t2, t3.t3
+    FROM t1
+    LEFT JOIN t2 ON t2.user_id = t1.user_id
+    LEFT JOIN t3 ON t3.user_id = t1.user_id
+    """,
+    survey_ref="sequence analytics (new surface): 3-step funnel "
+    "signup -> click -> purchase, each step within 24h of the previous; "
+    "min-qualifying timestamps per user, one user_id shuffle reused by "
+    "every step join",
+)
+def seq_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _funnel_users(_events(spark, sf_dir))
+
+
+@query(
+    "seq_funnel_summary",
+    oracle=f"""
+    WITH {_FUNNEL_SQL}
+    SELECT 'step1_signup' AS stage, COUNT(*) AS n_users FROM t1
+    UNION ALL SELECT 'step2_click', COUNT(*) FROM t2
+    UNION ALL SELECT 'step3_purchase', COUNT(*) FROM t3
+    """,
+    survey_ref="sequence analytics (new surface): funnel stage counts "
+    "(the conversion report over seq_funnel_users)",
+)
+def seq_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _funnel_users(_events(spark, sf_dir))
+    out = None
+    for stage, col in (
+        ("step1_signup", "t1"),
+        ("step2_click", "t2"),
+        ("step3_purchase", "t3"),
+    ):
+        part = f.filter(F.col(col).isNotNull()).agg(
+            F.count(F.lit(1)).alias("n_users")
+        ).select(F.lit(stage).alias("stage"), "n_users")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@query(
+    "seq_cohort_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id)
+    SELECT f.cohort_day,
+           datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    survey_ref="sequence analytics (new surface): cohort retention "
+    "matrix — first-activity-day cohorts x day offset x distinct "
+    "actives; first_day is user-cardinality (NOT broadcastable at "
+    "scale), so the join stays hash-partitioned on user_id and reuses "
+    "the aggregation's own shuffle; AQE may still broadcast small SFs",
+)
+def seq_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    first_day = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    return (
+        e.join(first_day, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "seq_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type, next_type, COUNT(*) AS n_transitions
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    survey_ref="sequence analytics (new surface): event transition "
+    "matrix via per-user LEAD (W4's window machinery turned into a "
+    "Markov edge count; event_id tie-break for same-timestamp rows)",
+)
+def seq_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

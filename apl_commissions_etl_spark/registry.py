@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         calcdomain,
         corpusprep,
         dims,
+        events,
         exports,
         ingest,
         joins,
