@@ -370,3 +370,31 @@ def agg_summary_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_ref="exact grouped percentiles (new surface beyond the "
+    "reference): Spark percentile() and DuckDB quantile_cont share the "
+    "R-7 linear-interpolation definition, verified bit-exact; at scale "
+    "exact percentiles need the full sorted group (the documented "
+    "trade-off vs approx_percentile's mergeable sketch)",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
