@@ -398,3 +398,35 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey_ref="GROUP BY ROLLUP with GROUPING() markers (new surface "
+    "beyond the reference's flat GROUP BYs): subtotal/grand-total "
+    "levels in one pass — Spark expands the grouping sets before the "
+    "exchange, so it stays a single combinable shuffle; exact DECIMAL "
+    "accumulation, DOUBLE at the edge",
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "revenue", "n"
+    )
