@@ -506,3 +506,54 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "join_fuzzy_name_levenshtein",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT s_name FROM supplier),
+    probes AS (
+      SELECT * FROM (VALUES
+        ('Supplier#000000001'), ('Suplier#000000002'),
+        ('Supplier#00000003x'), ('SUPPLIER#000000004')) AS t(dirty)),
+    scored AS (
+      SELECT p.dirty, n.s_name,
+             levenshtein(p.dirty, n.s_name) AS dist
+      FROM probes p CROSS JOIN names n),
+    best AS (
+      SELECT dirty, s_name, dist,
+             ROW_NUMBER() OVER (PARTITION BY dirty
+               ORDER BY dist, s_name) AS rn
+      FROM scored)
+    SELECT dirty, s_name AS matched_name, dist
+    FROM best WHERE rn = 1 AND dist <= 3
+    """,
+    survey_ref="fuzzy name match via edit distance (generalizes J15's "
+    "closest-year fuzzy join to strings): tiny probe list broadcast "
+    "against the name dim, per-probe argmin with deterministic "
+    "tie-break, distance-capped; at scale the probe side is the small "
+    "side by construction (a cleanup worklist)",
+)
+def join_fuzzy_name_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").select("s_name").distinct()
+    probes = sup.sparkSession.createDataFrame(
+        [
+            ("Supplier#000000001",),
+            ("Suplier#000000002",),
+            ("Supplier#00000003x",),
+            ("SUPPLIER#000000004",),
+        ],
+        "dirty string",
+    )
+    scored = sup.crossJoin(F.broadcast(probes)).select(
+        "dirty",
+        "s_name",
+        F.levenshtein("dirty", "s_name").alias("dist"),
+    )
+    w = W.partitionBy("dirty").orderBy("dist", "s_name")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("dist") <= 3))
+        .select("dirty", F.col("s_name").alias("matched_name"), "dist")
+    )

@@ -221,3 +221,71 @@ def ord_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(bucket.isin("00", "01", "02")).select(
         "o_orderkey", "o_orderstatus"
     )
+
+
+@query(
+    "win_moving_avg_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS moving_avg_1h,
+           COUNT(*) OVER w AS n_in_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    survey_ref="RANGE-frame window (new surface): 1h trailing moving "
+    "average per user — a time-based frame, not a row count; exact "
+    "DECIMAL sum over the frame, one double division at the edge "
+    "(double-accumulated AVG would be frame-order-dependent)",
+)
+def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # RANGE frames need a numeric ordering key in Spark: order by
+    # microseconds since a fixed NTZ epoch and bound by 1h of
+    # microseconds — exact integer arithmetic identical to DuckDB's
+    # INTERVAL frame, and timezone-independent (ts is TIMESTAMP_NTZ;
+    # casting it to TIMESTAMP would re-interpret in session tz)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    )
+    w = W.partitionBy("user_id").orderBy(us).rangeBetween(-3_600_000_000, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+@query(
+    "win_ntile_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, spend,
+           ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS spend_quartile
+    FROM t
+    """,
+    survey_ref="NTILE bucketing (new surface): customer spend "
+    "quartiles — deterministic via the unique-key tie-break; both "
+    "engines share the equal-buckets-remainder-first NTILE definition",
+)
+def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    w = W.orderBy(F.desc("spend"), "o_custkey")
+    return spend.select(
+        "o_custkey", "spend", F.ntile(4).over(w).alias("spend_quartile")
+    )
