@@ -430,3 +430,45 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_returnflag", "l_linestatus", "g_flag", "g_status", "revenue", "n"
     )
+
+
+@query(
+    "agg_pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_ref="PIVOT (new surface): revenue and counts by returnflag "
+    "pivoted across linestatus — explicit value list keeps the output "
+    "schema static (a data-driven pivot needs a pre-pass to enumerate "
+    "columns, a driver round-trip to avoid at scale); Catalyst rewrites "
+    "pivot to exactly the oracle's conditional aggregation",
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(dec).cast("double").alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce("F_rev", F.lit(0.0)).alias("F"),
+        F.coalesce("O_rev", F.lit(0.0)).alias("O"),
+        F.coalesce("F_n", F.lit(0)).alias("n_F"),
+        F.coalesce("O_n", F.lit(0)).alias("n_O"),
+    )
