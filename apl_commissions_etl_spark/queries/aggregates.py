@@ -36,12 +36,12 @@ def _osum(expr: str) -> str:
     SELECT l_returnflag, l_linestatus,
            {_osum('l_quantity')} AS sum_qty,
            {_osum('l_extendedprice')} AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
              AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                    * (1 - CAST(l_discount AS DECIMAL(18,6)))
-                    * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE)
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
              AS sum_charge,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
                 / COUNT(*) AS DOUBLE) AS avg_qty,
@@ -57,9 +57,15 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with map-side partial aggregation (verify with
     .explain(): HashAggregate(partial) below the shuffle)."""
     li = load_table(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast(DEC)
-    disc = F.col("l_discount").cast(DEC)
-    tax = F.col("l_tax").cast(DEC)
+    # tight decimal widths: the inputs are exact 2-decimal values, and
+    # DECIMAL(12,2) * DECIMAL(5,2) * DECIMAL(5,2) stays inside
+    # DECIMAL(38) on BOTH engines — the earlier DECIMAL(18,6) casts
+    # pushed the triple product past 38 digits, which DuckDB resolves
+    # by falling back to DOUBLE (order-dependent last-ulp drift in
+    # sum_charge, observed at sf0.1)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
