@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import corpus
+from ..operators import corpus, textanalysis as ta
 from ..registry import query
 from ..sources.testdata import load_table
 from .llmdata import _NORM, _WORDS, _docs
@@ -456,4 +456,51 @@ def pipeline_finetune_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return corpus.pack_sequences(
         mixed, "doc_id", "source", F.col("n_words"), budget=512
+    )
+
+
+@query(
+    "corpus_length_buckets",
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    b AS (
+      SELECT doc_id, n_words,
+             CAST(length(bin(n_words)) - 1 AS INT) AS bucket_log2
+      FROM w WHERE n_words > 0)
+    SELECT bucket_log2,
+           CAST(POW(2, bucket_log2) AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           MIN(n_words) AS min_tokens,
+           MAX(n_words) AS max_tokens,
+           CAST(SUM(n_words) AS BIGINT) * 1.0 / COUNT(*) AS avg_tokens
+    FROM b GROUP BY bucket_log2
+    """,
+    survey_ref="north-star: sequence-length bucketing for packing/"
+    "curriculum — power-of-two token-length histogram. The bucket id "
+    "is derived from the binary-string width (length(bin(n)) - 1 == "
+    "floor(log2 n)) so both engines bucket by exact integer math, "
+    "never float log2; one combinable groupBy on a <64-value key",
+)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram with power-of-two buckets: the sizing
+    pass a packing/curriculum scheduler reads (how many docs fit each
+    context-length class, token mass per class)."""
+    d = _docs(spark, sf_dir)
+    n_words = F.size(ta.words("text")).cast("long")
+    b = d.select(
+        "doc_id", n_words.alias("n_words")
+    ).filter(F.col("n_words") > 0).withColumn(
+        "bucket_log2", (F.length(F.bin("n_words")) - 1).cast("int")
+    )
+    return b.groupBy("bucket_log2").agg(
+        F.pow(F.lit(2), F.col("bucket_log2")).cast("long").alias("bucket_lo"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.min("n_words").alias("min_tokens"),
+        F.max("n_words").alias("max_tokens"),
+        (F.sum("n_words") * 1.0 / F.count(F.lit(1))).alias("avg_tokens"),
+    ).select(
+        "bucket_log2", "bucket_lo", "n_docs", "total_tokens",
+        "min_tokens", "max_tokens", "avg_tokens",
     )

@@ -185,3 +185,123 @@ def seq_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "seq_asof_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts),
+    purchases AS (
+      SELECT user_id, event_id, ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_event_id, c.click_ts,
+           CAST(date_diff('microsecond', c.click_ts, p.ts) AS BIGINT)
+             AS lag_us
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    survey_ref="custom operator (new surface): backward as-of join — "
+    "each purchase attributed to the most recent click at-or-before it "
+    "per user. Spark lacks ASOF JOIN, so it is re-expressed as a "
+    "union-marker window scan (one user_id shuffle, O(n log n)) "
+    "instead of the naive per-user range theta-join (O(n^2) per hot "
+    "user); DuckDB's native ASOF LEFT JOIN is the oracle",
+)
+def seq_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (merge_asof-style) join via the union-marker trick.
+
+    Clicks are first deduped to one per (user, ts) (MAX event_id — the
+    same tie rule ASOF resolves to after the dedup), then clicks and
+    purchases are unioned into one stream ordered by (ts, side) with
+    clicks first at equal timestamps; a running ``last(..., ignorenulls)``
+    window carries the latest click attributes forward onto each
+    purchase row. One shuffle, no range-join explosion, and the window
+    frame is growing-only so Spark streams it without buffering whole
+    partitions.
+    """
+    e = _events(spark, sf_dir)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            "click_event_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("click_event_id"),
+        F.lit(None).cast(e.schema["ts"].dataType).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "side",
+        "event_id",
+        "user_id",
+        "ts",
+        F.last("click_event_id", ignorenulls=True).over(w).alias("c_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("c_ts"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("c_id").alias("click_event_id"),
+        F.col("c_ts").alias("click_ts"),
+        F.expr("timestampdiff(MICROSECOND, c_ts, ts)").alias("lag_us"),
+    )
+
+
+@query(
+    "agg_time_bucket_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) / 1e6
+                AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    survey_ref="new surface: hypertable-style continuous aggregate — "
+    "time_bucket(1h) x event_type rollup (count / exact distinct / "
+    "sum / min / max). Sum goes through integer micro-units "
+    "(floor(x*1e6+0.5)) so it is order-independent and halfway-rule "
+    "identical across engines; the single groupBy is a map-side "
+    "partial-combinable shuffle on (bucket, type) — the natural "
+    "pre-aggregation a downstream dashboard reads instead of raw "
+    "events at 100 TB",
+)
+def agg_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (
+                F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("long")) / 1e6
+            ).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
