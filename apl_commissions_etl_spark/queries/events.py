@@ -305,3 +305,66 @@ def agg_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                      > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked)
+    SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_us
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+    survey_ref="new surface: batch sessionization — 30-min-gap session "
+    "ids via LAG + running SUM (the batch twin of "
+    "stream_session_window). One user_id shuffle feeds the two stacked "
+    "windows AND the final per-session aggregation (same partitioning, "
+    "no re-exchange); frames are growing-only so nothing buffers",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is
+    idle > 30 minutes. LAG marks boundaries, a running sum numbers
+    sessions, then a per-(user, session) aggregate emits bounds."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    marked = e.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("prev_ts").isNull() | (gap_us > 1_800_000_000), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(run).cast("int").alias("session_seq"),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "timestampdiff(MICROSECOND, min(ts), max(ts))"
+        ).alias("duration_us"),
+    )
