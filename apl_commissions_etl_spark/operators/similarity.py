@@ -293,3 +293,52 @@ def kmeans_refine(
             for cid, dims in sorted(by_cell.items())
         ]
     return centroids
+
+
+def cosine_range_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Range search: every pair with cosine >= threshold, candidates
+    restricted to same-sign-LSH-bucket pairs (the top-k path's bucket
+    key reused as an equi-join key, so the pair space is
+    sum(bucket^2) not n^2). ``max_bucket`` drops degenerate hot
+    buckets before the self-join — same guard as the MinHash band
+    join; at 100 TB a hot bucket would otherwise make one task
+    quadratic."""
+    b = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    hot = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("bucket")
+    )
+    capped = b.join(F.broadcast(hot), "bucket", "left_anti")
+    left = capped.select(
+        "bucket",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    right = capped.select(
+        "bucket",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

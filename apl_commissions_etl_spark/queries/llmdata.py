@@ -756,3 +756,46 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return ta.chunk_tokens(kept, "doc_id", "text", size=64, stride=48)
+
+
+_SIGN4_SQL = "concat(" + ", ".join(
+    f"CASE WHEN {{v}}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(4)
+) + ")"
+
+#: range-search hot-bucket cap (same guard class as MAX_BAND_BUCKET)
+MAX_RANGE_BUCKET = 10_000
+
+
+@query(
+    "ann_range_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_SIGN4_SQL.format(v='v')} AS bucket FROM e),
+    hot AS (SELECT bucket FROM b GROUP BY bucket
+            HAVING COUNT(*) > {MAX_RANGE_BUCKET}),
+    capped AS (SELECT * FROM b
+               WHERE bucket NOT IN (SELECT bucket FROM hot))
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           CAST(list_dot_product(a.v, c.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(c.v, c.v)))
+             AS DOUBLE) AS cosine
+    FROM capped a JOIN capped c
+      ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE CAST(list_dot_product(a.v, c.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(c.v, c.v)))
+             AS DOUBLE) >= 0.3
+    """,
+    survey_ref="north-star: similarity RANGE search (all pairs with "
+    "cosine >= t) — the top-k path's sign-LSH bucket reused as an "
+    "equi-join key, so the candidate space is sum over buckets of "
+    "b^2, never n^2; hot-bucket cap bounds the worst task",
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed cosine range search: deterministic sign-LSH planes
+    make the approximate pair set itself value-hash-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_range_pairs(
+        emb, threshold=0.3, planes=4, max_bucket=MAX_RANGE_BUCKET
+    )
