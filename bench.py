@@ -40,6 +40,8 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "stream_session_window",
+    "seq_asof_attribution",
+    "win_sessionize",
     "dim_policies",
     "audit_referential_integrity",
 ]
