@@ -62,3 +62,37 @@ def test_merge_upsert_defaults_to_all_shared_columns(spark):
     out = merge_upsert(prod, src, ["Id"])
     row = out.collect()[0]
     assert (row.V, row.X) == ("b", 1.0)  # V updated; X untouched (not in source)
+
+
+def test_overwrite_partitions_touches_only_present_parts(spark, tmp_path):
+    from apl_commissions_etl_spark.operators.export import overwrite_partitions
+
+    path = str(tmp_path / "parted")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p3")],
+        "id int, v string, part string",
+    )
+    overwrite_partitions(base, path, "part")
+    # re-run only p1 with changed rows; p2/p3 must survive untouched
+    delta = spark.createDataFrame(
+        [(1, "a2", "p1")], "id int, v string, part string"
+    )
+    overwrite_partitions(delta, path, "part")
+    got = {
+        (r.id, r.v, r.part) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a2", "p1"), (3, "c", "p2"), (4, "d", "p3")}
+
+
+def test_compact_small_files(spark, tmp_path):
+    from apl_commissions_etl_spark.operators.export import compact_small_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    df.repartition(16).write.parquet(path)
+    stats = compact_small_files(spark, path, target_files_per_partition=1)
+    assert stats["files_before"] >= 16
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).collect()[0][0] == 999 * 1000
