@@ -557,3 +557,57 @@ def join_fuzzy_name_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("dist") <= 3))
         .select("dirty", F.col("s_name").alias("matched_name"), "dist")
     )
+
+
+@query(
+    "join_interval_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+          FROM orders
+          WHERE CAST(o_orderdate AS DATE) >= DATE '1995-03-01'
+            AND CAST(o_orderdate AS DATE) <  DATE '1995-04-01') o
+    JOIN (SELECT l_orderkey, l_linenumber,
+                 CAST(l_shipdate AS DATE) AS s,
+                 CAST(l_shipdate AS DATE)
+                   + CAST(3 + (l_orderkey + l_linenumber) % 11 AS INT) AS r
+          FROM lineitem) l
+      ON o.d >= l.s AND o.d <= l.r
+    """,
+    survey_ref="custom operator (new surface): BIG-BIG point-in-interval "
+    "join with no equi key — the theta predicate is converted to an "
+    "equi-join by exploding each interval into its covered days "
+    "(bounded width, here <= 14), so the plan is a plain hash join on "
+    "the day bucket instead of a nested-loop scan. J3's residual-band "
+    "trick needs an equi key and J4 needs a broadcastable side; this "
+    "is the remaining case where BOTH sides are fact-scale",
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via day-bucket explode: each (interval, covered
+    day) row joins point rows on day equality. Each matching pair
+    appears exactly once (a point has one day; an interval covers each
+    day once), so no dedup pass. At 100 TB the explode factor is the
+    interval width bound — a 14-day cap costs <= 14x on the interval
+    side but keeps every join task hash-partitioned and skew-safe."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1995-03-01").cast("date")
+    hi = F.lit("1995-04-01").cast("date")
+    pts = (
+        o.select("o_orderkey", F.col("o_orderdate").cast("date").alias("d"))
+        .filter((F.col("d") >= lo) & (F.col("d") < hi))
+    )
+    iv = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("s"),
+    ).withColumn(
+        "r",
+        F.expr(
+            "date_add(s, CAST(3 + (l_orderkey + l_linenumber) % 11 AS INT))"
+        ),
+    )
+    days = iv.withColumn("d", F.explode(F.sequence("s", "r")))
+    return pts.join(days, "d").select(
+        "o_orderkey", "l_orderkey", "l_linenumber"
+    )
