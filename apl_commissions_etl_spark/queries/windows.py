@@ -289,3 +289,39 @@ def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend.select(
         "o_custkey", "spend", F.ntile(4).over(w).alias("spend_quartile")
     )
+
+
+@query(
+    "win_first_last_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderstatus) OVER w AS first_status,
+           LAST_VALUE(o_orderstatus) OVER w AS last_status,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           LAST_VALUE(o_orderkey) OVER w AS last_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+    survey_ref="W-family completeness: FIRST_VALUE/LAST_VALUE over the "
+    "full-partition frame (the oldest/newest-per-key enrichment the "
+    "reference writes as two correlated TOP 1 subqueries, e.g. "
+    "06a-proposals-simple-groups.sql min/max effective rows) — one "
+    "window pass, unique-key tie-break keeps it deterministic",
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderstatus").over(w).alias("first_status"),
+        F.last("o_orderstatus").over(w).alias("last_status"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w).alias("last_orderkey"),
+    ).distinct()
