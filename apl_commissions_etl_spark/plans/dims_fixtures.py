@@ -270,6 +270,93 @@ DIM_VIEWS: list[tuple[str, str]] = [
         FROM part
         """,
     ),
+    (
+        # ref sql/transforms/12-licenses.sql raw side: literal 'NULL'
+        # strings, blank states, unparseable dates, every spelling of
+        # the residence flag, and PartyUniqueIds beyond the broker
+        # universe (orphans the INNER JOIN must skip)
+        "raw_broker_licenses",
+        """
+        SELECT CAST(p_partkey AS VARCHAR(20)) AS Id,
+               CASE WHEN p_partkey % 41 = 0 THEN 'NULL'
+                    WHEN p_partkey % 43 = 1 THEN ''
+                    ELSE 'P' || CAST((p_partkey % 3000) * 10 AS VARCHAR(20))
+               END AS PartyUniqueId,
+               CASE WHEN p_partkey % 19 = 0 THEN 'NULL'
+                    WHEN p_partkey % 23 = 1 THEN ''
+                    ELSE SUBSTR('ALCANYTXFLWAOHMIGAPA',
+                                1 + (p_partkey % 10) * 2, 2)
+               END AS StateCode,
+               CASE WHEN p_partkey % 7 = 0 THEN '   '
+                    ELSE ' LIC-' || CAST(p_partkey AS VARCHAR(20)) || ' '
+               END AS LicenseNumber,
+               CASE p_partkey % 5 WHEN 0 THEN 'A' WHEN 1 THEN 'B'
+                    WHEN 2 THEN 'C' WHEN 3 THEN 'Z' ELSE ' '
+               END AS LicenseCode,
+               CASE p_partkey % 6 WHEN 0 THEN 'Active' WHEN 1 THEN 'ACTIVE'
+                    WHEN 2 THEN 'inactive' WHEN 3 THEN 'I'
+                    WHEN 4 THEN 'Expired' ELSE ''
+               END AS CurrentStatus,
+               CASE WHEN p_partkey % 11 = 0 THEN ''
+                    WHEN p_partkey % 11 = 1 THEN 'not-a-date'
+                    ELSE '20' || LPAD(CAST(p_partkey % 20 AS VARCHAR(4)),
+                                      2, '0') || '-06-01'
+               END AS LicenseEffectiveDate,
+               CASE WHEN p_partkey % 13 = 0 THEN ''
+                    ELSE '20' || LPAD(CAST(p_partkey % 26 AS VARCHAR(4)),
+                                      2, '0') || '-06-01'
+               END AS LicenseExpirationDate,
+               CASE p_partkey % 8 WHEN 0 THEN 'Y' WHEN 1 THEN 'Yes'
+                    WHEN 2 THEN '1' WHEN 3 THEN 'TRUE' WHEN 4 THEN 'true '
+                    WHEN 5 THEN 'N' WHEN 6 THEN '' ELSE 'No'
+               END AS IsResidenceLicense,
+               CASE WHEN p_partkey % 3 = 0 THEN ''
+                    ELSE 'County' || CAST(p_partkey % 50 AS VARCHAR(20))
+               END AS ApplicableCounty
+        FROM part
+        """,
+    ),
+    (
+        # ref sql/transforms/13-eo-insurances.sql raw side: 'NULL'
+        # literals in every money column, blank/junk dates
+        "raw_broker_eo",
+        """
+        SELECT CAST(s_suppkey AS VARCHAR(20)) AS Id,
+               CASE WHEN s_suppkey % 29 = 7 THEN 'NULL'
+                    WHEN s_suppkey % 31 = 8 THEN ''
+                    ELSE 'P' || CAST(s_suppkey * 10 AS VARCHAR(20))
+               END AS PartyUniqueId,
+               CASE WHEN s_suppkey % 9 = 0 THEN 'NULL'
+                    ELSE ' EO-' || CAST(s_suppkey AS VARCHAR(20))
+               END AS PolicyId,
+               CASE WHEN s_suppkey % 8 = 3 THEN 'NULL'
+                    ELSE 'Carrier ' || CAST(s_suppkey % 5 AS VARCHAR(2))
+               END AS CarrierName,
+               CASE WHEN s_suppkey % 4 = 0 THEN 'NULL'
+                    ELSE CAST(500 + (s_suppkey % 10) * 250 AS VARCHAR(20))
+                         || '.50'
+               END AS DeductibleAmount,
+               CASE WHEN s_suppkey % 5 = 2 THEN 'NULL'
+                    ELSE CAST(100000 + s_suppkey AS VARCHAR(20))
+               END AS ClaimMaxAmount,
+               CASE WHEN s_suppkey % 6 = 1 THEN 'NULL'
+                    ELSE '1000000' END AS AnnualMaxAmount,
+               CASE WHEN s_suppkey % 7 = 2 THEN 'NULL'
+                    ELSE '2000000' END AS PolicyMaxAmount,
+               CASE WHEN s_suppkey % 3 = 1 THEN 'NULL'
+                    ELSE '1000000' END AS LiabilityLimit,
+               CASE WHEN s_suppkey % 10 = 4 THEN ''
+                    ELSE '20' || LPAD(CAST(s_suppkey % 26 AS VARCHAR(4)),
+                                      2, '0') || '-04-01'
+               END AS FromDate,
+               CASE WHEN s_suppkey % 12 = 5 THEN ''
+                    WHEN s_suppkey % 12 = 6 THEN 'junk'
+                    ELSE '20' || LPAD(CAST(s_suppkey % 26 + 1 AS VARCHAR(4)),
+                                      2, '0') || '-04-01'
+               END AS ToDate
+        FROM supplier
+        """,
+    ),
 ]
 
 

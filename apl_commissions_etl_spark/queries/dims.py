@@ -885,3 +885,194 @@ def dim_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("Status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Broker licenses + E&O insurances (ref sql/transforms/12-licenses.sql,
+# 13-eo-insurances.sql) — the last two entity transforms: trim/'NULL'
+# scrubbing, code->int CASE maps, TRY_CAST dates and money, and the
+# INNER JOIN to the brokers dim that drops orphan parties.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dim_broker_licenses_stg",
+    oracle=_oracle(
+        ", " + BROKERS_DIM_CTES + """
+    SELECT TRY_CAST(nl.Id AS BIGINT) AS Id,
+           b.Id AS BrokerId,
+           nl.StateCode AS LicenseState,
+           NULLIF(TRIM(nl.LicenseNumber), '') AS LicenseNumber,
+           NULLIF(TRIM(nl.LicenseCode), '') AS LicenseCode,
+           CAST(CASE WHEN nl.LicenseCode = 'A' THEN 1
+                     WHEN nl.LicenseCode = 'B' THEN 2
+                     WHEN nl.LicenseCode = 'C' THEN 3
+                     ELSE 0 END AS INT) AS LicType,
+           CAST(CASE WHEN UPPER(nl.CurrentStatus) IN ('ACTIVE', 'A') THEN 0
+                     WHEN UPPER(nl.CurrentStatus) IN ('INACTIVE', 'I') THEN 1
+                     WHEN UPPER(nl.CurrentStatus) IN ('EXPIRED', 'E') THEN 2
+                     ELSE 0 END AS INT) AS Status,
+           TRY_CAST(NULLIF(TRIM(nl.LicenseEffectiveDate), '') AS TIMESTAMP)
+             AS EffectiveDate,
+           TRY_CAST(NULLIF(TRIM(nl.LicenseExpirationDate), '') AS TIMESTAMP)
+             AS ExpirationDate,
+           CAST(CASE WHEN UPPER(TRIM(nl.IsResidenceLicense))
+                          IN ('Y', 'YES', '1', 'TRUE') THEN 1
+                     ELSE 0 END AS INT) AS IsResidentLicense,
+           NULLIF(TRIM(nl.ApplicableCounty), '') AS ApplicableCounty
+    FROM raw_broker_licenses nl
+    JOIN brokers_dim b ON b.ExternalPartyId = nl.PartyUniqueId
+    WHERE nl.PartyUniqueId IS NOT NULL
+      AND nl.PartyUniqueId <> '' AND nl.PartyUniqueId <> 'NULL'
+      AND nl.StateCode IS NOT NULL
+      AND nl.StateCode <> '' AND nl.StateCode <> 'NULL'"""
+    ),
+    survey_ref="§2 remaining entity transform: broker licenses — "
+    "'NULL'-literal scrubbing, license-code/status CASE maps (UNTRIMMED "
+    "code for the type map, per the reference), every residence-flag "
+    "spelling, TRY_CAST dates, orphan parties dropped by the "
+    "broadcast INNER JOIN to the brokers dim (12-licenses.sql:19-58)",
+)
+def dim_broker_licenses_stg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    nl = spark.table("raw_broker_licenses").filter(
+        F.col("PartyUniqueId").isNotNull()
+        & (F.col("PartyUniqueId") != "")
+        & (F.col("PartyUniqueId") != "NULL")
+        & F.col("StateCode").isNotNull()
+        & (F.col("StateCode") != "")
+        & (F.col("StateCode") != "NULL")
+    )
+    b = brokers_dim_frame(spark).select(
+        F.col("Id").alias("BrokerId"), "ExternalPartyId"
+    )
+    up = F.upper(F.col("CurrentStatus"))
+    res = F.upper(F.trim("IsResidenceLicense"))
+    return nl.join(
+        F.broadcast(b), nl.PartyUniqueId == b.ExternalPartyId
+    ).select(
+        F.col("Id").try_cast("long").alias("Id"),
+        "BrokerId",
+        F.col("StateCode").alias("LicenseState"),
+        F.nullif(F.trim("LicenseNumber"), F.lit("")).alias("LicenseNumber"),
+        F.nullif(F.trim("LicenseCode"), F.lit("")).alias("LicenseCode"),
+        F.when(F.col("LicenseCode") == "A", 1)
+        .when(F.col("LicenseCode") == "B", 2)
+        .when(F.col("LicenseCode") == "C", 3)
+        .otherwise(0)
+        .cast("int")
+        .alias("LicType"),
+        F.when(up.isin("ACTIVE", "A"), 0)
+        .when(up.isin("INACTIVE", "I"), 1)
+        .when(up.isin("EXPIRED", "E"), 2)
+        .otherwise(0)
+        .cast("int")
+        .alias("Status"),
+        F.expr(
+            "try_to_timestamp(nullif(trim(LicenseEffectiveDate), ''))"
+        ).alias("EffectiveDate"),
+        F.expr(
+            "try_to_timestamp(nullif(trim(LicenseExpirationDate), ''))"
+        ).alias("ExpirationDate"),
+        F.when(res.isin("Y", "YES", "1", "TRUE"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("IsResidentLicense"),
+        F.nullif(F.trim("ApplicableCounty"), F.lit("")).alias(
+            "ApplicableCounty"
+        ),
+    )
+
+
+#: deterministic "run date" replacing the reference's GETUTCDATE() in
+#: the E&O expiry classification (a wall-clock call would make the
+#: query unreproducible and unhashable)
+_EO_RUN_DATE = "2026-01-01"
+
+
+@query(
+    "dim_eo_insurances_stg",
+    oracle=_oracle(
+        ", " + BROKERS_DIM_CTES + f"""
+    SELECT TRY_CAST(neo.Id AS BIGINT) AS Id,
+           b.Id AS BrokerId,
+           NULLIF(TRIM(neo.PolicyId), 'NULL') AS PolicyNumber,
+           NULLIF(TRIM(neo.CarrierName), 'NULL') AS Carrier,
+           CAST(1000000 AS BIGINT) AS CoverageAmount,
+           CAST(100000 AS BIGINT) AS MinimumRequired,
+           CAST(TRY_CAST(NULLIF(TRIM(neo.DeductibleAmount), 'NULL')
+                         AS DECIMAL(18,2)) AS DOUBLE) AS DeductibleAmount,
+           CAST(TRY_CAST(NULLIF(TRIM(neo.ClaimMaxAmount), 'NULL')
+                         AS DECIMAL(18,2)) AS DOUBLE) AS ClaimMaxAmount,
+           CAST(TRY_CAST(NULLIF(TRIM(neo.AnnualMaxAmount), 'NULL')
+                         AS DECIMAL(18,2)) AS DOUBLE) AS AnnualMaxAmount,
+           CAST(TRY_CAST(NULLIF(TRIM(neo.PolicyMaxAmount), 'NULL')
+                         AS DECIMAL(18,2)) AS DOUBLE) AS PolicyMaxAmount,
+           CAST(TRY_CAST(NULLIF(TRIM(neo.LiabilityLimit), 'NULL')
+                         AS DECIMAL(18,2)) AS DOUBLE) AS LiabilityLimit,
+           TRY_CAST(NULLIF(TRIM(neo.FromDate), '') AS TIMESTAMP)
+             AS EffectiveDate,
+           TRY_CAST(NULLIF(TRIM(neo.ToDate), '') AS TIMESTAMP)
+             AS ExpirationDate,
+           TRY_CAST(NULLIF(TRIM(neo.ToDate), '') AS TIMESTAMP)
+             + INTERVAL 1 YEAR AS RenewalDate,
+           CAST(CASE WHEN TRY_CAST(NULLIF(TRIM(neo.ToDate), '')
+                                   AS TIMESTAMP)
+                          < TIMESTAMP '{_EO_RUN_DATE}' THEN 2
+                     ELSE 0 END AS INT) AS Status
+    FROM raw_broker_eo neo
+    JOIN brokers_dim b ON b.ExternalPartyId = neo.PartyUniqueId
+    WHERE neo.PartyUniqueId IS NOT NULL
+      AND neo.PartyUniqueId <> '' AND neo.PartyUniqueId <> 'NULL'"""
+    ),
+    survey_ref="§2 remaining entity transform: broker E&O insurances — "
+    "'NULL'-literal money columns through TRY_CAST DECIMAL(18,2), "
+    "assumed coverage constants, ToDate+1y renewal, expired-vs-active "
+    "classification against a deterministic run date standing in for "
+    "GETUTCDATE() (13-eo-insurances.sql:22-56)",
+)
+def dim_eo_insurances_stg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    neo = spark.table("raw_broker_eo").filter(
+        F.col("PartyUniqueId").isNotNull()
+        & (F.col("PartyUniqueId") != "")
+        & (F.col("PartyUniqueId") != "NULL")
+    )
+    b = brokers_dim_frame(spark).select(
+        F.col("Id").alias("BrokerId"), "ExternalPartyId"
+    )
+
+    def money(col: str) -> F.Column:
+        return (
+            F.expr(f"try_cast(nullif(trim({col}), 'NULL') AS decimal(18,2))")
+            .cast("double")
+            .alias(col)
+        )
+
+    to_ts = F.expr("try_to_timestamp(nullif(trim(ToDate), ''))")
+    return neo.join(
+        F.broadcast(b), neo.PartyUniqueId == b.ExternalPartyId
+    ).select(
+        F.col("Id").try_cast("long").alias("Id"),
+        "BrokerId",
+        F.nullif(F.trim("PolicyId"), F.lit("NULL")).alias("PolicyNumber"),
+        F.nullif(F.trim("CarrierName"), F.lit("NULL")).alias("Carrier"),
+        F.lit(1000000).cast("long").alias("CoverageAmount"),
+        F.lit(100000).cast("long").alias("MinimumRequired"),
+        money("DeductibleAmount"),
+        money("ClaimMaxAmount"),
+        money("AnnualMaxAmount"),
+        money("PolicyMaxAmount"),
+        money("LiabilityLimit"),
+        F.expr("try_to_timestamp(nullif(trim(FromDate), ''))").alias(
+            "EffectiveDate"
+        ),
+        to_ts.alias("ExpirationDate"),
+        F.expr(
+            "try_to_timestamp(nullif(trim(ToDate), '')) + INTERVAL 1 YEAR"
+        ).alias("RenewalDate"),
+        F.when(to_ts < F.lit(_EO_RUN_DATE).cast("timestamp"), 2)
+        .otherwise(0)
+        .cast("int")
+        .alias("Status"),
+    )
