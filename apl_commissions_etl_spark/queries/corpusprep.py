@@ -504,3 +504,101 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_log2", "bucket_lo", "n_docs", "total_tokens",
         "min_tokens", "max_tokens", "avg_tokens",
     )
+
+
+@query(
+    "corpus_perplexity_filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM w GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT w.doc_id, COUNT(*) AS n_tokens,
+             SUM(-log2(v.c * 1.0 / t.total)) AS nll
+      FROM w JOIN vocab v ON w.tok = v.tok CROSS JOIN tot t
+      GROUP BY w.doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(round(nll / n_tokens, 6) AS DOUBLE) AS avg_nll_bits,
+           CASE WHEN round(nll / n_tokens, 6) < 5.5 THEN 'typical'
+                WHEN round(nll / n_tokens, 6) < 6.5 THEN 'unusual'
+                ELSE 'outlier' END AS ppl_band
+    FROM scored
+    """,
+    survey_ref="north-star: perplexity filtering — self-trained unigram "
+    "LM (one vocab aggregation), per-doc average negative log2 "
+    "likelihood, banded for keep/drop routing. The vocab join is a "
+    "plain token equi-join (shuffle-partitioned at corpus scale, "
+    "hot tokens are exactly what AQE skew split handles); the 1-row "
+    "corpus total rides a broadcast. 6-dp rounding absorbs "
+    "last-ulp libm/accumulation-order drift, as in entropy routing",
+)
+def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.explode(ta.words("text")).alias("tok"))
+    vocab = w.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("long").alias("total"))
+    nll = F.round(
+        F.sum(-F.log2(F.col("c") * 1.0 / F.col("total")))
+        / F.count(F.lit(1)),
+        6,
+    ).cast("double")
+    scored = (
+        w.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            nll.alias("avg_nll_bits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_nll_bits",
+        F.when(F.col("avg_nll_bits") < 5.5, "typical")
+        .when(F.col("avg_nll_bits") < 6.5, "unusual")
+        .otherwise("outlier")
+        .alias("ppl_band"),
+    )
+
+
+@query(
+    "corpus_mix_temperature",
+    oracle="""
+    WITH n AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM n)
+    SELECT source, n_docs,
+           CAST(round(n_docs * 1.0 / t.total, 6) AS DOUBLE) AS p_raw,
+           CAST(round(
+             pow(n_docs * 1.0 / t.total, 0.5)
+             / SUM(pow(n_docs * 1.0 / t.total, 0.5)) OVER (), 6)
+             AS DOUBLE) AS p_temperature
+    FROM n CROSS JOIN t
+    """,
+    survey_ref="north-star: temperature-scaled source mixing — "
+    "p_i^(1/T) renormalized (T=2 flattens the source distribution, "
+    "the standard multilingual/multi-source upsampling rule). "
+    "Source-cardinality input, so the whole computation is one tiny "
+    "aggregate + a window over a handful of rows",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = n.agg(F.sum("n_docs").cast("long").alias("total"))
+    p = F.col("n_docs") * 1.0 / F.col("total")
+    half = F.pow(p, 0.5)
+    return (
+        n.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(p, 6).cast("double").alias("p_raw"),
+            F.round(
+                half / F.sum(half).over(W.partitionBy()), 6
+            ).cast("double").alias("p_temperature"),
+        )
+    )
