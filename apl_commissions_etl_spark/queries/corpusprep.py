@@ -602,3 +602,153 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("p_temperature"),
         )
     )
+
+
+#: shared SQL fragments for the composed quality gate (mirrors of the
+#: standalone text_quality_score / text_lang_id / perplexity oracles)
+_PPL_CTES = f"""
+wt AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS c FROM wt GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+ppl AS (
+  SELECT wt.doc_id,
+         round(SUM(-log2(v.c * 1.0 / t.total)) / COUNT(*), 6) AS nll
+  FROM wt JOIN vocab v ON wt.tok = v.tok CROSS JOIN tot t
+  GROUP BY wt.doc_id)"""
+
+_QUALITY_CTES = f"""
+qt AS (
+  SELECT doc_id, length(trim(text)) AS n, {_WORDS} AS w FROM documents),
+qm AS (
+  SELECT doc_id,
+         least(n / 200.0, 1.0) AS len_score,
+         len(list_filter(w, x -> x IN ('the','a','of','and','in','to')))
+           * 1.0 / len(w) AS sw,
+         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS wl
+  FROM qt),
+q AS (
+  SELECT doc_id,
+         round(greatest(0.0,
+           len_score * 0.4
+           + greatest(1.0 - abs(sw - 0.15) * 2, 0.0) * 0.3
+           + (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3
+         ), 6) AS quality
+  FROM qm)"""
+
+_LANG_CTES = f"""
+ls AS (
+  SELECT doc_id, lang AS labeled_lang,
+    len(list_filter({_WORDS}, x -> x IN ('the','a','of','and','value'))) AS en_s,
+    len(list_filter({_WORDS}, x -> x IN ('el','la','de','que','los'))) AS es_s,
+    len(list_filter({_WORDS}, x -> x IN ('de5','le5','shi4','zai4','he2'))) AS zh_s
+  FROM documents),
+lg AS (
+  SELECT doc_id, labeled_lang,
+         CASE WHEN greatest(en_s, es_s, zh_s) = 0 THEN 'und'
+              WHEN es_s > en_s AND zh_s <= es_s THEN 'es'
+              WHEN zh_s > en_s AND zh_s > es_s THEN 'zh'
+              ELSE 'en' END AS detected_lang
+  FROM ls)"""
+
+_REP_CTES = f"""
+rw AS (
+  SELECT doc_id, {_WORDS} AS w, len({_WORDS}) AS n_words FROM documents),
+rtop AS (
+  SELECT doc_id, MAX(cnt) AS max_freq FROM (
+    SELECT doc_id, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(w) AS tok FROM rw)
+    GROUP BY doc_id, tok)
+  GROUP BY doc_id),
+rep AS (
+  SELECT rw.doc_id,
+         1.0 - CAST(len(list_distinct(rw.w)) AS DOUBLE) / rw.n_words
+           AS dup_word_frac,
+         CAST(t.max_freq AS DOUBLE) / rw.n_words AS top_word_frac
+  FROM rw JOIN rtop t USING (doc_id))"""
+
+
+@query(
+    "pipeline_quality_gate",
+    oracle=f"""
+    WITH {_PPL_CTES},
+    {_QUALITY_CTES},
+    {_LANG_CTES},
+    {_REP_CTES}
+    SELECT d.doc_id,
+           CAST(rep.dup_word_frac <= 0.95 AND rep.top_word_frac <= 0.2
+                AS BOOLEAN) AS pass_repetition,
+           CAST(ppl.nll < 6.5 AS BOOLEAN) AS pass_perplexity,
+           CAST(lg.detected_lang = lg.labeled_lang
+                OR lg.detected_lang = 'und' AS BOOLEAN) AS pass_lang,
+           CAST(q.quality >= 0.3 AS BOOLEAN) AS pass_quality,
+           CAST(rep.dup_word_frac <= 0.95 AND rep.top_word_frac <= 0.2
+                AND ppl.nll < 6.5
+                AND (lg.detected_lang = lg.labeled_lang
+                     OR lg.detected_lang = 'und')
+                AND q.quality >= 0.3 AS BOOLEAN) AS keep
+    FROM documents d
+    JOIN ppl USING (doc_id)
+    JOIN q USING (doc_id)
+    JOIN lg USING (doc_id)
+    JOIN rep USING (doc_id)
+    """,
+    survey_ref="north-star flagship composition #3: the pre-shard "
+    "quality gate — repetition metrics, self-trained unigram "
+    "perplexity, lang-id agreement, and heuristic quality score fused "
+    "into one keep/drop verdict per document (every signal a "
+    "broadcast-free codegen fold or a single token equi-join; the "
+    "four gates then join on doc_id, all co-partitioned)",
+)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    rep = corpus.repetition_metrics(d, "doc_id", "text").select(
+        "doc_id",
+        ((F.col("dup_word_frac") <= 0.95) & (F.col("top_word_frac") <= 0.2))
+        .alias("pass_repetition"),
+    )
+    w = d.select("doc_id", F.explode(ta.words("text")).alias("tok"))
+    vocab = w.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("long").alias("total"))
+    ppl = (
+        w.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(-F.log2(F.col("c") * 1.0 / F.col("total")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll")
+        )
+        .select("doc_id", (F.col("nll") < 6.5).alias("pass_perplexity"))
+    )
+    lang = d.select(
+        "doc_id",
+        (
+            (ta.lang_id("text") == F.col("lang"))
+            | (ta.lang_id("text") == "und")
+        ).alias("pass_lang"),
+    )
+    qual = d.select(
+        "doc_id", (ta.quality_score("text") >= 0.3).alias("pass_quality")
+    )
+    return (
+        d.select("doc_id")
+        .join(ppl, "doc_id")
+        .join(qual, "doc_id")
+        .join(lang, "doc_id")
+        .join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "pass_repetition",
+            "pass_perplexity",
+            "pass_lang",
+            "pass_quality",
+            (
+                F.col("pass_repetition")
+                & F.col("pass_perplexity")
+                & F.col("pass_lang")
+                & F.col("pass_quality")
+            ).alias("keep"),
+        )
+    )
