@@ -31,6 +31,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def sanitize_column(name: str, index: int) -> str:
@@ -71,3 +72,38 @@ def read_raw_csv(
         .csv(path)
     )
     return df.toDF(*sanitize_columns(df.columns))
+
+
+def read_typed_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Typed CSV read with malformed-row quarantine: PERMISSIVE mode
+    parks any row that fails the schema in ``corrupt_col`` instead of
+    failing the job or silently dropping it (the engine-native form of
+    the reference's TRY_CAST-and-inspect ingest loop).
+
+    Returns (good, quarantined): good rows without the capture column,
+    quarantined rows as (raw_line,) for the error-report sink. At
+    100 TB the quarantine frame is what keeps one bad file from
+    poisoning a fleet-wide load — the job completes and the bad lines
+    are enumerable.
+    """
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(f"{schema}, {corrupt_col} STRING")
+        .csv(path)
+        # Spark requires caching/materialization before filtering on
+        # the corrupt column (SPARK-38523: the column is populated
+        # during parsing, referencing it alone is disallowed)
+        .cache()
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad

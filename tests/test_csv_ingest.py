@@ -73,3 +73,25 @@ def test_zip_extract_and_read(spark, tmp_path):
     )
     assert sorted(r.Id for r in df.collect()) == ["1", "2"]
     assert all(t == "string" for _, t in df.dtypes)
+
+
+def test_typed_read_quarantines_malformed_rows(spark, tmp_path):
+    from apl_commissions_etl_spark.sources.csv_ingest import (
+        read_typed_csv_with_quarantine,
+    )
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "id,amount,day\n"
+        "1,10.5,2024-01-02\n"
+        "2,notanumber,2024-01-03\n"   # bad decimal
+        "3,30.25,2024-01-04\n"
+        "4,40.0,not-a-date\n"         # bad date
+    )
+    good, bad = read_typed_csv_with_quarantine(
+        spark, str(p), "id INT, amount DOUBLE, day DATE"
+    )
+    ids = sorted(r.id for r in good.collect())
+    assert ids == [1, 3]
+    lines = sorted(r.raw_line for r in bad.collect())
+    assert lines == ["2,notanumber,2024-01-03", "4,40.0,not-a-date"]
