@@ -1,0 +1,155 @@
+"""Regenerate PLANS.md: the formatted physical plans of the flagship
+queries with the invariants each one is expected to satisfy.
+
+Usage: python scripts/gen_plans.py   (rewrites PLANS.md in place)
+
+This is the committed form of the ".explain and iterate" loop: the
+plans below are what the engine actually executes at sf0.01, and the
+stated invariants are asserted programmatically here (the script fails
+if a plan regresses), complementing tests/test_plan_invariants.py's
+registry-wide sweep.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from apl_commissions_etl_spark.registry import all_queries
+from apl_commissions_etl_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+)
+
+#: (query, [must_contain], [must_not_contain], commentary)
+AUDITS: list[tuple[str, list[str], list[str], str]] = [
+    (
+        "calc_gl_entries (un-persisted cascade)",
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "The full 8-stage cascade plus the GL explode as ONE plan "
+        "(built here WITHOUT the session localCheckpoint cache, which "
+        "in steady state truncates this tree to a materialized-stage "
+        "scan): every dim side rides a broadcast, so the premium fact "
+        "never re-shuffles between stages.",
+    ),
+    (
+        "builder_proposals",
+        [],
+        ["CartesianProduct", "BatchEvalPython"],
+        "Proposal derivation over the session-cached criteria frame "
+        "(localCheckpoint leaf): hash aggregations with map-side "
+        "partial combine; no Python in the plan.",
+    ),
+    (
+        "join_date_band",
+        ["Join"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "Equi key + BETWEEN residual stays a hash join with the band as "
+        "a post-join filter — the date band never degrades the join "
+        "strategy.",
+    ),
+    (
+        "join_interval_bucketed",
+        ["HashJoin"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "Big-big point-in-interval with no equi key: the interval side "
+        "explodes into covered days and the join is a plain hash join "
+        "on the day bucket (broadcast at this SF because the filtered "
+        "point side is tiny; sort-merge at scale).",
+    ),
+    (
+        "dedup_minhash_lsh",
+        [],
+        ["CartesianProduct", "BatchEvalPython"],
+        "Shingle -> minhash -> band bucket self-join: candidates come "
+        "from band-key equality (hot buckets capped), verification "
+        "touches candidates only. All JVM-side.",
+    ),
+    (
+        "seq_asof_attribution",
+        ["Window"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"],
+        "As-of join with NO join operator at all: the union-marker "
+        "window scan replaces the per-user range theta-join. One "
+        "user_id exchange feeds a growing-only frame.",
+    ),
+    (
+        "consolidate_proposals",
+        ["MapInPandas"],
+        ["CartesianProduct"],
+        "The one sanctioned Python stage: the ordered 4-rule fold as a "
+        "sorted mapInPandas over hash-partitioned groups — one "
+        "shuffle, Arrow-batched.",
+    ),
+    (
+        "pipeline_quality_gate",
+        [],
+        ["CartesianProduct", "BatchEvalPython"],
+        "Four quality signals fused: repetition/quality/lang are "
+        "codegen folds over the same scan; perplexity adds one token "
+        "equi-join; the gates join co-partitioned on doc_id. (The "
+        "1-row corpus total rides a BroadcastNestedLoopJoin — "
+        "broadcast-small by construction.)",
+    ),
+]
+
+
+def main() -> None:
+    spark = get_spark("plans", shuffle_partitions=8)
+    qs = all_queries()
+    sections: list[str] = [
+        "# PLANS — flagship physical plans (generated)\n",
+        "Regenerate with `python scripts/gen_plans.py`. The stated\n"
+        "invariants are ASSERTED at generation time: this file cannot\n"
+        "be regenerated if a plan regresses. Registry-wide invariants\n"
+        "(no row-at-a-time Python, no unbroadcast cartesians) are\n"
+        "separately enforced by `tests/test_plan_invariants.py`.\n",
+    ]
+    failures: list[str] = []
+    for name, must, must_not, note in AUDITS:
+        if name.startswith("calc_gl_entries"):
+            from apl_commissions_etl_spark.plans import calc
+            from apl_commissions_etl_spark.plans.fixtures import (
+                FIXTURE_VIEWS,
+                register_fixture_views,
+            )
+
+            register_fixture_views(spark, SF)
+            staging = {n: spark.table(n) for n, _ in FIXTURE_VIEWS}
+            df = calc.run_calc(staging)["gl"]
+        else:
+            df = qs[name].spark_fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for m in must:
+            if m not in plan:
+                failures.append(f"{name}: expected {m!r} in plan")
+        for m in must_not:
+            if m in plan:
+                failures.append(f"{name}: forbidden {m!r} in plan")
+        # keep the operator tree, drop the verbose field dumps
+        tree = "\n".join(
+            ln for ln in plan.splitlines() if not ln.lstrip().startswith("+- Project [")
+        )
+        if len(tree) > 4000:
+            tree = tree[:4000] + "\n… (truncated)"
+        sections.append(
+            f"## {name}\n\n{note}\n\n"
+            f"Expected: {', '.join(must) if must else '—'}; "
+            f"forbidden: {', '.join(must_not)}.\n\n"
+            f"```\n{tree}\n```\n"
+        )
+    if failures:
+        print("PLAN REGRESSIONS:\n" + "\n".join(failures))
+        sys.exit(1)
+    with open(OUT, "w") as f:
+        f.write("\n".join(sections))
+    print(f"PLANS.md regenerated: {len(AUDITS)} plans, all invariants hold")
+
+
+if __name__ == "__main__":
+    main()
