@@ -368,3 +368,40 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestampdiff(MICROSECOND, min(ts), max(ts))"
         ).alias("duration_us"),
     )
+
+
+@query(
+    "seq_props_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT))
+             AS n_distinct_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+    survey_ref="§2.8 JSON fns over the event stream: semi-structured "
+    "props shredded in the scan projection (get_json_object stays "
+    "inside codegen — no UDF, no parse-to-struct materialization) and "
+    "rolled up by type; the J11/OPENJSON machinery applied to "
+    "event-analytics shape",
+)
+def seq_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).cast("long").alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.countDistinct(k).alias("n_distinct_k"),
+        )
+    )

@@ -823,3 +823,56 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_range_pairs(
         emb, threshold=0.3, planes=4, max_bucket=MAX_RANGE_BUCKET
     )
+
+
+@query(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) // 2 AS INT) AS n_samples
+      FROM documents),
+    w AS (
+      SELECT doc_id, hx,
+             unnest(range(0, CASE WHEN n_samples >= 64
+                    THEN (n_samples - 64) // 32 + 1 ELSE 0 END)) AS i
+      FROM a)
+    SELECT doc_id, CAST(i AS INT) AS window_index,
+           CAST(i * 32 AS INT) AS start_sample,
+           sha256(substring(hx, CAST(i * 128 + 1 AS BIGINT), 256))
+             AS window_hash
+    FROM w
+    """,
+    survey_ref="north-star: audio windowing plumbing — 16-bit PCM "
+    "framed into 400-sample windows at 160-sample hop (25ms/10ms at "
+    "16kHz). Window cardinality and the per-window digest are both "
+    "native (sequence + explode + sha2 over the hex slice, all inside "
+    "codegen); a real resampler/filterbank would slot into an Arrow "
+    "mapInPandas stage exactly like the video frame codec",
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    p = multimodal.attach_binary_payload(d, "text")
+    n_samples = F.floor(F.length("payload") / 2).cast("int")
+    n_windows = F.when(
+        n_samples >= 64, F.floor((n_samples - 64) / 32).cast("int") + 1
+    ).otherwise(0)
+    return (
+        p.select(
+            "doc_id",
+            F.hex("payload").alias("hx"),
+            n_windows.alias("n_windows"),
+        )
+        .filter(F.col("n_windows") > 0)
+        .withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.col("n_windows") - 1))
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("window_index"),
+            (F.col("i") * 32).cast("int").alias("start_sample"),
+            F.expr(
+                "sha2(substring(hx, cast(i * 128 + 1 as int), 256), 256)"
+            ).alias("window_hash"),
+        )
+    )
