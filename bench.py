@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_cluster_labels",
     "text_chunk_overlap",
     "pipeline_pretrain_corpus",
+    "pipeline_quality_gate",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "stream_session_window",
