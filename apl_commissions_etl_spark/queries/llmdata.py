@@ -876,3 +876,48 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("window_hash"),
         )
     )
+
+
+#: deterministic toy classifier weights (64-dim logistic regression):
+#: w_i = ((i*37 mod 21) - 10) / 100 — fixed, engine-embeddable literals
+_CLF_W = [((i * 37 % 21) - 10) / 100.0 for i in range(64)]
+_CLF_B = 0.05
+
+
+@query(
+    "ml_inference_logistic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    z AS (
+      SELECT vec_id, label,
+             list_dot_product(v,
+               [{", ".join(repr(w) for w in _CLF_W)}]::DOUBLE[])
+               + {_CLF_B!r} AS z
+      FROM e)
+    SELECT vec_id, label,
+           CAST(round(1.0 / (1.0 + exp(-z)), 6) AS DOUBLE) AS score,
+           CAST(round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS BOOLEAN)
+             AS predicted_positive
+    FROM z
+    """,
+    survey_ref="north-star: ML inference fused into the scan (the "
+    "pure-SQL operator-fusion pattern, ICDE 2025 'ML Inference "
+    "Pipeline Execution Using Pure SQL') — a logistic-regression "
+    "quality classifier evaluated as one codegen expression per row: "
+    "literal weight vector, zip_with dot product, sigmoid, threshold. "
+    "No model server, no UDF, no batch boundary; at 100 TB the "
+    "classifier runs at full scan speed and the score is a pushdown-"
+    "able column. 6-dp rounding absorbs exp() last-ulp differences",
+)
+def ml_inference_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.lit(_CLF_W).cast("array<double>")
+    z = similarity.dot(F.col("embedding"), w) + _CLF_B
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 6).cast("double")
+    return emb.select(
+        "vec_id",
+        "label",
+        score.alias("score"),
+        (score >= 0.5).alias("predicted_positive"),
+    )
