@@ -45,3 +45,67 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start long, session_end long, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+#: session gap (seconds of event time) and the extra slack before a
+#: processing-time timeout finalizes an idle session
+SESSION_GAP_S = 30 * 60
+
+
+def _session_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Timeout-driven sessionization: one open session per user in the
+    state store; an event beyond the gap CLOSES the previous session
+    (emitting it) and opens a new one; a processing-time timeout
+    flushes sessions that stopped receiving events entirely.
+
+    This is the semantics ``F.session_window`` cannot express when the
+    close action must emit the FINISHED session exactly once (the
+    built-in emits evolving windows per batch in update mode)."""
+    out = []
+    if state.hasTimedOut:
+        start, last, n = state.get
+        out.append((key[0], start, last, n))
+        state.remove()
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+        return
+
+    start, last, n = state.get if state.exists else (None, None, 0)
+    rows = []
+    for pdf in pdfs:
+        for ts in pdf["ts_s"]:
+            rows.append(int(ts))
+    for ts in sorted(rows):
+        if start is None:
+            start, last, n = ts, ts, 1
+        elif ts - last > SESSION_GAP_S:
+            out.append((key[0], start, last, n))
+            start, last, n = ts, ts, 1
+        else:
+            last, n = ts, n + 1
+    state.update((start, last, n))
+    state.setTimeoutDuration(1000)
+    yield pd.DataFrame(
+        out, columns=["user_id", "session_start", "session_end", "n_events"]
+    )
+
+
+def closed_sessions(events: DataFrame) -> DataFrame:
+    """Streaming: emit each CLOSED 30-min-gap session exactly once
+    (events must carry an integer-seconds ``ts_s`` column)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -133,3 +133,70 @@ def test_stateful_running_totals_across_restart(spark, tmp_path):
     second = run("t_state2")
     assert second[1] == (3, 1375)
     assert second[3] == (1, 700)
+
+
+def test_stateful_closed_sessions(spark, tmp_path):
+    """Timeout-driven sessionization emits each closed session exactly
+    once: in-batch gap closures emit immediately; the final open
+    session flushes via the processing-time timeout on a later
+    (empty-for-that-user) batch."""
+    from apl_commissions_etl_spark.streaming.stateful import closed_sessions
+
+    src = str(tmp_path / "sess_ev")
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ck")
+    schema = "user_id long, ts_s long"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            closed_sessions(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import os
+
+        if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+            return []
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    gap = 30 * 60
+    # user 1: two sessions separated by > gap within one batch;
+    # user 2: one session that stays open until a timeout flushes it
+    write([(1, 1000), (1, 1100), (1, 1100 + gap + 1), (2, 5000)])
+    first = run()
+    # the first session of user 1 closed by the in-batch gap,
+    # guaranteed emitted in the first run (no timeout needed)
+    assert (1, 1000, 1100, 2) in first
+
+    # a later batch (new events for user 3 only) advances processing
+    # time; any still-open idle sessions flush via timeout.
+    # (availableNow may ALSO have flushed them already during the
+    # first run's trailing batch if processing took > the 1s timeout —
+    # either way each session must appear EXACTLY once overall.)
+    import time
+
+    time.sleep(2)  # let the 1s processing-time timeout expire
+    write([(3, 9000)])
+    second = run()  # cumulative read of the append sink
+    assert sorted(t for t in second if t[0] in (1, 2)) == [
+        (1, 1000, 1100, 2),
+        (1, 1100 + gap + 1, 1100 + gap + 1, 1),
+        (2, 5000, 5000, 1),
+    ]
+    # user 3's session may or may not have timed out yet (it arrived
+    # in the final batch); it must not have been emitted twice
+    assert sum(1 for t in second if t[0] == 3) <= 1
