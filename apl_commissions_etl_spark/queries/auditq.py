@@ -5,11 +5,13 @@ print-a-warning SQL scripts)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..plans.audit import referential_checks
 from ..plans.fixtures import fixtures_cte_sql
 from ..queries.calcdomain import _staging
 from ..registry import query
+from ..sources.testdata import load_table
 
 _CHECK = """SELECT '{name}' AS check_name, COUNT(*) AS orphan_count
 FROM {child} c
@@ -182,6 +184,60 @@ def audit_resolution_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, agg_col in steps:
         part = flags.agg(agg_col.cast("long").alias("n")).select(
             F.lit(name).alias("step"), "n"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@query(
+    "audit_column_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_str,
+           CAST(MAX({c}) AS VARCHAR) AS max_str
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    survey_ref="audit surface: per-column profile (null counts, "
+    "distinct cardinality, min/max) — the reference's check-counts/"
+    "check-staging-data.ts inspection scripts as ONE registered "
+    "operator. One pass per column batch on the Spark side; at scale "
+    "this is the pre-load contract check run before every transform",
+)
+def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = None
+    for c in _PROFILE_COLS:
+        part = o.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_str"),
+            F.max(c).cast("string").alias("max_str"),
+        ).select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_str",
+            "max_str",
         )
         out = part if out is None else out.unionByName(part)
     return out
