@@ -223,48 +223,31 @@ def seq_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is growing-only so Spark streams it without buffering whole
     partitions.
     """
+    from ..operators.asof import asof_join_backward
+
     e = _events(spark, sf_dir)
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_event_id"))
-        .select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("side"),
-            F.lit(None).cast("long").alias("event_id"),
-            "click_event_id",
-            F.col("ts").alias("click_ts"),
-        )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        "event_id",
-        F.lit(None).cast("long").alias("click_event_id"),
-        F.lit(None).cast(e.schema["ts"].dataType).alias("click_ts"),
+        "event_id", "user_id", "ts"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined = asof_join_backward(
+        purchases,
+        clicks,
+        by="user_id",
+        left_on="ts",
+        right_on="ts",
+        right_cols=["event_id"],
+        tie_break="event_id",
     )
-    merged = clicks.unionByName(purchases).select(
-        "side",
+    return joined.select(
         "event_id",
         "user_id",
         "ts",
-        F.last("click_event_id", ignorenulls=True).over(w).alias("c_id"),
-        F.last("click_ts", ignorenulls=True).over(w).alias("c_ts"),
-    )
-    return merged.filter(F.col("side") == 1).select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.col("c_id").alias("click_event_id"),
-        F.col("c_ts").alias("click_ts"),
-        F.expr("timestampdiff(MICROSECOND, c_ts, ts)").alias("lag_us"),
+        F.col("event_id_asof").alias("click_event_id"),
+        F.col("ts_asof").alias("click_ts"),
+        F.expr("timestampdiff(MICROSECOND, ts_asof, ts)").alias("lag_us"),
     )
 
 

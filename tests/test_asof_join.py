@@ -9,52 +9,31 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Window
+
 from pyspark.sql import functions as F
 
 
 def _spark_asof(spark, clicks_pd, purchases_pd):
-    """The same union-marker plan as seq_asof_attribution, over
-    arbitrary click/purchase frames."""
-    clicks = (
-        spark.createDataFrame(clicks_pd)
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_event_id"))
-        .select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("side"),
-            F.lit(None).cast("long").alias("event_id"),
-            "click_event_id",
-            F.col("ts").alias("click_ts"),
-        )
+    """The engine's asof_join_backward operator (the same plan
+    seq_asof_attribution runs) over arbitrary click/purchase frames."""
+    from apl_commissions_etl_spark.operators.asof import asof_join_backward
+
+    joined = asof_join_backward(
+        spark.createDataFrame(purchases_pd),
+        spark.createDataFrame(clicks_pd),
+        by="user_id",
+        left_on="ts",
+        right_on="ts",
+        right_cols=["event_id"],
+        tie_break="event_id",
     )
-    purchases = spark.createDataFrame(purchases_pd).select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        "event_id",
-        F.lit(None).cast("long").alias("click_event_id"),
-        F.lit(None).cast("long").alias("click_ts"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = clicks.unionByName(purchases).select(
-        "side",
+    return joined.select(
         "event_id",
         "user_id",
         "ts",
-        F.last("click_event_id", ignorenulls=True).over(w).alias("click_event_id"),
-        F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"),
-    )
-    return (
-        merged.filter(F.col("side") == 1)
-        .select("event_id", "user_id", "ts", "click_event_id", "click_ts")
-        .toPandas()
-    )
+        F.col("event_id_asof").alias("click_event_id"),
+        F.col("ts_asof").alias("click_ts"),
+    ).toPandas()
 
 
 def test_asof_matches_pandas_merge_asof(spark):
