@@ -342,3 +342,40 @@ def cosine_range_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_assign_via_join(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell assignment with the centroids as a broadcast DATAFRAME
+    instead of a literal array — the carrier for centroid counts too
+    large to inline in the plan (64K cells x 64 dims is ~16M literal
+    doubles; as a broadcast relation it's one ~32MB exchange).
+
+    Same dataflow as ``ivf_assign`` (score all centroids per vector,
+    argmax by (sim, -cid)): broadcast nested-loop scoring then a
+    max_by aggregation on the vector id. Verified equivalent to the
+    literal path in tests; pick by centroid count."""
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv in centroids], "cid long, cvec array<double>"
+    )
+    scored = emb.crossJoin(F.broadcast(cent_df)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.struct(
+            cosine(F.col(vec_col), F.col("cvec")).alias("sim"),
+            (-F.col("cid")).alias("ncid"),
+        ).alias("s"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.max("s").alias("best"),
+        )
+        .select(id_col, vec_col, (-F.col("best.ncid")).alias("cell"))
+    )

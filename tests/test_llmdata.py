@@ -348,3 +348,24 @@ def test_connected_components_matches_union_find(spark):
         assert all(got[n][1] == sizes[want_label[n]] for n in nodes)
 
     check()
+
+
+def test_ivf_assign_join_carrier_matches_literal(spark, sf_dir):
+    """The broadcast-join cell assignment (64K-centroid carrier) must
+    agree with the literal-array assignment cell for cell."""
+    from apl_commissions_etl_spark.operators import similarity
+    from apl_commissions_etl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    lit = {
+        r.vec_id: r.cell
+        for r in similarity.ivf_assign(emb, cents).select("vec_id", "cell").collect()
+    }
+    jn = {
+        r.vec_id: r.cell
+        for r in similarity.ivf_assign_via_join(emb, cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert lit == jn and len(lit) == emb.count()
