@@ -325,3 +325,42 @@ def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_orderkey"),
         F.last("o_orderkey").over(w).alias("last_orderkey"),
     ).distinct()
+
+
+@query(
+    "win_rank_distributions",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, spend,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           CAST(round(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(round(CUME_DIST() OVER w, 6) AS DOUBLE) AS cume
+    FROM spend
+    WINDOW w AS (ORDER BY spend DESC, o_custkey)
+    """,
+    survey_ref="W-family completeness: RANK / DENSE_RANK / "
+    "PERCENT_RANK / CUME_DIST over customer spend — the full ranking "
+    "function set in one deterministic window (unique-key tie-break); "
+    "ratios rounded to 6dp for engine-identical doubles",
+)
+def win_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    w = W.orderBy(F.desc("spend"), "o_custkey")
+    return spend.select(
+        "o_custkey",
+        "spend",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+    )
