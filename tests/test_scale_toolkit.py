@@ -200,3 +200,48 @@ def test_stateful_closed_sessions(spark, tmp_path):
     # user 3's session may or may not have timed out yet (it arrived
     # in the final batch); it must not have been emitted twice
     assert sum(1 for t in second if t[0] == 3) <= 1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime bloom-filter join pushdown: a selective dim filter
+    injects a might_contain() pre-filter on the FACT side of the
+    shuffle join, pruning rows before the exchange. Spark's production
+    thresholds require a >=10GB application-side scan (exactly the
+    100 TB case); they're lowered here because the local fixture is
+    small — the assertion is that the optimizer DOES inject the filter
+    once the scan qualifies, and that results are unchanged."""
+    from apl_commissions_etl_spark.sources.testdata import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        o = load_table(spark, "/root/testdata/sf0.001", "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        n_bloom = j.count()
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        assert n_bloom == li.join(
+            o, li.l_orderkey == o.o_orderkey
+        ).count()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
