@@ -95,3 +95,24 @@ def test_typed_read_quarantines_malformed_rows(spark, tmp_path):
     assert ids == [1, 3]
     lines = sorted(r.raw_line for r in bad.collect())
     assert lines == ["2,notanumber,2024-01-03", "4,40.0,not-a-date"]
+
+
+def test_jsonl_document_roundtrip(spark, tmp_path):
+    """JSONL — the lingua franca of LLM corpora — round-trips through
+    the engine with an explicit schema (no inference job at scale) and
+    preserves unicode + embedded quotes."""
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello \\"world\\"", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "café 世界", "lang": "mixed"}\n'
+        '{"doc_id": 3, "text": null, "lang": "en"}\n'
+    )
+    df = spark.read.schema("doc_id LONG, text STRING, lang STRING").json(
+        str(p)
+    )
+    rows = {r.doc_id: (r.text, r.lang) for r in df.collect()}
+    assert rows == {
+        1: ('hello "world"', "en"),
+        2: ("café 世界", "mixed"),
+        3: (None, "en"),
+    }
