@@ -163,7 +163,12 @@ def test_stateful_closed_sessions(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # a ProcessingTimeTimeout keeps scheduling no-data batches, so
+        # availableNow never self-terminates — drain briefly (data
+        # batches + the 1s timeout flush), then stop explicitly
+        if not q.awaitTermination(20):
+            q.stop()
+            q.awaitTermination(30)
         import os
 
         if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
