@@ -174,6 +174,12 @@ def consolidate_proposals(prestage: DataFrame) -> DataFrame:
     sort within partitions to establish the fold order, then a
     streaming mapInPandas row loop per partition — state is carried
     across Arrow batches, so partition size is unbounded by memory."""
+    from ..shipping import ensure_package_on_executors
+
+    # the fold closure references this module by name; ship the
+    # package so workers can unpickle it even when the driver imported
+    # __spark_entry__ by path from an arbitrary cwd
+    ensure_package_on_executors(prestage.sparkSession)
     sorted_parts = prestage.repartition("GroupId").sortWithinPartitions(
         "GroupId", "EffectiveDateFrom", "SplitConfigurationMD5", "Id"
     )

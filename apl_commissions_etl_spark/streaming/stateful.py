@@ -38,6 +38,9 @@ def _update(
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Streaming: one updated row per user per micro-batch with
     lifetime totals (value in integer cents, order-independent)."""
+    from ..shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(events.sparkSession)
     return events.groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
@@ -102,6 +105,9 @@ def _session_update(
 def closed_sessions(events: DataFrame) -> DataFrame:
     """Streaming: emit each CLOSED 30-min-gap session exactly once
     (events must carry an integer-seconds ``ts_s`` column)."""
+    from ..shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(events.sparkSession)
     return events.groupBy("user_id").applyInPandasWithState(
         _session_update,
         outputStructType=SESSION_OUT_SCHEMA,
