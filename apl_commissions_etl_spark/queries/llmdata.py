@@ -921,3 +921,47 @@ def ml_inference_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score >= 0.5).alias("predicted_positive"),
     )
+
+
+@query(
+    "dedup_chunk_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    c AS (SELECT doc_id, w, len(w) AS n,
+                 unnest(range(0, greatest(len(w), 1), 64)) AS start
+          FROM t),
+    ch AS (
+      SELECT doc_id,
+             CAST(start // 64 AS INT) AS chunk_seq,
+             md5(array_to_string(
+                 list_slice(w, start + 1, least(start + 64, n)), ' '))
+               AS span_fp
+      FROM c)
+    SELECT span_fp,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS canonical_doc
+    FROM ch
+    GROUP BY span_fp
+    HAVING COUNT(*) > 1
+    """,
+    survey_ref="north-star: SPAN-level dedup — documents chunked into "
+    "non-overlapping 64-token spans, each fingerprinted, duplicated "
+    "spans surfaced with occurrence/document counts (the sub-document "
+    "twin of dedup_exact: boilerplate paragraphs repeat across "
+    "otherwise-distinct documents and doc-level dedup never sees "
+    "them). One explode + one combinable hash aggregation",
+)
+def dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    chunks = ta.chunk_tokens(d, "doc_id", "text", size=64, stride=64)
+    return (
+        chunks.select("doc_id", F.md5("chunk_text").alias("span_fp"))
+        .groupBy("span_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
