@@ -752,3 +752,145 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+#: count-min sketch geometry: 4 hash rows x 256 buckets (md5-derived,
+#: engine-identical). Width 256 is fixture-sized; at corpus scale the
+#: same plan runs with width 2^20+ — the sketch table stays
+#: (depth x width) rows regardless of input size.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def _cms_bucket_sql(row: int, tok: str = "tok") -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({row} AS VARCHAR) || {tok}), 1, 2) "
+        "AS INT)"
+    )
+
+
+@query(
+    "corpus_countmin_sketch",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_WORDS}) AS tok FROM documents),
+    rows_ AS (
+      {" UNION ALL ".join(
+        f"SELECT {i} AS sketch_row, {_cms_bucket_sql(i)} AS bucket, tok FROM w"
+        for i in range(_CMS_DEPTH)
+      )})
+    SELECT sketch_row, bucket, COUNT(*) AS n
+    FROM rows_ GROUP BY sketch_row, bucket
+    """,
+    survey_ref="north-star: count-min sketch build — a {_CMS_DEPTH}x"
+    "256 token-frequency sketch from md5-derived bucket hashes "
+    "(deterministic, engine-identical, so even the sketch CONTENTS "
+    "are value-hash-checkable). The sketch table is (depth x width) "
+    "rows no matter how large the corpus: the constant-size summary "
+    "that answers frequency queries without a second scan at 100 TB",
+)
+def corpus_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = d.select(F.explode(ta.words("text")).alias("tok"))
+    out = None
+    for i in range(_CMS_DEPTH):
+        bucket = F.conv(
+            F.substring(F.md5(F.concat(F.lit(str(i)), F.col("tok"))), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        part = w.select(
+            F.lit(i).alias("sketch_row"), bucket.alias("bucket"), "tok"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.groupBy("sketch_row", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "corpus_countmin_estimate",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_WORDS}) AS tok FROM documents),
+    rows_ AS (
+      {" UNION ALL ".join(
+        f"SELECT {i} AS sketch_row, {_cms_bucket_sql(i)} AS bucket, tok FROM w"
+        for i in range(_CMS_DEPTH)
+      )}),
+    cms AS (
+      SELECT sketch_row, bucket, COUNT(*) AS n
+      FROM rows_ GROUP BY sketch_row, bucket),
+    probes AS (
+      SELECT unnest(['the','a','of','and','in','to','value','table']) AS tok),
+    truth AS (
+      SELECT p.tok, CAST(COUNT(w.tok) AS BIGINT) AS true_count
+      FROM probes p LEFT JOIN w ON w.tok = p.tok
+      GROUP BY p.tok),
+    est AS (
+      SELECT p.tok, MIN(c.n) AS cms_estimate
+      FROM probes p
+      JOIN (
+        {" UNION ALL ".join(
+          f"SELECT {i} AS sketch_row, tok, {_cms_bucket_sql(i)} AS bucket FROM probes"
+          for i in range(_CMS_DEPTH)
+        )}) pb ON pb.tok = p.tok
+      JOIN cms c ON c.sketch_row = pb.sketch_row AND c.bucket = pb.bucket
+      GROUP BY p.tok)
+    SELECT t.tok, t.true_count, e.cms_estimate,
+           CAST(e.cms_estimate >= t.true_count AS BOOLEAN) AS never_undercounts
+    FROM truth t JOIN est e ON e.tok = t.tok
+    """,
+    survey_ref="north-star: count-min point estimates vs ground truth "
+    "for a probe token list — min over the sketch's depth rows; the "
+    "one-sided error guarantee (estimate >= truth) is emitted as a "
+    "checked column. Probe lookups touch (depth) sketch rows, never "
+    "the corpus",
+)
+def corpus_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = d.select(F.explode(ta.words("text")).alias("tok"))
+    cms = None
+    for i in range(_CMS_DEPTH):
+        bucket = F.conv(
+            F.substring(F.md5(F.concat(F.lit(str(i)), F.col("tok"))), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        part = w.select(
+            F.lit(i).alias("sketch_row"), bucket.alias("bucket")
+        )
+        cms = part if cms is None else cms.unionByName(part)
+    cms = cms.groupBy("sketch_row", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+    probe_toks = ["the", "a", "of", "and", "in", "to", "value", "table"]
+    probes = d.sparkSession.createDataFrame(
+        [(t,) for t in probe_toks], "tok string"
+    )
+    truth = (
+        probes.join(w, "tok", "left")
+        .groupBy(probes.tok)
+        .agg(F.count(w.tok).cast("long").alias("true_count"))
+    )
+    pb = None
+    for i in range(_CMS_DEPTH):
+        bucket = F.conv(
+            F.substring(F.md5(F.concat(F.lit(str(i)), F.col("tok"))), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        part = probes.select(
+            "tok", F.lit(i).alias("sketch_row"), bucket.alias("bucket")
+        )
+        pb = part if pb is None else pb.unionByName(part)
+    est = (
+        pb.join(F.broadcast(cms), ["sketch_row", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("n").alias("cms_estimate"))
+    )
+    return truth.join(est, "tok").select(
+        "tok",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("true_count")).alias(
+            "never_undercounts"
+        ),
+    )
