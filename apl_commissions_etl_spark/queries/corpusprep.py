@@ -894,3 +894,35 @@ def corpus_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_undercounts"
         ),
     )
+
+
+@query(
+    "corpus_split_train_val_test",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, source, {_DUCK_U12} AS bucket
+      FROM documents)
+    SELECT doc_id, lang, source,
+           CASE WHEN bucket < 3686 THEN 'train'
+                WHEN bucket < 3891 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    survey_ref="north-star: deterministic train/val/test split — "
+    "90/5/5 by md5 hash bucket (same bytes both engines), so the "
+    "assignment is reproducible on any executor, stable under "
+    "re-partitioning, and disjoint by construction; the split column "
+    "becomes a partition key at shard-write time",
+)
+def corpus_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = corpus.hash_bucket("doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(bucket < 3686, "train")
+        .when(bucket < 3891, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -388,3 +388,63 @@ def seq_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(k).alias("n_distinct_k"),
         )
     )
+
+
+@query(
+    "win_scd2_versions",
+    oracle="""
+    WITH chg AS (
+      SELECT user_id, ts, event_type,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    versions AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts)
+               AS version_n
+      FROM chg
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    closed AS (
+      SELECT user_id, event_type, valid_from, version_n,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+               ORDER BY valid_from) AS valid_to
+      FROM versions)
+    SELECT user_id, CAST(version_n AS INT) AS version_n, event_type,
+           valid_from, valid_to,
+           CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+    FROM closed
+    """,
+    survey_ref="new surface: SCD2 dimension versioning from a change "
+    "log — collapse consecutive duplicates (LAG), number the versions, "
+    "close each interval with LEAD, flag the open row as current. The "
+    "warehouse history-table op the reference's truncate-and-reload "
+    "dims lack; both windows and the collapse share ONE user_id "
+    "exchange",
+)
+def win_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    versions = chg.select(
+        "user_id",
+        F.row_number().over(wv).cast("int").alias("version_n"),
+        "event_type",
+        F.col("ts").alias("valid_from"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("valid_from")
+    return versions.select(
+        "user_id",
+        "version_n",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wc).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
