@@ -499,3 +499,59 @@ def report_available_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, "reporting", d) for n, d in _VIEW_CATALOG],
         "ViewName string, SchemaName string, Description string",
     )
+
+
+@query(
+    "report_gl_period_close",
+    oracle=_oracle("""
+    , gl AS (
+      SELECT CAST(date_trunc('month', s8.TransactionDate) AS DATE) AS period,
+             'Original' AS EntryType, s8.EntityId AS BrokerId,
+             CAST(s8.RetainedCommission AS DECIMAL(18,2)) AS amt
+      FROM s8
+      UNION ALL
+      SELECT CAST(date_trunc('month', s8.TransactionDate) AS DATE),
+             'Assigned', s8.RecipientBrokerId,
+             CAST(s8.AssignedCommission AS DECIMAL(18,2))
+      FROM s8
+      WHERE s8.RecipientBrokerId IS NOT NULL
+        AND s8.AssignedCommission <> 0)
+    SELECT period, EntryType,
+           COUNT(*) AS n_entries,
+           CAST(SUM(amt) AS DOUBLE) AS total_amount,
+           COUNT(DISTINCT BrokerId) AS n_brokers
+    FROM gl GROUP BY period, EntryType"""),
+    survey_ref="reporting (new surface): the monthly GL period-close "
+    "rollup — month x entry-type totals with exact-decimal "
+    "accumulation and distinct payee counts; the aggregate a finance "
+    "close reads instead of the raw journal. One combinable shuffle "
+    "over period x type (tiny key space)",
+)
+def report_gl_period_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s8 = _stages(spark, sf_dir)["s8"]
+    period = F.trunc("TransactionDate", "month").alias("period")
+    amt = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    original = s8.select(
+        period,
+        F.lit("Original").alias("EntryType"),
+        F.col("EntityId").alias("BrokerId"),
+        amt("RetainedCommission").alias("amt"),
+    )
+    assigned = s8.filter(
+        F.col("RecipientBrokerId").isNotNull()
+        & (F.col("AssignedCommission") != 0)
+    ).select(
+        period,
+        F.lit("Assigned").alias("EntryType"),
+        F.col("RecipientBrokerId").alias("BrokerId"),
+        amt("AssignedCommission").alias("amt"),
+    )
+    return (
+        original.unionByName(assigned)
+        .groupBy("period", "EntryType")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.sum("amt").cast("double").alias("total_amount"),
+            F.countDistinct("BrokerId").alias("n_brokers"),
+        )
+    )
