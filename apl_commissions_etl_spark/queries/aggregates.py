@@ -478,3 +478,31 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("F_n", F.lit(0)).alias("n_F"),
         F.coalesce("O_n", F.lit(0)).alias("n_O"),
     )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS gR, GROUPING(l_linestatus) AS gS,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    survey_ref="§2.4 completeness: CUBE over (returnflag, linestatus) "
+    "with GROUPING markers — all 4 aggregation levels in one pass "
+    "(rollup and grouping-sets variants already registered); exact "
+    "decimal accumulation",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus").agg(
+            F.grouping("l_returnflag").cast("int").alias("gR"),
+            F.grouping("l_linestatus").cast("int").alias("gS"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gR", "gS", "n", "qty")
+    )

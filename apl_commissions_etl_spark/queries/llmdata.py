@@ -965,3 +965,64 @@ def dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS d FROM w GROUP BY tok),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.c * ln((n.nd + 1.0) / (df.d + 1.0)) AS s
+      FROM tf JOIN df USING (tok) CROSS JOIN n),
+    r AS (
+      SELECT doc_id, tok, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY s DESC, tok) AS rn
+      FROM scored)
+    SELECT doc_id, CAST(rn AS INT) AS rank_n, tok AS term,
+           CAST(round(s, 6) AS DOUBLE) AS tfidf
+    FROM r WHERE rn <= 3
+    """,
+    survey_ref="north-star: TF-IDF keyword extraction — corpus df from "
+    "one token aggregation, per-doc tf x smoothed idf, top-3 terms by "
+    "a per-doc window. The df table is vocabulary-sized (shuffle join "
+    "on token at corpus scale — the same skew profile as the "
+    "perplexity vocab join); the N constant rides a broadcast",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.explode(ta.words("text")).alias("tok"))
+    tf = w.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    df_t = w.groupBy("tok").agg(F.countDistinct("doc_id").alias("d"))
+    n = d.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("c")
+                * F.log((F.col("nd") + 1.0) / (F.col("d") + 1.0))
+            ).alias("s"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("s"), "tok")
+    )
+    return (
+        scored.withColumn("rank_n", rn.cast("int"))
+        .filter(F.col("rank_n") <= 3)
+        .select(
+            "doc_id",
+            "rank_n",
+            F.col("tok").alias("term"),
+            F.round("s", 6).cast("double").alias("tfidf"),
+        )
+    )
