@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..operators import corpus, textanalysis as ta
 from ..registry import query
 from ..sources.testdata import load_table
-from .llmdata import _NORM, _WORDS, _docs
+from .llmdata import _NORM, _SHINGLES_CTE, _WORDS, _docs
 
 # DuckDB-side mirrors of the shared text normalization -----------------------
 
@@ -925,4 +925,51 @@ def corpus_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 3891, "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+@query(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLES_CTE.strip().rstrip()},
+    dfs AS (SELECT s, COUNT(*) AS d FROM sh GROUP BY s),
+    per AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN dfs.d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM sh JOIN dfs USING (s)
+      GROUP BY sh.doc_id)
+    SELECT doc_id, n_shingles, n_unique,
+           n_unique * 1.0 / n_shingles AS novelty
+    FROM per
+    """,
+    survey_ref="north-star: per-document n-gram novelty — the fraction "
+    "of a doc's distinct 3-gram shingles appearing in NO other "
+    "document (novelty 1.0 = fully original, ~0 = assembled from "
+    "corpus boilerplate; the inverse signal of dedup). Shingle df from "
+    "one aggregation, re-joined on the shingle key — raw double "
+    "division of exact counts, no rounding step needed",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = _docs(spark, sf_dir)
+    sh = dedup.word_shingles(d, "doc_id", "text", n=3)
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        sh.join(dfs, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            (F.col("n_unique") * 1.0 / F.col("n_shingles")).alias("novelty"),
+        )
     )
