@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..operators.export import merge_upsert, update_join, upsert_missing
 from ..plans.fixtures import fixtures_cte_sql, register_fixture_views
 from ..registry import query
+from ..sources.testdata import load_table
 
 EXPORT_CTES = """
 prod_proposals AS (
@@ -317,3 +318,74 @@ def export_blob_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"spark_graft_blob_stage_{spark.sparkContext.applicationId}",
     )
     return blob_stage(o, path, "o_orderkey", n_buckets=8)
+
+
+@query(
+    "export_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0)
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_orderkey IS NULL THEN 'added'
+                ELSE 'changed' END AS change_type,
+           a.o_totalprice AS old_price,
+           b.o_totalprice AS new_price
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE b.o_orderkey IS NULL
+       OR a.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+       OR a.o_orderstatus <> b.o_orderstatus
+    """,
+    survey_ref="export surface: keyed snapshot diff — added / removed "
+    "/ changed rows between two table versions via one full outer "
+    "join on the key (the verification step the reference's "
+    "export-with-verification.ts performs with per-table count "
+    "queries, upgraded to row-level). Snapshot B is a deterministic "
+    "mutation of A (drop o_orderkey%97, bump price on %89) so the "
+    "diff itself is value-hash-checkable. At scale both snapshots "
+    "bucket by the key and the join is co-partitioned",
+)
+def export_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    b = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    an = a.select(
+        F.col("o_orderkey").alias("ak"),
+        F.col("o_orderstatus").alias("a_status"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    bn = b.select(
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    j = an.join(bn, an.ak == bn.bk, "full_outer")
+    return j.filter(
+        F.col("bk").isNull()
+        | F.col("ak").isNull()
+        | (F.col("old_price") != F.col("new_price"))
+        | (F.col("a_status") != F.col("b_status"))
+    ).select(
+        F.coalesce("ak", "bk").alias("o_orderkey"),
+        F.when(F.col("bk").isNull(), "removed")
+        .when(F.col("ak").isNull(), "added")
+        .otherwise("changed")
+        .alias("change_type"),
+        "old_price",
+        "new_price",
+    )
