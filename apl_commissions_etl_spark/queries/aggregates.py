@@ -506,3 +506,35 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gR", "gS", "n", "qty")
     )
+
+
+@query(
+    "agg_price_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) + 1 AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    survey_ref="§2.4 completeness: equal-width histogram (50k-wide buckets "
+    "over [0, 600k)) — the profiling "
+    "distribution pass, one combinable groupBy on a 14-value key; "
+    "bucket boundaries are exactly-representable doubles so both "
+    "engines bin identically",
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            (F.floor(F.col("o_totalprice") / 50000.0) + 1)
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
