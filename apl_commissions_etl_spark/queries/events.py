@@ -448,3 +448,45 @@ def win_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(wc).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@query(
+    "seq_gap_fill_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+      FROM events),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1)
+    SELECT s.day,
+           CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+           CAST(d.n_events IS NULL AS BOOLEAN) AS is_gap
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+    survey_ref="new surface: calendar gap-fill — a generated date spine "
+    "left-joined to the sparse daily rollup, zero-filling missing days "
+    "(dense time series for charts/anomaly windows). The spine is "
+    "sequence+explode over the observed bounds (two-row broadcast), "
+    "so the fill costs one spine-sized join however large the fact is",
+)
+def seq_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+    )

@@ -364,3 +364,29 @@ def win_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
     )
+
+
+@query(
+    "ord_keyset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM orders
+    WHERE o_orderkey > 3000
+    ORDER BY o_orderkey
+    LIMIT 50
+    """,
+    survey_ref="§2.6 O-family: keyset pagination — WHERE key > "
+    "last_seen ORDER BY key LIMIT n. Unlike OFFSET (which scans and "
+    "discards every earlier row, O(page_number) per page), the keyset "
+    "predicate pushes to the scan and each page costs one pruned "
+    "TakeOrderedAndProject — the only pagination that survives a "
+    "billion-row table",
+)
+def ord_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") > 3000)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
