@@ -1026,3 +1026,62 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 6).cast("double").alias("tfidf"),
         )
     )
+
+
+@query(
+    "ann_topk_batch",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, {_SIGN4_SQL.format(v='v')} AS qb
+          FROM e WHERE vec_id < 5),
+    b AS (SELECT vec_id, v, {_SIGN4_SQL.format(v='v')} AS bk FROM e),
+    cand AS (
+      SELECT q.qid, b.vec_id,
+             list_dot_product(b.v, q.qv)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM q JOIN b ON b.bk = q.qb AND b.vec_id <> q.qid),
+    r AS (
+      SELECT qid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos DESC, vec_id) AS rn
+      FROM cand)
+    SELECT qid, CAST(rn AS INT) AS rank_n, vec_id,
+           CAST(cos AS DOUBLE) AS cosine
+    FROM r WHERE rn <= 5
+    """,
+    survey_ref="north-star: BATCH ANN serving — top-5 neighbors for a "
+    "whole batch of query vectors in ONE bucket equi-join + one "
+    "per-query window (no per-query driver loop: the single-query "
+    "ann_topk_* paths issue one job per query, this is the shape a "
+    "retrieval service actually runs). Candidates restricted to the "
+    "query's sign-LSH bucket, self-matches excluded",
+)
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = similarity.sign_lsh_bucket(F.col("embedding"), planes=4)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        bucket.alias("qb"),
+    )
+    b = emb.select("vec_id", "embedding", bucket.alias("qb"))
+    cand = (
+        b.join(F.broadcast(q), "qb")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            similarity.cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    )
+    return (
+        cand.withColumn("rank_n", rn.cast("int"))
+        .filter(F.col("rank_n") <= 5)
+        .select("qid", "rank_n", "vec_id", F.col("cos").alias("cosine"))
+    )
