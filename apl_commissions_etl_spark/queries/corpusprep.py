@@ -973,3 +973,62 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_unique") * 1.0 / F.col("n_shingles")).alias("novelty"),
         )
     )
+
+
+#: KMV (k-minimum-values) sketch size
+_KMV_K = 64
+
+
+@query(
+    "corpus_kmv_distinct",
+    oracle=f"""
+    WITH w AS (SELECT DISTINCT unnest({_WORDS}) AS tok FROM documents),
+    h AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hv
+          FROM w),
+    k AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM h) AS exact_distinct,
+             (SELECT COUNT(*) FROM k) AS k_used,
+             (SELECT MAX(hv) FROM k) AS kth_hash)
+    SELECT exact_distinct, CAST(k_used AS INT) AS k_used, kth_hash,
+           CASE WHEN k_used < {_KMV_K} THEN CAST(exact_distinct AS DOUBLE)
+                ELSE (k_used - 1) * 4294967296.0 / kth_hash END
+             AS kmv_estimate
+    FROM stats
+    """,
+    survey_ref="north-star: KMV distinct-count sketch — the k smallest "
+    "md5-derived hash values estimate corpus vocabulary as "
+    "(k-1)/max_kth_fraction (exact when distinct < k). Deterministic "
+    "bytes both engines, so the sketch AND its estimate value-hash "
+    "match; the k-row state is mergeable across shards (union + "
+    "re-take-k), the distributed-distinct answer that never holds the "
+    "full value set",
+)
+def corpus_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(ta.words("text")).alias("tok")).distinct()
+    h = toks.select(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    k = h.orderBy("hv").limit(_KMV_K)
+    stats = h.agg(F.count(F.lit(1)).alias("exact_distinct")).crossJoin(
+        k.agg(
+            F.count(F.lit(1)).cast("int").alias("k_used"),
+            F.max("hv").alias("kth_hash"),
+        )
+    )
+    return stats.select(
+        "exact_distinct",
+        "k_used",
+        "kth_hash",
+        F.when(
+            F.col("k_used") < _KMV_K,
+            F.col("exact_distinct").cast("double"),
+        )
+        .otherwise(
+            (F.col("k_used") - 1) * 4294967296.0 / F.col("kth_hash")
+        )
+        .alias("kmv_estimate"),
+    )

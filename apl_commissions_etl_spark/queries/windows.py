@@ -390,3 +390,63 @@ def ord_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(50)
     )
+
+
+@query(
+    "win_pareto_cumshare",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders GROUP BY o_custkey),
+    t AS (SELECT SUM(s) AS total, COUNT(*) AS n_cust FROM spend),
+    r AS (
+      SELECT o_custkey, s,
+             SUM(s) OVER (ORDER BY s DESC, o_custkey
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             ROW_NUMBER() OVER (ORDER BY s DESC, o_custkey) AS rn
+      FROM spend)
+    SELECT r.o_orderkey_rank, r.o_custkey, r.spend, r.cum_share,
+           r.cust_frac,
+           CAST(r.cum_share >= 0.8 AND r.prev_share < 0.8 AS BOOLEAN)
+             AS crosses_80
+    FROM (
+      SELECT CAST(rn AS INT) AS o_orderkey_rank, o_custkey,
+             CAST(s AS DOUBLE) AS spend,
+             CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share,
+             CAST(cum - s AS DOUBLE) / CAST(t.total AS DOUBLE) AS prev_share,
+             CAST(rn AS DOUBLE) / t.n_cust AS cust_frac
+      FROM r CROSS JOIN t) r
+    """,
+    survey_ref="new surface: Pareto / ABC analysis — customers ranked "
+    "by spend with exact-decimal running share and the row where the "
+    "cumulative share crosses 80% flagged (the '20% of groups carry "
+    "80% of premium' check the reference eyeballs in its conformance "
+    "PRINTs). Decimal cumsum keeps every prefix exact; doubles only "
+    "at the edge",
+)
+def win_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    )
+    t = spend.agg(
+        F.sum("s").alias("total"), F.count(F.lit(1)).alias("n_cust")
+    )
+    w = W.orderBy(F.desc("s"), "o_custkey")
+    r = spend.select(
+        "o_custkey",
+        "s",
+        F.sum("s").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).alias("rn"),
+    ).crossJoin(F.broadcast(t))
+    cum_share = F.col("cum").cast("double") / F.col("total").cast("double")
+    prev_share = (F.col("cum") - F.col("s")).cast("double") / F.col("total").cast("double")
+    return r.select(
+        F.col("rn").cast("int").alias("o_orderkey_rank"),
+        "o_custkey",
+        F.col("s").cast("double").alias("spend"),
+        cum_share.alias("cum_share"),
+        (F.col("rn").cast("double") / F.col("n_cust")).alias("cust_frac"),
+        ((cum_share >= 0.8) & (prev_share < 0.8)).alias("crosses_80"),
+    )
