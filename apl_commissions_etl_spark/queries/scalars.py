@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import canonical_kv_json, deterministic_id
+from ..plans.dims_fixtures import dims_cte_sql, register_dim_views
 from ..registry import query
 from ..sources.testdata import load_table
 
@@ -335,3 +336,44 @@ def func_json_shred_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return built.select(
         "c_custkey", F.explode(shredded).alias("e")
     ).select("c_custkey", F.col("e.seq").alias("seq"), F.col("e.pct").alias("pct"))
+
+
+_MELT_COLS = ["Year1", "Year2", "Year66", "LevelRate"]
+
+
+@query(
+    "func_unpivot_rates",
+    oracle=f"WITH {dims_cte_sql()}\n"
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT ScheduleName, ProductCode, '{c}' AS year_label,
+           {c} AS rate_raw,
+           CASE WHEN TRIM({c}) IN ('', '0') THEN NULL
+                ELSE TRY_CAST({c} AS DECIMAL(8,4)) END AS rate
+    FROM raw_schedule_rates"""
+        for c in _MELT_COLS
+    ),
+    survey_ref="P-family completeness: wide-to-long UNPIVOT of the "
+    "schedule rate columns (Year1/Year2/Year66/Level -> rows) with "
+    "the zero-as-missing + TRY_CAST scrub applied per cell "
+    "(04-schedules.sql:128-141 reads these wide; the melt is what a "
+    "normalized rate table ingests). Spark side is one stack() "
+    "projection — no shuffle, output is 4x the scan",
+)
+def func_unpivot_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_dim_views(spark, sf_dir)
+    r = spark.table("raw_schedule_rates")
+    stack_expr = "stack({n}, {args}) AS (year_label, rate_raw)".format(
+        n=len(_MELT_COLS),
+        args=", ".join(f"'{c}', {c}" for c in _MELT_COLS),
+    )
+    melted = r.select(
+        "ScheduleName", "ProductCode", F.expr(stack_expr)
+    )
+    rate = F.when(
+        F.trim("rate_raw").isin("", "0"), F.lit(None).cast("decimal(8,4)")
+    ).otherwise(F.col("rate_raw").try_cast("decimal(8,4)"))
+    return melted.select(
+        "ScheduleName", "ProductCode", "year_label", "rate_raw",
+        rate.alias("rate"),
+    )
