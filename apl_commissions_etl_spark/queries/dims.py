@@ -289,9 +289,9 @@ _SQL_AMOUNT = ", ".join(f"'{m}'" for m in _AMOUNT_METHODS)
 _SQL_PERCENT = ", ".join(f"'{m}'" for m in _PERCENT_METHODS)
 
 
-@query(
-    "dim_fees_classified",
-    oracle=_oracle(f"""
+#: fees as a named CTE — shared with the reporting layer's
+#: fee-earnings views (queries/reporting_brokers.py)
+FEES_STG_CTE = f"""fees_stg AS (
     SELECT TRIM(PRDNUM) AS ProductNumber,
            TRIM(FormattedFeeCalcMethod) AS Notes,
            CASE WHEN TRIM(FormattedFeeCalcMethod) IN ({_SQL_AMOUNT})
@@ -310,7 +310,12 @@ _SQL_PERCENT = ", ".join(f"'{m}'" for m in _PERCENT_METHODS)
            TRIM(PartyUniqueId) AS RecipientBrokerExternalId
     FROM raw_fees
     WHERE TRIM(PRDNUM) <> '' AND TRIM(PartyUniqueId) <> ''
-      AND TRIM(FormattedFeeCalcMethod) <> ''"""),
+      AND TRIM(FormattedFeeCalcMethod) <> '')"""
+
+
+@query(
+    "dim_fees_classified",
+    oracle=_oracle(", " + FEES_STG_CTE + "\n    SELECT * FROM fees_stg"),
     survey_ref="§7.3 #7 fees: calc-method bucket classification "
     "(Amount vs Percent*100), style-101 MM/DD/YYYY safe parse P3, "
     "P-prefix broker id extraction P7 (11-fees.sql:195-260)",
@@ -895,10 +900,9 @@ def dim_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dim_broker_licenses_stg",
-    oracle=_oracle(
-        ", " + BROKERS_DIM_CTES + """
+#: licenses as a named CTE (requires BROKERS_DIM_CTES in scope) —
+#: shared with the reporting layer (queries/reporting_brokers.py)
+LICENSES_STG_CTE = """lic_stg AS (
     SELECT TRY_CAST(nl.Id AS BIGINT) AS Id,
            b.Id AS BrokerId,
            nl.StateCode AS LicenseState,
@@ -925,7 +929,14 @@ def dim_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE nl.PartyUniqueId IS NOT NULL
       AND nl.PartyUniqueId <> '' AND nl.PartyUniqueId <> 'NULL'
       AND nl.StateCode IS NOT NULL
-      AND nl.StateCode <> '' AND nl.StateCode <> 'NULL'"""
+      AND nl.StateCode <> '' AND nl.StateCode <> 'NULL')"""
+
+
+@query(
+    "dim_broker_licenses_stg",
+    oracle=_oracle(
+        ", " + BROKERS_DIM_CTES + ",\n" + LICENSES_STG_CTE
+        + "\n    SELECT * FROM lic_stg"
     ),
     survey_ref="§2 remaining entity transform: broker licenses — "
     "'NULL'-literal scrubbing, license-code/status CASE maps (UNTRIMMED "
@@ -990,10 +1001,9 @@ def dim_broker_licenses_stg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EO_RUN_DATE = "2026-01-01"
 
 
-@query(
-    "dim_eo_insurances_stg",
-    oracle=_oracle(
-        ", " + BROKERS_DIM_CTES + f"""
+#: E&O insurances as a named CTE (requires BROKERS_DIM_CTES in scope)
+#: — shared with the reporting layer (queries/reporting_brokers.py)
+EO_STG_CTE = f"""eo_stg AS (
     SELECT TRY_CAST(neo.Id AS BIGINT) AS Id,
            b.Id AS BrokerId,
            NULLIF(TRIM(neo.PolicyId), 'NULL') AS PolicyNumber,
@@ -1023,7 +1033,14 @@ _EO_RUN_DATE = "2026-01-01"
     FROM raw_broker_eo neo
     JOIN brokers_dim b ON b.ExternalPartyId = neo.PartyUniqueId
     WHERE neo.PartyUniqueId IS NOT NULL
-      AND neo.PartyUniqueId <> '' AND neo.PartyUniqueId <> 'NULL'"""
+      AND neo.PartyUniqueId <> '' AND neo.PartyUniqueId <> 'NULL')"""
+
+
+@query(
+    "dim_eo_insurances_stg",
+    oracle=_oracle(
+        ", " + BROKERS_DIM_CTES + ",\n" + EO_STG_CTE
+        + "\n    SELECT * FROM eo_stg"
     ),
     survey_ref="§2 remaining entity transform: broker E&O insurances — "
     "'NULL'-literal money columns through TRY_CAST DECIMAL(18,2), "

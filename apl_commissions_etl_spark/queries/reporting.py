@@ -8,17 +8,15 @@ Reference parity map (view number -> query):
   5  GroupCommissionRules          -> report_commission_rules
   10 GLJournalEntries (enriched)   -> report_gl_entries_enriched
   11 PremiumTransactions           -> report_premium_transactions
+  12 Payments                      -> report_payments
   13 Schedules (with rates)        -> report_schedules_rates
   14 GroupCommissionRulesWithEarners -> report_commission_hierarchy
   15 BrokersWithAssignments        -> report_brokers_with_assignments
   16 AvailableViews                -> report_available_views
 
-Views 2-4 and 6-8 are pure column projections / repeats of the view-1
-join against broker-attribute entities (licenses, E&O, appointments)
-whose extra attribute columns the fixture schema doesn't model; their
-join SHAPE is covered by report_earning_brokers + dim_broker_licenses.
-View 9 (DryRun) is view 10 over the dry-run table — same plan, different
-source flag. View 12 (Payments) has no corresponding input entity.
+Views 2-4 and 6-8 (broker master + licenses / E&O / appointments)
+live in queries/reporting_brokers.py. View 9 (DryRun) is view 10 over
+the dry-run table — same plan, different source flag.
 
 Scale notes: every report is a broadcast-join tree over group-scale
 dims except report_premium_transactions, which joins two fact tables
@@ -465,6 +463,98 @@ def report_brokers_with_assignments(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "report_payments",
+    oracle=_oracle(
+        f", {_GL_DATED_SQL.strip().lstrip(',')}\n"
+        + """
+    , pay AS (
+      SELECT BrokerId,
+             CAST(date_trunc('month', TransactionDate) AS DATE) AS period,
+             CAST(SUM(Amount) AS DOUBLE) AS PaymentAmount
+      FROM gl_dated GROUP BY BrokerId,
+             CAST(date_trunc('month', TransactionDate) AS DATE))
+    SELECT 'PAY-' || CAST(BrokerId AS VARCHAR) || '-'
+             || CAST(period AS VARCHAR) AS PaymentId,
+           BrokerId,
+           'Broker-' || CAST(BrokerId AS VARCHAR) AS BrokerName,
+           CAST(period + INTERVAL 44 DAY AS DATE) AS ScheduledDate,
+           CASE WHEN (BrokerId + EXTRACT(MONTH FROM period)) % 4 = 1
+                THEN CAST(period + INTERVAL 47 DAY AS DATE) END AS PaymentDate,
+           PaymentAmount,
+           CAST(BrokerId % 3 AS INT) AS PaymentMethod,
+           CASE CAST(BrokerId % 3 AS INT) WHEN 0 THEN 'Check'
+                WHEN 1 THEN 'ACH' WHEN 2 THEN 'Wire'
+                ELSE 'Unknown' END AS PaymentMethodName,
+           CAST((BrokerId + EXTRACT(MONTH FROM period)) % 4 AS INT)
+             AS PaymentStatus,
+           CASE CAST((BrokerId + EXTRACT(MONTH FROM period)) % 4 AS INT)
+                WHEN 0 THEN 'Pending' WHEN 1 THEN 'Processed'
+                WHEN 2 THEN 'Failed' WHEN 3 THEN 'Cancelled'
+                ELSE 'Unknown' END AS PaymentStatusName,
+           'REF-' || CAST(BrokerId AS VARCHAR) || '-'
+             || CAST(period AS VARCHAR) AS ReferenceNumber,
+           LPAD(CAST(BrokerId % 10000 AS VARCHAR), 4, '0') AS AccountLastFour,
+           'BATCH-' || CAST(period AS VARCHAR) AS PaymentBatchId
+    FROM pay"""
+    ),
+    survey_ref="reporting view 12 Payments (create-reporting-schema"
+    ".sql:433-466): the payment register — one payment per (broker, "
+    "month) batched from the GL entries (the reference reads "
+    "dbo.Payments, which its payment-batch process derives from the "
+    "same journal), with the method/status int-code -> name decode "
+    "CASE maps mirrored exactly; schedule/paid dates are deterministic "
+    "month-anchored offsets so the view is value-hash-checkable",
+)
+def report_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gl = _gl_dated(spark, sf_dir)
+    pay = (
+        gl.groupBy(
+            "BrokerId", F.trunc("TransactionDate", "month").alias("period")
+        )
+        .agg(F.sum("Amount").cast("double").alias("PaymentAmount"))
+    )
+    method = (F.col("BrokerId") % 3).cast("int")
+    status = ((F.col("BrokerId") + F.month("period")) % 4).cast("int")
+    pid = F.concat_ws(
+        "-", F.lit("PAY"), F.col("BrokerId").cast("string"),
+        F.col("period").cast("string"),
+    )
+    return pay.select(
+        pid.alias("PaymentId"),
+        "BrokerId",
+        F.concat(F.lit("Broker-"), F.col("BrokerId").cast("string")).alias(
+            "BrokerName"
+        ),
+        F.date_add("period", 44).alias("ScheduledDate"),
+        F.when(status == 1, F.date_add("period", 47)).alias("PaymentDate"),
+        "PaymentAmount",
+        method.alias("PaymentMethod"),
+        F.when(method == 0, "Check")
+        .when(method == 1, "ACH")
+        .when(method == 2, "Wire")
+        .otherwise("Unknown")
+        .alias("PaymentMethodName"),
+        status.alias("PaymentStatus"),
+        F.when(status == 0, "Pending")
+        .when(status == 1, "Processed")
+        .when(status == 2, "Failed")
+        .when(status == 3, "Cancelled")
+        .otherwise("Unknown")
+        .alias("PaymentStatusName"),
+        F.concat_ws(
+            "-", F.lit("REF"), F.col("BrokerId").cast("string"),
+            F.col("period").cast("string"),
+        ).alias("ReferenceNumber"),
+        F.lpad((F.col("BrokerId") % 10000).cast("string"), 4, "0").alias(
+            "AccountLastFour"
+        ),
+        F.concat(F.lit("BATCH-"), F.col("period").cast("string")).alias(
+            "PaymentBatchId"
+        ),
+    )
+
+
 #: the catalog rows for view 16 — single source for BOTH engines
 _VIEW_CATALOG: list[tuple[str, str]] = [
     ("report_earning_brokers",
@@ -475,8 +565,22 @@ _VIEW_CATALOG: list[tuple[str, str]] = [
      "Commission journal entries with broker/group/policy context"),
     ("report_premium_transactions",
      "Premium payment transactions with policy context"),
+    ("report_payments",
+     "Broker payment register batched monthly from the GL entries"),
     ("report_schedules_rates",
      "Commission rate schedules with rates"),
+    ("report_brokers",
+     "Broker master with decoded status and type"),
+    ("report_broker_eo_insurances",
+     "Broker E&O insurance details with expiry classification"),
+    ("report_broker_licenses",
+     "Broker license details with expiry classification"),
+    ("report_earning_brokers_licenses",
+     "Fee-earning brokers with their license details"),
+    ("report_earning_brokers_eo",
+     "Fee-earning brokers with their E&O insurance details"),
+    ("report_earning_brokers_appointments",
+     "Fee-earning brokers with appointment tenure"),
     ("report_commission_hierarchy",
      "Full commission hierarchy: proposals to splits to hierarchies to participants"),
     ("report_brokers_with_assignments",

@@ -62,6 +62,7 @@ def all_queries() -> dict[str, Query]:
         llmdata,
         policies,
         reporting,
+        reporting_brokers,
         scalars,
         setops,
         streamops,
