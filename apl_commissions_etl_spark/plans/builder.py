@@ -294,6 +294,138 @@ def broker_assignments(certs: DataFrame) -> DataFrame:
     )
 
 
+def commission_assignment_records(
+    certs: DataFrame,
+    per_split: DataFrame | None = None,
+    criteria: DataFrame | None = None,
+) -> DataFrame:
+    """Full commission-assignments transform (ref sql/transforms/
+    12-commission-assignments.sql:24-150): one assignment version per
+    source broker whose certificates pay a DIFFERENT broker, linked to
+    the most recent hierarchy/proposal context, plus its single 100%
+    recipient record.
+
+    Re-expression of the reference's chain:
+    - BrokerAssignments CTE (:24-39): active tier rows with
+      SplitBrokerId != PaidBrokerId, both non-blank.
+    - RankedAssignments (:40-66): the reference joins stg_hierarchy_
+      participants -> versions -> split participants -> versions to
+      find A hierarchy containing the source broker; here the cert row
+      itself IS the participant row, so the context join is its own
+      split's HierarchyHash (per_split) plus the conformant criteria's
+      proposal id — the same chain the builder used to create those
+      entities.  Rank: most recent date first; HierarchyHash /
+      CertificateId / PaidBrokerId tiebreaks make the reference's
+      unordered ties deterministic (SURVEY §7.1).
+    - CAV projection (:72-98): deterministic 'CAV-{brokerId}' replaces
+      the ROW_NUMBER counter; 'V1', open 2099 end, Status/Type 1,
+      100% total.
+    - VersionRecipients CROSS APPLY TOP 1 (:107-124): the recipient is
+      the chosen (latest) row's paid broker — one 100% recipient per
+      version, 'CAR-{brokerId}', RecipientType 1 (Broker).
+    - Broker names resolve through the cert-carried name dim with the
+      reference's 'Broker {pid}' fallback (:82, :135).
+
+    Scale: assignment certs are a small filtered subset; the context
+    joins are broadcastable at group scale; one window per source
+    broker (a broker-cardinality shuffle).
+    """
+    from pyspark.sql.window import Window
+
+    if per_split is None:
+        per_split = split_hierarchies(certs)
+    if criteria is None:
+        criteria = selection_criteria(certs, per_split=per_split)
+    ok = conformant_criteria(criteria).select(
+        "GroupId", "CertificateId", "ConfigHash"
+    )
+    asg = certs.filter(
+        (F.trim("CertStatus") == "A")
+        & (F.trim("RecStatus") == "A")
+        & F.col("SplitBrokerId").isNotNull()
+        & F.col("PaidBrokerId").isNotNull()
+        & (F.trim("SplitBrokerId") != "")
+        & (F.trim("PaidBrokerId") != "")
+        & (F.col("SplitBrokerId") != F.col("PaidBrokerId"))
+    ).select(
+        "GroupId", "CertificateId", "CertSplitSeq", "CertEffectiveDate",
+        "SplitBrokerId", "PaidBrokerId",
+    )
+    ctx = (
+        asg.join(
+            per_split.select(
+                "GroupId", "CertificateId", "CertSplitSeq", "HierarchyHash"
+            ),
+            ["GroupId", "CertificateId", "CertSplitSeq"],
+        )
+        .join(F.broadcast(ok), ["GroupId", "CertificateId"])
+        .withColumn(
+            "ProposalId",
+            F.concat(
+                F.lit("PROP-"), "GroupId", F.lit("-"),
+                F.substring("ConfigHash", 1, 8),
+            ),
+        )
+    )
+    w = Window.partitionBy("SplitBrokerId").orderBy(
+        F.col("CertEffectiveDate").desc(),
+        "HierarchyHash",
+        F.col("CertificateId").desc(),
+        F.col("PaidBrokerId").desc(),
+    )
+    w_all = Window.partitionBy("SplitBrokerId")
+    picked = (
+        ctx.withColumn("rn", F.row_number().over(w))
+        .withColumn("EffectiveFrom", F.max("CertEffectiveDate").over(w_all))
+        .filter(F.col("rn") == 1)
+    )
+    pid_num = lambda c: F.regexp_replace(c, "P", "").try_cast("long")  # noqa: E731
+    bn = certs.groupBy(F.col("SplitBrokerId").alias("pid")).agg(
+        F.min("SplitBrokerName").alias("KnownName")
+    )
+    src_id = pid_num(F.col("SplitBrokerId"))
+    rcp_id = pid_num(F.col("PaidBrokerId"))
+    return (
+        picked.join(
+            F.broadcast(bn.withColumnRenamed("KnownName", "SrcName")),
+            picked.SplitBrokerId == bn.pid,
+            "left",
+        )
+        .drop("pid")
+        .join(
+            F.broadcast(
+                bn.withColumnRenamed("KnownName", "RcpName")
+            ),
+            picked.PaidBrokerId == bn.pid,
+            "left",
+        )
+        .drop("pid")
+        .filter(src_id.isNotNull() & rcp_id.isNotNull())
+        .select(
+            F.concat(F.lit("CAV-"), src_id.cast("string")).alias("Id"),
+            src_id.alias("BrokerId"),
+            F.coalesce(
+                "SrcName", F.concat(F.lit("Broker "), "SplitBrokerId")
+            ).alias("BrokerName"),
+            "ProposalId",
+            F.col("HierarchyHash").alias("HierarchyId"),
+            F.lit("V1").alias("VersionNumber"),
+            "EffectiveFrom",
+            F.lit(CONT_TO).cast("date").alias("EffectiveTo"),
+            F.lit(1).alias("Status"),
+            F.lit(1).alias("Type"),
+            F.lit(100.0).cast("double").alias("TotalAssignedPercent"),
+            F.concat(F.lit("CAR-"), src_id.cast("string")).alias("RecipientId"),
+            rcp_id.alias("RecipientBrokerId"),
+            F.coalesce(
+                "RcpName", F.concat(F.lit("Broker "), "PaidBrokerId")
+            ).alias("RecipientBrokerName"),
+            F.lit(100.0).cast("double").alias("RecipientPercent"),
+            F.lit(1).alias("RecipientType"),
+        )
+    )
+
+
 def proposal_key_mappings(proposals: DataFrame) -> DataFrame:
     """Deterministic proposal lookup F(GroupId, Year, Product, Plan) ->
     ProposalId (ref sql/03-staging-tables.sql:396-409, generated at

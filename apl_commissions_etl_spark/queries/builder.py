@@ -283,6 +283,86 @@ def builder_broker_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return builder.broker_assignments(_certs(spark, sf_dir))
 
 
+_PID_BIGINT = "TRY_CAST(REPLACE({c}, 'P', '') AS BIGINT)"
+
+
+@query(
+    "builder_commission_assignments",
+    oracle=_oracle(f"""
+    , asg AS (
+      SELECT GroupId, CertificateId, CertSplitSeq, CertEffectiveDate,
+             SplitBrokerId, PaidBrokerId
+      FROM input_certificate_info
+      WHERE TRIM(CertStatus) = 'A' AND TRIM(RecStatus) = 'A'
+        AND SplitBrokerId IS NOT NULL AND PaidBrokerId IS NOT NULL
+        AND TRIM(SplitBrokerId) <> '' AND TRIM(PaidBrokerId) <> ''
+        AND SplitBrokerId <> PaidBrokerId
+    ),
+    ctx AS (
+      SELECT a.*, ps.HierarchyHash,
+             'PROP-' || c.GroupId || '-' || substr(c.ConfigHash, 1, 8)
+               AS ProposalId
+      FROM asg a
+      JOIN per_split ps ON ps.GroupId = a.GroupId
+        AND ps.CertificateId = a.CertificateId
+        AND ps.CertSplitSeq = a.CertSplitSeq
+      JOIN conformant c ON c.GroupId = a.GroupId
+        AND c.CertificateId = a.CertificateId
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY SplitBrokerId
+               ORDER BY CertEffectiveDate DESC, HierarchyHash,
+                        CertificateId DESC, PaidBrokerId DESC) AS rn,
+             MAX(CertEffectiveDate) OVER (PARTITION BY SplitBrokerId)
+               AS EffectiveFrom
+      FROM ctx
+    ),
+    bn AS (
+      SELECT SplitBrokerId AS pid, MIN(SplitBrokerName) AS KnownName
+      FROM input_certificate_info GROUP BY SplitBrokerId
+    )
+    SELECT 'CAV-' || CAST({_PID_BIGINT.format(c='r.SplitBrokerId')}
+             AS VARCHAR) AS Id,
+           {_PID_BIGINT.format(c='r.SplitBrokerId')} AS BrokerId,
+           COALESCE(sb.KnownName, 'Broker ' || r.SplitBrokerId) AS BrokerName,
+           r.ProposalId,
+           r.HierarchyHash AS HierarchyId,
+           'V1' AS VersionNumber,
+           r.EffectiveFrom,
+           DATE '2099-01-01' AS EffectiveTo,
+           1 AS Status, 1 AS Type,
+           CAST(100.0 AS DOUBLE) AS TotalAssignedPercent,
+           'CAR-' || CAST({_PID_BIGINT.format(c='r.SplitBrokerId')}
+             AS VARCHAR) AS RecipientId,
+           {_PID_BIGINT.format(c='r.PaidBrokerId')} AS RecipientBrokerId,
+           COALESCE(rb.KnownName, 'Broker ' || r.PaidBrokerId)
+             AS RecipientBrokerName,
+           CAST(100.0 AS DOUBLE) AS RecipientPercent,
+           1 AS RecipientType
+    FROM ranked r
+    LEFT JOIN bn sb ON sb.pid = r.SplitBrokerId
+    LEFT JOIN bn rb ON rb.pid = r.PaidBrokerId
+    WHERE r.rn = 1
+      AND {_PID_BIGINT.format(c='r.SplitBrokerId')} IS NOT NULL
+      AND {_PID_BIGINT.format(c='r.PaidBrokerId')} IS NOT NULL"""),
+    survey_ref="§2.9 builder: FULL commission-assignments transform — "
+    "assignment versions (one per source broker paying a different "
+    "broker, latest hierarchy/proposal context via the builder's own "
+    "split chain, open 2099 end) + the 100% recipient record, "
+    "deterministic CAV-/CAR- ids replacing the ROW_NUMBER counters "
+    "(12-commission-assignments.sql:24-150)",
+)
+def builder_commission_assignments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return builder.commission_assignment_records(
+        _certs(spark, sf_dir),
+        per_split=_per_split(spark, sf_dir),
+        criteria=_criteria(spark, sf_dir),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Consolidation fold — applyInPandas on Spark, RECURSIVE CTE on DuckDB
 # ---------------------------------------------------------------------------
