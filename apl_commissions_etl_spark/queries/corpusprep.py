@@ -1032,3 +1032,228 @@ def corpus_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("kmv_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch (completes the sketch family next to
+# count-min frequency and KMV distinct-count)
+# ---------------------------------------------------------------------------
+
+#: bloom geometry: 1024 bits as 32 x 32-bit words in BIGINT cells, 3
+#: md5-derived hash functions. Fixture-sized; at corpus scale the same
+#: plan runs with 2^30+ bits -- the bitmap stays (bits/32) rows and is
+#: mergeable across shards via bit_or, the property that matters at
+#: 100 TB (build once per shard, OR the word tables together).
+_BLOOM_K = 3
+_BLOOM_BITS = 1024
+
+#: probes: half present in every fixture corpus, half absent
+_BLOOM_PROBES = [
+    "the", "table", "value", "row",
+    "zzz_absent", "qqq_missing", "bloomfoo", "xy_zzy",
+]
+
+
+def _bloom_pos_sql(i: int, tok: str = "tok") -> str:
+    return (
+        f"(CAST('0x' || substr(md5(CAST({i} AS VARCHAR) || {tok}), 1, 3) "
+        f"AS INT) % {_BLOOM_BITS})"
+    )
+
+
+@query(
+    "corpus_bloom_filter",
+    oracle=f"""
+    WITH w AS (SELECT DISTINCT unnest({_WORDS}) AS tok FROM documents),
+    bits AS (
+      {" UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(i)} >> 5 AS word,"
+        f" {_bloom_pos_sql(i)} & 31 AS bit FROM w"
+        for i in range(_BLOOM_K)
+      )}),
+    bloom AS (
+      SELECT word, bit_or(CAST(1 AS BIGINT) << bit) AS bits
+      FROM bits GROUP BY word),
+    probes AS (SELECT unnest({_BLOOM_PROBES!r}) AS tok),
+    pb AS (
+      {" UNION ALL ".join(
+        f"SELECT tok, {_bloom_pos_sql(i)} >> 5 AS word,"
+        f" {_bloom_pos_sql(i)} & 31 AS bit FROM probes"
+        for i in range(_BLOOM_K)
+      )}),
+    hit AS (
+      SELECT pb.tok,
+             MIN(CASE WHEN b.bits IS NOT NULL
+                       AND (b.bits >> pb.bit) & 1 = 1
+                 THEN 1 ELSE 0 END) AS all_set
+      FROM pb LEFT JOIN bloom b ON b.word = pb.word
+      GROUP BY pb.tok),
+    truth AS (
+      SELECT p.tok,
+             MAX(CASE WHEN w.tok IS NOT NULL THEN 1 ELSE 0 END) AS present
+      FROM probes p LEFT JOIN w ON w.tok = p.tok
+      GROUP BY p.tok)
+    SELECT t.tok,
+           CAST(t.present = 1 AS BOOLEAN) AS in_corpus,
+           CAST(h.all_set = 1 AS BOOLEAN) AS bloom_positive,
+           CAST(h.all_set = 1 OR t.present = 0 AS BOOLEAN)
+             AS no_false_negative
+    FROM truth t JOIN hit h ON h.tok = t.tok
+    """,
+    survey_ref="north-star: Bloom-filter membership sketch -- a "
+    f"{_BLOOM_BITS}-bit / {_BLOOM_K}-hash bitmap built as 32-bit words "
+    "in BIGINT cells via one bit_or aggregation (md5-derived positions, "
+    "deterministic, engine-identical -- the bitmap CONTENTS are "
+    "value-hash-checkable). Probes are answered from the word table "
+    "alone; the no-false-negative guarantee is emitted as a checked "
+    "column. The word table is (bits/32) rows regardless of corpus "
+    "size and merges across shards with another bit_or -- the "
+    "distributed-membership answer that never holds the value set",
+)
+def corpus_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(ta.words("text")).alias("tok")).distinct()
+
+    def pos(i: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(str(i)), F.col("tok"))), 1, 3),
+                16,
+                10,
+            ).cast("int")
+            % _BLOOM_BITS
+        )
+
+    def word_bits(src: DataFrame, keep_tok: bool) -> DataFrame:
+        out = None
+        for i in range(_BLOOM_K):
+            cols = [
+                F.shiftright(pos(i), 5).alias("word"),
+                pos(i).bitwiseAND(F.lit(31)).alias("bit"),
+            ]
+            if keep_tok:
+                cols.insert(0, F.col("tok"))
+            part = src.select(*cols)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    bloom = (
+        word_bits(toks, keep_tok=False)
+        .groupBy("word")
+        # shiftleft by a COLUMN needs the SQL form (the Python helper
+        # takes only a literal shift amount)
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits")
+        )
+    )
+    probes = d.sparkSession.createDataFrame(
+        [(t,) for t in _BLOOM_PROBES], "tok string"
+    )
+    hit = (
+        word_bits(probes, keep_tok=True)
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("tok")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("bits").isNotNull()
+                    & (F.expr("shiftright(bits, bit) & 1") == 1),
+                    1,
+                ).otherwise(0)
+            ).alias("all_set")
+        )
+    )
+    truth = (
+        probes.join(toks.withColumnRenamed("tok", "ct"),
+                    probes.tok == F.col("ct"), "left")
+        .groupBy("tok")
+        .agg(
+            F.max(F.when(F.col("ct").isNotNull(), 1).otherwise(0)).alias(
+                "present"
+            )
+        )
+    )
+    return truth.join(hit, "tok").select(
+        "tok",
+        (F.col("present") == 1).alias("in_corpus"),
+        (F.col("all_set") == 1).alias("bloom_positive"),
+        ((F.col("all_set") == 1) | (F.col("present") == 0)).alias(
+            "no_false_negative"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain filtering (the C4 / RefinedWeb provenance-filter stage)
+# ---------------------------------------------------------------------------
+
+#: deterministic provenance synthesis: the fixture corpus carries no
+#: URL column, so each document's origin derives from its id over a
+#: literal domain catalog (same list both engines) -- the FILTER logic
+#: (domain blocklist + TLD blocklist + regexp extraction) is the real
+#: operator under test
+_URL_DOMAINS = [
+    "en.wikipedia.org", "github.com", "spam-ads.example.com",
+    "docs.python.org", "casino.bet", "arxiv.org", "tracker.adsnet.io",
+]
+_BLOCKED_DOMAINS = ["spam-ads.example.com", "tracker.adsnet.io"]
+_BLOCKED_TLDS = ["bet"]
+
+
+@query(
+    "corpus_url_filter",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source,
+             {_URL_DOMAINS!r}[CAST(doc_id % {len(_URL_DOMAINS)} AS INT) + 1]
+               AS domain
+      FROM documents)
+    SELECT doc_id,
+           'https://' || domain || '/' || source || '/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           domain,
+           regexp_extract(domain, '\\.([a-z]+)$', 1) AS tld,
+           CASE WHEN domain IN {tuple(_BLOCKED_DOMAINS)!r}
+                  THEN 'domain-blocklist'
+                WHEN regexp_extract(domain, '\\.([a-z]+)$', 1)
+                     IN {tuple(_BLOCKED_TLDS + ['__never__'])!r}
+                  THEN 'tld-blocklist'
+           END AS block_reason,
+           CAST(domain NOT IN {tuple(_BLOCKED_DOMAINS)!r}
+                AND regexp_extract(domain, '\\.([a-z]+)$', 1)
+                    NOT IN {tuple(_BLOCKED_TLDS + ['__never__'])!r}
+             AS BOOLEAN) AS kept
+    FROM u
+    """,
+    survey_ref="north-star: URL/domain provenance filtering -- domain "
+    "extraction (JVM regexp in the scan projection), a broadcast-free "
+    "literal blocklist for bad domains and TLDs, per-document "
+    "keep/drop verdict with reason. At corpus scale the blocklist "
+    "rides the closure (or a broadcast join when it outgrows it) and "
+    "the whole filter is a single codegen stage ahead of every "
+    "downstream pass; deterministic id-derived provenance stands in "
+    "for the URL column the fixture lacks",
+)
+def corpus_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    domain = F.element_at(
+        F.array(*[F.lit(x) for x in _URL_DOMAINS]),
+        (F.col("doc_id") % len(_URL_DOMAINS)).cast("int") + 1,
+    )
+    u = d.select("doc_id", "source", domain.alias("domain"))
+    tld = F.regexp_extract("domain", r"\.([a-z]+)$", 1)
+    blocked_domain = F.col("domain").isin(*_BLOCKED_DOMAINS)
+    blocked_tld = tld.isin(*_BLOCKED_TLDS)
+    return u.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), "domain", F.lit("/"), "source", F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "domain",
+        tld.alias("tld"),
+        F.when(blocked_domain, "domain-blocklist")
+        .when(blocked_tld, "tld-blocklist")
+        .alias("block_reason"),
+        (~blocked_domain & ~blocked_tld).alias("kept"),
+    )

@@ -490,3 +490,78 @@ def seq_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "seq_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    roll AS (
+      SELECT event_type, bucket, c,
+             SUM(c) OVER w AS s,
+             SUM(c * c) OVER w AS ss,
+             COUNT(c) OVER w AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+    z AS (
+      SELECT event_type, bucket, c,
+             CAST(n AS BIGINT) AS n_baseline,
+             CAST(round(s * 1.0 / n, 6) AS DOUBLE) AS baseline_mean,
+             CAST(round(
+               CASE WHEN ss * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n) > 0
+                    THEN (c - s * 1.0 / n)
+                         / sqrt(ss * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n))
+                    ELSE 0 END, 6) AS DOUBLE) AS zscore
+      FROM roll WHERE n >= 8)
+    SELECT event_type, bucket, c AS n_events, n_baseline, baseline_mean,
+           zscore, CAST(ABS(zscore) > 3.0 AS BOOLEAN) AS is_anomaly
+    FROM z
+    """,
+    survey_ref="new surface: rolling z-score anomaly detection over "
+    "the hourly event-count series -- trailing-24-bucket mean/variance "
+    "per event type from ONE window pass (SUM, SUM of squares, COUNT "
+    "share the frame), z computed in pure IEEE double arithmetic with "
+    "the identical expression both engines (sqrt is correctly rounded "
+    "per IEEE so it cannot drift), 6-dp rounding absorbs association "
+    "order, and the anomaly flag derives from the ROUNDED value. The "
+    "hourly pre-aggregation is the only shuffle; the window adds one "
+    "type-partitioned exchange over bucket-cardinality rows -- at "
+    "100 TB this runs on the continuous aggregate, never the raw "
+    "events",
+)
+def seq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-24, -1)
+    )
+    roll = hourly.select(
+        "event_type",
+        "bucket",
+        "c",
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("ss"),
+        F.count("c").over(w).alias("n"),
+    ).filter(F.col("n") >= 8)
+    mean = F.col("s") * 1.0 / F.col("n")
+    var = F.col("ss") * 1.0 / F.col("n") - mean * mean
+    zscore = F.round(
+        F.when(var > 0, (F.col("c") - mean) / F.sqrt(var)).otherwise(0.0), 6
+    ).cast("double")
+    return roll.select(
+        "event_type",
+        "bucket",
+        F.col("c").alias("n_events"),
+        F.col("n").alias("n_baseline"),
+        F.round(mean, 6).cast("double").alias("baseline_mean"),
+        zscore.alias("zscore"),
+        (F.abs(zscore) > 3.0).alias("is_anomaly"),
+    )
