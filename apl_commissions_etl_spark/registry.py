@@ -57,6 +57,7 @@ def all_queries() -> dict[str, Query]:
         dims,
         events,
         exports,
+        graph,
         ingest,
         joins,
         llmdata,
