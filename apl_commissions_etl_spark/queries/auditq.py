@@ -241,3 +241,76 @@ def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations engine (Deequ-style): ONE scan computes every
+# metric as conditional aggregation, then the single metrics row unpivots
+# to a per-expectation report. Contrast with audit_column_profile's
+# per-column union: at 100 TB the one-pass shape is the only affordable
+# one -- adding an expectation adds a column to the aggregate, never a
+# second scan.
+# ---------------------------------------------------------------------------
+
+#: (name, violation-count SQL over lineitem) -- shared text, both engines
+_EXPECTATIONS = [
+    ("orderkey_not_null",
+     "SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)"),
+    ("orderkey_linenumber_unique",
+     "COUNT(*) - COUNT(DISTINCT CAST(l_orderkey AS VARCHAR(20)) || '-' "
+     "|| CAST(l_linenumber AS VARCHAR(20)))"),
+    ("discount_in_0_to_01",
+     "SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)"),
+    ("quantity_in_1_to_50",
+     "SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)"),
+    ("returnflag_accepted_values",
+     "SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)"),
+    ("extendedprice_non_negative",
+     "SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)"),
+    ("shipdate_in_epoch_range",
+     "SUM(CASE WHEN l_shipdate < DATE '1992-01-01'"
+     " OR l_shipdate > DATE '1998-12-31' THEN 1 ELSE 0 END)"),
+]
+
+
+@query(
+    "audit_expectations",
+    oracle="WITH m AS (SELECT COUNT(*) AS total, "
+    + ", ".join(
+        f"CAST({sql} AS BIGINT) AS v{i}"
+        for i, (_, sql) in enumerate(_EXPECTATIONS)
+    )
+    + " FROM lineitem)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS expectation, v{i} AS violations, total,"
+        f" CAST(v{i} = 0 AS BOOLEAN) AS passed FROM m"
+        for i, (name, _) in enumerate(_EXPECTATIONS)
+    ),
+    survey_ref="audit surface (new): declarative expectations engine -- "
+    "not-null / composite-key-unique / numeric-range / accepted-values "
+    "/ cross-column date-order constraints computed in ONE scan as "
+    "conditional aggregations over a single metrics row, then "
+    "unpivoted to a per-expectation pass/fail report. Adding an "
+    "expectation adds a column to the aggregate, never a second scan "
+    "-- the only affordable shape for a pre-load contract check at "
+    "100 TB (the reference's check-*.ts scripts re-scan per check)",
+)
+def audit_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.expr(sql).cast("long").alias(f"v{i}")
+            for i, (_, sql) in enumerate(_EXPECTATIONS)
+        ],
+    )
+    out = None
+    for i, (name, _) in enumerate(_EXPECTATIONS):
+        part = m.select(
+            F.lit(name).alias("expectation"),
+            F.col(f"v{i}").alias("violations"),
+            "total",
+            (F.col(f"v{i}") == 0).alias("passed"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -611,3 +611,96 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.join(days, "d").select(
         "o_orderkey", "l_orderkey", "l_linenumber"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered exact semi-join: the build-side key set is compacted
+# into a tiny bitmap that rides the scan closure and prunes the fact
+# BEFORE any shuffle; an exact semi-join then removes the bloom's false
+# positives, so the RESULT is identical to the plain semi-join (which is
+# exactly what the oracle checks). This is the explicit form of the
+# runtime-bloom pushdown Spark injects at production thresholds
+# (PLANS.md invariant) -- here the sketch is engine-deterministic.
+# ---------------------------------------------------------------------------
+
+_JBLOOM_BITS = 4096  # 128 x 32-bit words in BIGINT cells
+_JBLOOM_K = 2
+
+
+@query(
+    "join_bloom_semi_prefilter",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')""",
+    survey_ref="custom operator (new surface): bloom-prefiltered exact "
+    f"semi-join -- the dim key set compacts to a {_JBLOOM_BITS}-bit / "
+    f"{_JBLOOM_K}-hash bitmap (one aggregation, 128 BIGINT words) that "
+    "is collected once and evaluated INSIDE the fact scan projection, "
+    "so non-matching fact rows die before the shuffle; the exact "
+    "broadcast semi-join afterwards removes false positives, making "
+    "the result provably identical to the plain semi-join (the oracle "
+    "IS the plain semi-join). At 100 TB this is the explicit form of "
+    "runtime bloom pushdown: sketch size is constant in the fact size "
+    "and the prefilter runs at full scan speed in codegen",
+)
+def join_bloom_semi_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    keys = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def pos(i: int, col: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(str(i)), F.col(col).cast("string"))),
+                    1,
+                    3,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % _JBLOOM_BITS
+        )
+
+    bits = None
+    for i in range(_JBLOOM_K):
+        part = keys.select(
+            F.shiftright(pos(i, "k"), 5).alias("word"),
+            pos(i, "k").bitwiseAND(F.lit(31)).alias("bit"),
+        )
+        bits = part if bits is None else bits.unionByName(part)
+    bloom_rows = (
+        bits.groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits"))
+        .collect()
+    )
+    # materialize the sketch as a literal array in the scan closure --
+    # 128 longs, the one driver round-trip a bloom build costs (the
+    # same shape Spark's own runtime bloom pushdown broadcasts)
+    words = [0] * (_JBLOOM_BITS // 32)
+    for r in bloom_rows:
+        words[r["word"]] = r["bits"]
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    candidates = o
+    for i in range(_JBLOOM_K):
+        p = pos(i, "o_custkey")
+        word_val = F.element_at(arr, (F.shiftright(p, 5) + 1).cast("int"))
+        candidates = (
+            candidates.withColumn(f"__w{i}", word_val)
+            .withColumn(f"__b{i}", p.bitwiseAND(F.lit(31)))
+            .filter(F.expr(f"(shiftright(__w{i}, __b{i}) & 1) = 1"))
+            .drop(f"__w{i}", f"__b{i}")
+        )
+    return candidates.join(
+        F.broadcast(keys), candidates.o_custkey == keys.k, "left_semi"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
