@@ -153,3 +153,121 @@ def ingest_zip_prefix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("acctbal_cents"),
     )
+
+
+_MAT_STAGE: dict[tuple[str, str], str] = {}
+
+
+def _materialize_stage(spark: SparkSession, sf_dir: str) -> str:
+    """S3/S8/S11 sink exercise, once per (session, sf): an
+    INSERT..SELECT materializer writes a filtered orders projection to
+    parquet (S8), a dim goes through saveAsTable (S3,
+    scripts/load-csv.ts:320-352 batched bulk insert), and a
+    truncate-and-reload (S11, sql/transforms/00-references.sql:5-20)
+    overwrites a first write with the corrected second load -- the
+    read-back must see ONLY the reload."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _MAT_STAGE:
+        return _MAT_STAGE[key]
+    root = _stage_dir(spark, sf_dir, "materialize")
+
+    # S8: INSERT...SELECT -> parquet stage via the Pipeline materializer
+    from ..plans.pipeline import Pipeline
+
+    pipe = Pipeline("materialize_suite")
+
+    @pipe.stage("orders_f")
+    def _orders_f(spark, ctx):
+        return (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        )
+
+    pipe.run(spark, root, resume=False)
+
+    # S3: batched bulk insert -> saveAsTable.  External table pinned to
+    # the stage dir: repeated sessions (or a stale spark-warehouse/ from
+    # another process) must not LOCATION_ALREADY_EXISTS-collide.
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    spark.sql("DROP TABLE IF EXISTS mat_suite_nation")
+    (
+        nat.write.mode("overwrite")
+        .option("path", os.path.join(root, "nation_tbl"))
+        .bucketBy(4, "n_nationkey")
+        .format("parquet")
+        .saveAsTable("mat_suite_nation")
+    )
+
+    # S11: truncate-and-reload -- first load is WRONG (filtered), the
+    # reload overwrites with the full region table; a reader seeing
+    # leftover rows or the first load breaks the fingerprint.
+    reload_path = os.path.join(root, "region_reload")
+    reg = load_table(spark, sf_dir, "region")
+    reg.filter(F.col("r_regionkey") <= 1).write.mode("overwrite").parquet(
+        reload_path
+    )
+    reg.write.mode("overwrite").parquet(reload_path)
+
+    _MAT_STAGE[key] = root
+    return root
+
+
+@query(
+    "pipeline_materialize_suite",
+    oracle="""
+    SELECT 's8_insert_select' AS pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey + o_custkey) AS BIGINT) AS int_sum,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_sum
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 's3_save_as_table',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_nationkey + n_regionkey) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT 's11_truncate_reload',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(r_regionkey) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM region
+    """,
+    survey_ref="§2.1 S3 (batched bulk insert -> saveAsTable, "
+    "load-csv.ts:320-352), S8 (INSERT..SELECT materializer, "
+    "run-pipeline.ts stage writes), S11 (truncate-and-reload, "
+    "00-references.sql:5-20) -- each sink is WRITTEN then read back; "
+    "the oracle computes the same fingerprints from the logical "
+    "SELECT, so a sink that drops/duplicates/stales rows mismatches",
+)
+def pipeline_materialize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _materialize_stage(spark, sf_dir)
+    s8 = spark.read.parquet(os.path.join(root, "orders_f")).agg(
+        F.lit("s8_insert_select").alias("pattern"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey") + F.col("o_custkey"))
+        .cast("long")
+        .alias("int_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents_sum"),
+    ).select("pattern", "n_rows", "int_sum", "cents_sum")
+    s3 = spark.table("mat_suite_nation").agg(
+        F.lit("s3_save_as_table").alias("pattern"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_nationkey") + F.col("n_regionkey"))
+        .cast("long")
+        .alias("int_sum"),
+        F.lit(0).cast("long").alias("cents_sum"),
+    ).select("pattern", "n_rows", "int_sum", "cents_sum")
+    s11 = spark.read.parquet(os.path.join(root, "region_reload")).agg(
+        F.lit("s11_truncate_reload").alias("pattern"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("r_regionkey").cast("long").alias("int_sum"),
+        F.lit(0).cast("long").alias("cents_sum"),
+    ).select("pattern", "n_rows", "int_sum", "cents_sum")
+    return s8.unionAll(s3).unionAll(s11)

@@ -1,0 +1,307 @@
+"""Family-suite queries: one driver-checkable row per sub-pattern.
+
+The driver's correctness gate verifies a fixed-size prefix of the
+registry, so each operator FAMILY also registers one compact "suite"
+query: a UNION ALL with one row per sub-pattern.  Each row reduces the
+FULL output of an already-registered query to a stable fingerprint:
+
+    (pattern, n_rows, int_sum, cents_sum, flag_sum, str_min, str_max)
+
+- ``int_sum``   sums every integer column (NULL->0) and date column
+  (as days since 1970-01-01) across all rows;
+- ``cents_sum`` sums money/float columns as ROUND(x*100) BIGINT cents
+  (NaN->-1, NULL->0) — exact because every sub-query already produces
+  engine-deterministic numerics (decimal accumulation, *100 rounding);
+- ``flag_sum``  folds booleans (NULL=2/true=1/false=0) and the non-null
+  count of fingerprint-skipped columns (timestamps, arrays, binary);
+- ``str_min``/``str_max`` are the lexicographic extremes of the
+  '|'-joined string columns (NULL->'~').
+
+The Spark side re-runs the registered ``spark_fn`` and applies the
+fingerprint aggregation over a temp view; the oracle wraps the
+registered oracle SQL in the equivalent DuckDB aggregation (generated
+by ``scripts/gen_suites.py`` into ``suites_gen.py`` from each engine's
+actual result schema and verified side-by-side at two scale factors).
+A value, row-count, or schema drift in ANY sub-pattern therefore
+surfaces in that sub-pattern's suite row.
+
+Sub-queries stay individually registered (and locally swept by
+``scripts/check_oracle.py``); suites exist so one driver slot verifies
+a whole family.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import textanalysis as ta
+from ..registry import REGISTRY, query
+from ..sources.testdata import load_table
+
+#: suite name -> (survey_ref, ordered sub-query names).  Fingerprint
+#: SQL for each sub lives in suites_gen.py (regenerate with
+#: ``python scripts/gen_suites.py`` after changing a sub-query's schema).
+SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
+    "agg_patterns_suite": (
+        "§2.4 A1/A2/A4/A5/A6/A7/A10/A12 aggregation family fingerprints "
+        "(each sub-query maps to its own reference site; see the "
+        "sub-queries' survey_refs)",
+        (
+            "agg_pricing_summary",
+            "agg_group_stats",
+            "agg_having",
+            "agg_string_agg_ordered",
+            "agg_dedup_normalized_key",
+            "agg_min_per_key_prefiltered",
+            "agg_entropy_routing",
+            "agg_summary_union_counts",
+        ),
+    ),
+    "dim_entities_suite": (
+        "§7.3 dimension/staging transforms beyond the four dedicated dim "
+        "slots: schedules, schedule-rate fallback, products, plans, "
+        "policies, banking, licenses, premium transactions, deprecated "
+        "hierarchies, state rules",
+        (
+            "dim_schedules",
+            "dim_schedule_rate_fallback",
+            "dim_products",
+            "dim_plans",
+            "dim_policies",
+            "dim_broker_banking",
+            "dim_broker_licenses",
+            "dim_premium_transactions",
+            "deprecated_hierarchies",
+            "hier_state_rules",
+        ),
+    ),
+    "prep_patterns_suite": (
+        "§2.2 P1-P3 (trim/safe-cast), P5 (NOT-NULL gate), P9 (invalid-"
+        "group regex), P10 (exclusion list), P11 (heuristic predicates)",
+        (
+            "prep_safe_cast",
+            "prep_conformance_gate",
+            "prep_invalid_group_regex",
+            "prep_exclusion_list",
+            "prep_heuristic_predicates",
+        ),
+    ),
+    "join_patterns_suite": (
+        "§2.3 J1 (inner equi), J4 (numeric band theta), J7 (semi), J8 "
+        "(anti idempotent insert), J10 (lateral count), J12 (multi-source "
+        "fallback chain), J13 (same dim twice), J14 (wildcard key), J15 "
+        "(closest year); J2/J3/J5/J6 are driver-checked via the calc "
+        "stages, J9/J11 via builder_simple_proposals/func_json_shred",
+        (
+            "join_inner_equi",
+            "join_numeric_band_theta",
+            "join_semi",
+            "join_anti_idempotent_insert",
+            "join_lateral_count",
+            "join_fallback_chain_multisource",
+            "join_same_dim_twice",
+            "join_wildcard_key",
+            "join_closest_year",
+        ),
+    ),
+    "win_patterns_suite": (
+        "§2.5 W1 (global ROW_NUMBER), W2 (partitioned seq), W4 (LEAD "
+        "range normalization), W5 (LAG gap detection); W3 is driver-"
+        "checked via builder_broker_assignments",
+        (
+            "win_global_rownumber_dim",
+            "win_partitioned_seq",
+            "win_lead_normalize_ranges",
+            "win_lag_gap_detection",
+        ),
+    ),
+    "ord_setop_suite": (
+        "§2.6 O2 (TOP N samples), O3 (deterministic sample); §2.7 U1 "
+        "(UNION dedup), U2 (UNION ALL tagged), U3 (EXCEPT remainder)",
+        (
+            "ord_topn",
+            "ord_deterministic_sample",
+            "setop_union_dedup",
+            "setop_union_all_tagged",
+            "setop_except_remainder",
+        ),
+    ),
+    "report_views_suite": (
+        "§2.12 reporting layer: all 16 reference views "
+        "(create-reporting-schema.sql:1-673) fingerprinted",
+        (
+            "report_earning_brokers",
+            "report_brokers",
+            "report_broker_eo_insurances",
+            "report_broker_licenses",
+            "report_commission_rules",
+            "report_earning_brokers_licenses",
+            "report_earning_brokers_eo",
+            "report_earning_brokers_appointments",
+            "report_gl_entries_enriched",
+            "report_premium_transactions",
+            "report_payments",
+            "report_schedules_rates",
+            "report_commission_hierarchy",
+            "report_brokers_with_assignments",
+            "report_available_views",
+            "report_gl_period_close",
+        ),
+    ),
+    "seq_patterns_suite": (
+        "§2.13 sequence analytics + event-stream surface: funnel, "
+        "cohort retention, transition matrix, as-of attribution, JSON "
+        "props rollup, batch sessionization, time-bucket rollup, "
+        "rolling z-score anomalies",
+        (
+            "seq_funnel_users",
+            "seq_funnel_summary",
+            "seq_cohort_retention",
+            "seq_transition_matrix",
+            "seq_asof_attribution",
+            "seq_props_rollup",
+            "win_sessionize",
+            "agg_time_bucket_rollup",
+            "seq_anomaly_zscore",
+        ),
+    ),
+    "llmdata_extras_suite": (
+        "north-star operators beyond the seven dedicated LLM-data "
+        "slots: sign-LSH ANN, embedding-cosine near-dup, near-dup "
+        "clusters, chunk overlap, PII scrub, multimodal decode/frame "
+        "sampling, repetition filter, contamination check, train/val/"
+        "test split, PageRank, fused ML inference",
+        (
+            "ann_topk_lsh",
+            "dedup_embedding_cosine",
+            "dedup_cluster_labels",
+            "text_chunk_overlap",
+            "text_pii_scrub",
+            "multimodal_decode",
+            "multimodal_frame_sample",
+            "corpus_repetition_filter",
+            "corpus_contamination_ngram",
+            "corpus_split_train_val_test",
+            "graph_pagerank",
+            "ml_inference_logistic",
+        ),
+    ),
+}
+
+
+def _register_suites() -> None:
+    try:
+        from . import suites_gen
+    except ImportError:  # bootstrap: scripts/gen_suites.py not yet run
+        import warnings
+
+        warnings.warn("suites_gen.py missing; run scripts/gen_suites.py")
+        return
+
+    for suite_name, (ref, subs) in SUITE_DEFS.items():
+        missing = [s for s in subs if s not in suites_gen.CHECKSUMS]
+        if missing:
+            raise RuntimeError(
+                f"{suite_name}: no generated fingerprint for {missing}; "
+                "run scripts/gen_suites.py"
+            )
+        oracle = "\nUNION ALL\n".join(
+            suites_gen.CHECKSUMS[s]["duck"] for s in subs
+        )
+
+        def spark_fn(
+            spark: SparkSession, sf_dir: str, _subs: tuple[str, ...] = subs
+        ) -> DataFrame:
+            parts = []
+            for s in _subs:
+                view = f"suite_src_{s}"
+                REGISTRY[s].spark_fn(spark, sf_dir).createOrReplaceTempView(view)
+                parts.append(
+                    spark.sql(suites_gen.CHECKSUMS[s]["spark"].format(src=view))
+                )
+            return functools.reduce(lambda a, b: a.unionAll(b), parts)
+
+        spark_fn.__name__ = suite_name
+        spark_fn.__doc__ = (
+            "Family fingerprint suite over: " + ", ".join(subs) + "."
+        )
+        query(suite_name, oracle=oracle, survey_ref=ref)(spark_fn)
+
+
+@query(
+    "text_profile_suite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
+             trim(text) AS raw,
+             n_chars
+      FROM documents
+    ), w AS (
+      SELECT doc_id, lang, norm, raw, n_chars,
+             string_split(norm, ' ') AS words
+      FROM t
+    ), m AS (
+      SELECT doc_id, lang, norm, raw, n_chars, words,
+             least(length(raw) / 200.0, 1.0) AS len_score,
+             len(list_filter(words, x -> x IN ('the','a','of','and','in','to')))
+               * 1.0 / len(words) AS sw,
+             list_sum(list_transform(words, x -> length(x)))
+               * 1.0 / len(words) AS wl,
+             len(list_filter(words,
+                 x -> x IN ('the','a','of','and','value'))) AS en_s,
+             len(list_filter(words,
+                 x -> x IN ('el','la','de','que','los'))) AS es_s,
+             len(list_filter(words,
+                 x -> x IN ('de5','le5','shi4','zai4','he2'))) AS zh_s
+      FROM w
+    )
+    SELECT doc_id,
+           len(words) AS n_tokens_ws,
+           len(list_filter(string_split_regex(raw, '[^A-Za-z0-9]+'),
+                           x -> x <> '')) AS n_tokens_bpe_ish,
+           n_chars,
+           CAST(round(greatest(0.0,
+             len_score * 0.4
+             + greatest(1.0 - abs(sw - 0.15) * 2, 0.0) * 0.3
+             + (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.3
+           ), 6) AS DOUBLE) AS quality,
+           lang AS labeled_lang,
+           CASE WHEN greatest(en_s, es_s, zh_s) = 0 THEN 'und'
+                WHEN es_s > en_s AND zh_s <= es_s THEN 'es'
+                WHEN zh_s > en_s AND zh_s > es_s THEN 'zh'
+                ELSE 'en' END AS detected_lang,
+           md5(norm) AS fp_exact,
+           md5(array_to_string(list_sort(words), ' ')) AS fp_bow
+    FROM m
+    """,
+    survey_ref=(
+        "north-star text analysis in ONE scan: token counting "
+        "(whitespace + BPE-ish regex), quality scoring, language-ID, "
+        "document fingerprinting (also registered individually as "
+        "text_token_count / text_quality_score / text_lang_id / "
+        "text_fingerprint)"
+    ),
+)
+def text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four per-document text metrics from a single pass over
+    ``documents`` — the fused projection a 100 TB corpus profile would
+    actually run (one scan, zero shuffles, whole-stage codegen)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ta.token_count_ws("text").alias("n_tokens_ws"),
+        ta.token_count_bpe_ish("text").alias("n_tokens_bpe_ish"),
+        "n_chars",
+        ta.quality_score("text").alias("quality"),
+        F.col("lang").alias("labeled_lang"),
+        ta.lang_id("text").alias("detected_lang"),
+        ta.fingerprint_exact("text").alias("fp_exact"),
+        ta.fingerprint_bow("text").alias("fp_bow"),
+    )
+
+
+_register_suites()

@@ -42,6 +42,16 @@ PANDAS_OK = {
     "multimodal_resize_plan",
 }
 
+# a family suite UNIONs the plans of its sub-queries, so it inherits
+# exactly the sanctioned stages its subs already have
+from apl_commissions_etl_spark.queries.suites import SUITE_DEFS  # noqa: E402
+
+for _suite, (_ref, _subs) in SUITE_DEFS.items():
+    if set(_subs) & CARTESIAN_OK:
+        CARTESIAN_OK.add(_suite)
+    if set(_subs) & PANDAS_OK:
+        PANDAS_OK.add(_suite)
+
 
 def test_registry_plan_invariants(spark, sf_dir):
     qs = all_queries()
