@@ -107,7 +107,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "builder_mode_granular",
     "builder_mode_split_configs",
     # §2.10 streaming
-    "stream_session_window",
+    "stream_patterns_suite",
     # LLM-data north-star operators
     "text_profile_suite",
     "dedup_exact",
