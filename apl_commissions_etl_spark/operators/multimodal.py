@@ -167,3 +167,121 @@ def sample_frames(
             )
 
     return with_frames.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codec path (BMP / WAV, operators/codecs.py) — the formats whose
+# decode needs no external library. Compressed codecs stay stubbed.
+# ---------------------------------------------------------------------------
+
+#: fixed geometry/rate so the oracle can recompute container metadata
+BMP_WIDTH = 32  # row bytes 32*3 = 96, already 4-byte aligned (no pad)
+WAV_RATE = 16000
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+CODEC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_media_bytes", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("payload_sha256", T.StringType(), False),
+    ]
+)
+
+
+def encode_corpus_media(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Build REAL media containers from the corpus: even doc_ids become
+    24-bit BMPs (utf-8 text bytes as the pixel buffer, width fixed at
+    BMP_WIDTH, height = ceil(bytes/96)), odd doc_ids become 16-bit PCM
+    WAVs (text bytes as samples). Arrow-batched; the per-blob struct
+    packing is the codec boundary Python is sanctioned for."""
+    from ..shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        from . import codecs
+
+        for pdf in it:
+            out_id, out_mt, out_pl = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                if did % 2 == 0:
+                    h = max(1, math.ceil(len(raw) / (codecs.bmp_row_stride(BMP_WIDTH))))
+                    out_mt.append("image/bmp")
+                    out_pl.append(codecs.bmp_encode(raw, BMP_WIDTH, h))
+                else:
+                    out_mt.append("audio/wav")
+                    out_pl.append(codecs.wav_encode(raw, WAV_RATE))
+                out_id.append(did)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "media_type": out_mt, "payload": out_pl}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def decode_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decode: sniff the container magic, parse headers with the
+    struct/numpy codecs, and hash the de-padded embedded payload.
+    A decode that byte-exactly reproduces the encoded content makes
+    ``payload_sha256`` equal the sha256 of the original text — which
+    the oracle recomputes directly from ``documents``."""
+    from ..shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "media_type", "n_media_bytes", "width", "height",
+                "sample_rate", "n_frames", "payload_sha256",
+            )}
+            for did, blob in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(blob)
+                rows["doc_id"].append(did)
+                rows["n_media_bytes"].append(len(b))
+                if b[:2] == b"BM":
+                    w, h, _bpp, payload = codecs.bmp_decode(b)
+                    rows["media_type"].append("image/bmp")
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sample_rate"].append(None)
+                    rows["n_frames"].append(None)
+                elif b[:4] == b"RIFF":
+                    rate, ch, _bits, n_frames, payload = codecs.wav_decode(b)
+                    rows["media_type"].append("audio/wav")
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["sample_rate"].append(rate)
+                    rows["n_frames"].append(n_frames)
+                else:  # compressed formats: documented stub boundary
+                    raise NotImplementedError(
+                        "no external codec available for this container"
+                    )
+                rows["payload_sha256"].append(
+                    hashlib.sha256(payload.rstrip(b"\0")).hexdigest()
+                )
+            pdf_out = pd.DataFrame(rows)
+            for c in ("n_media_bytes", "width", "height", "sample_rate",
+                      "n_frames"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
+
+    return media.mapInPandas(batches, CODEC_SCHEMA)

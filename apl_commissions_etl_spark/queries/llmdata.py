@@ -1085,3 +1085,42 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_n") <= 5)
         .select("qid", "rank_n", "vec_id", F.col("cos").alias("cosine"))
     )
+
+
+@query(
+    "multimodal_codec_roundtrip",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INT) AS nb,
+             sha256(text) AS payload_sha256
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                ELSE 'audio/wav' END AS media_type,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + 96 * greatest(1, CAST(ceil(nb / 96.0) AS INT))
+                ELSE 44 + nb + nb % 2 END AS INT) AS n_media_bytes,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 32 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN greatest(1, CAST(ceil(nb / 96.0) AS INT))
+                END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 16000 END AS INT)
+             AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN (nb + nb % 2) / 2 END AS INT)
+             AS n_frames,
+           payload_sha256
+    FROM b
+    """,
+    survey_ref="north-star: REAL multimodal codec round trip — 24-bit "
+    "BMP and 16-bit PCM WAV containers built and parsed with pure "
+    "struct/numpy codecs (operators/codecs.py), Arrow mapInPandas both "
+    "ways; payload_sha256 proves byte-exact decode (pixel/PCM buffer "
+    "reproduces the embedded corpus bytes; header fields recomputed by "
+    "the oracle from documents alone)",
+)
+def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.encode_corpus_media(d)
+    return multimodal.decode_media(media)

@@ -197,6 +197,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "text_chunk_overlap",
             "text_pii_scrub",
             "multimodal_decode",
+            "multimodal_codec_roundtrip",
             "multimodal_frame_sample",
             "corpus_repetition_filter",
             "corpus_contamination_ngram",

@@ -1,0 +1,117 @@
+"""Byte-level tests for the pure-numpy BMP/WAV codecs
+(operators/codecs.py) + the Spark encode->decode round trip."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import struct
+
+import pytest
+
+from apl_commissions_etl_spark.operators import codecs
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("width,height", [(32, 3), (5, 4), (1, 1), (7, 9)])
+def test_bmp_roundtrip_geometry(width, height):
+    payload = bytes(range(256)) * 4
+    payload = payload[: width * height * 3]
+    blob = codecs.bmp_encode(payload, width, height)
+    w, h, bpp, decoded = codecs.bmp_decode(blob)
+    assert (w, h, bpp) == (width, height, 24)
+    assert decoded == payload
+
+
+def test_bmp_row_stride_padding():
+    # width 5 -> row bytes 15 -> stride 16: decode must strip the pad
+    payload = b"x" * (5 * 2 * 3)
+    blob = codecs.bmp_encode(payload, 5, 2)
+    stride = codecs.bmp_row_stride(5)
+    assert stride == 16
+    # pixel data size in the container includes padding
+    assert len(blob) == 54 + stride * 2
+    _, _, _, decoded = codecs.bmp_decode(blob)
+    assert decoded == payload
+
+
+def test_bmp_partial_payload_zero_padded():
+    payload = "héllo wörld".encode()
+    blob = codecs.bmp_encode(payload, 32, 1)
+    _, _, _, decoded = codecs.bmp_decode(blob)
+    assert decoded.rstrip(b"\0") == payload
+
+
+def test_bmp_oversized_payload_rejected():
+    with pytest.raises(ValueError):
+        codecs.bmp_encode(b"x" * 100, 4, 4)  # capacity 48
+
+
+def test_bmp_rejects_foreign_bytes():
+    with pytest.raises(ValueError):
+        codecs.bmp_decode(b"GIF89a" + b"\0" * 60)
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_even_and_odd():
+    for payload in (b"abcdef", b"abcde"):  # odd gets a pad byte
+        blob = codecs.wav_encode(payload, 22050)
+        rate, ch, bits, n_frames, data = codecs.wav_decode(blob)
+        assert (rate, ch, bits) == (22050, 1, 16)
+        padded = payload + (b"\0" if len(payload) % 2 else b"")
+        assert data == padded
+        assert n_frames == len(padded) // 2
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    # insert a LIST chunk between fmt and data: decoder must skip it
+    blob = codecs.wav_encode(b"ABCD", 8000)
+    riff, fmt_and_rest = blob[:12], blob[12:]
+    fmt_chunk = fmt_and_rest[: 8 + 16]
+    data_chunk = fmt_and_rest[8 + 16 :]
+    extra = struct.pack("<4sI", b"LIST", 6) + b"INFOxy"
+    patched = riff + fmt_chunk + extra + data_chunk
+    rate, _, _, n_frames, data = codecs.wav_decode(patched)
+    assert rate == 8000 and data == b"ABCD" and n_frames == 2
+
+
+def test_wav_rejects_non_pcm():
+    blob = bytearray(codecs.wav_encode(b"ab", 8000))
+    blob[20] = 3  # fmt tag -> IEEE float
+    with pytest.raises(ValueError):
+        codecs.wav_decode(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# Spark round trip (mapInPandas both directions)
+# ---------------------------------------------------------------------------
+
+
+def test_spark_codec_roundtrip_matches_reference(spark, sf_dir):
+    from apl_commissions_etl_spark.operators import multimodal
+    from apl_commissions_etl_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.encode_corpus_media(docs)
+    out = {r["doc_id"]: r for r in multimodal.decode_media(media).collect()}
+
+    for row in docs.select("doc_id", "text").collect():
+        raw = row["text"].encode("utf-8")
+        got = out[row["doc_id"]]
+        assert got["payload_sha256"] == hashlib.sha256(raw).hexdigest()
+        if row["doc_id"] % 2 == 0:
+            assert got["media_type"] == "image/bmp"
+            assert got["width"] == multimodal.BMP_WIDTH
+            assert got["height"] == max(1, math.ceil(len(raw) / 96))
+        else:
+            assert got["media_type"] == "audio/wav"
+            assert got["sample_rate"] == multimodal.WAV_RATE
+            assert got["n_frames"] == (len(raw) + len(raw) % 2) // 2

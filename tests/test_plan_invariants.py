@@ -38,6 +38,7 @@ CARTESIAN_OK = {
 PANDAS_OK = {
     "consolidate_proposals",
     "multimodal_decode",
+    "multimodal_codec_roundtrip",
     "multimodal_frame_sample",
     "multimodal_resize_plan",
 }
