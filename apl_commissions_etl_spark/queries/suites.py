@@ -184,6 +184,45 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "stream_attribution_rollup",
         ),
     ),
+    "dedup_patterns_suite": (
+        "north-star deduplication family: exact (hash-groupBy), n-gram "
+        "Jaccard (shingle equi-join, df-capped), MinHash+LSH (band "
+        "join + verify, bucket-capped), SimHash (md5-parity bits), "
+        "span-level chunk dedup",
+        (
+            "dedup_exact",
+            "dedup_ngram_jaccard",
+            "dedup_minhash_lsh",
+            "dedup_simhash",
+            "dedup_chunk_spans",
+        ),
+    ),
+    "corpus_patterns_suite": (
+        "north-star corpus-prep family: sequence packing, int8 "
+        "quantization, n-gram heavy hitters / novelty, KMV + Bloom + "
+        "count-min sketches, perplexity filter, length buckets, "
+        "per-source dup rates, temperature mixing (rates + applied), "
+        "stratified sampling, URL/domain filter, TF-IDF keywords",
+        (
+            "corpus_pack_sequences",
+            "corpus_quantize_int8",
+            "corpus_ngram_topk",
+            "corpus_kmv_distinct",
+            "corpus_bloom_filter",
+            "corpus_countmin_sketch",
+            "corpus_countmin_estimate",
+            "corpus_perplexity_filter",
+            "corpus_ngram_novelty",
+            "corpus_length_buckets",
+            "corpus_dup_rate_by_source",
+            "corpus_mix_rates",
+            "corpus_mix_weighted",
+            "corpus_mix_temperature",
+            "corpus_sample_stratified",
+            "corpus_url_filter",
+            "text_tfidf_topk",
+        ),
+    ),
     "llmdata_extras_suite": (
         "north-star operators beyond the seven dedicated LLM-data "
         "slots: sign-LSH ANN, embedding-cosine near-dup, near-dup "
@@ -204,6 +243,10 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "corpus_split_train_val_test",
             "graph_pagerank",
             "ml_inference_logistic",
+            "multimodal_resize_plan",
+            "ann_range_search",
+            "ann_topk_batch",
+            "ann_topk_ivf_kmeans",
         ),
     ),
 }

@@ -110,13 +110,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_patterns_suite",
     # LLM-data north-star operators
     "text_profile_suite",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_patterns_suite",
+    "corpus_patterns_suite",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "llmdata_extras_suite",
+    "pipeline_pretrain_corpus",
+    "pipeline_quality_gate",
     # §2.12 reporting layer + §2.13 sequence analytics
     "report_views_suite",
     "seq_patterns_suite",

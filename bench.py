@@ -57,10 +57,16 @@ def main() -> None:
     # warm each query once (JVM JIT, parquet footers, staging caches):
     # the engine is a long-running service, so steady-state per-query
     # latency is the honest throughput metric
+    cold: dict[str, float] = {}
     for name in names:
+        t0 = time.time()
         qs[name].spark_fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        cold[name] = round(time.time() - t0, 3)
+        print(
+            f"[bench] {name} cold {cold[name]:.3f}s", file=sys.stderr, flush=True
+        )
 
     # best-of-3 timed runs: steady-state latency. Observed noise shape
     # on the bench host: roughly one ~10s stall per bench session at a
@@ -91,6 +97,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # first-execution times from the warm-up pass: includes
+                # JIT/footer reads and population of the session-scoped
+                # staging caches (criteria/cascade/LSH index), i.e. what
+                # a cold start pays before steady state
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
