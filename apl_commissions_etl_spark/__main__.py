@@ -1,0 +1,159 @@
+"""CLI: the reference's entry points (SURVEY.md §3) as engine commands.
+
+    python -m apl_commissions_etl_spark pipeline  [--root DIR] [--sf-dir DIR]
+        [--no-resume] [--limit N] [--dry-run]
+        == `npm run pipeline` (scripts/run-pipeline.ts): resumable
+        staged ETL with a manifest; re-running skips completed stages.
+
+    python -m apl_commissions_etl_spark build-proposals [--groups G1,G2]
+        [--limit N] [--dry-run] [--out DIR] [--sf-dir DIR]
+        == `npm run build-proposals` (scripts/proposal-builder.ts).
+
+    python -m apl_commissions_etl_spark calculate [--out DIR] [--sf-dir DIR]
+        == `sqlcmd ... sql/calc/run-calculation.sql`: the 8-stage
+        cascade; writes GL entries, broker trace, and traceability.
+
+    python -m apl_commissions_etl_spark query NAME [--sf-dir DIR] [--show N]
+    python -m apl_commissions_etl_spark list [PREFIX]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark("apl-commissions-etl-cli")
+
+
+def _default_sf() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def cmd_pipeline(args: argparse.Namespace) -> int:
+    from .plans.pipeline import domain_pipeline
+
+    spark = _spark()
+    pipe = domain_pipeline(args.sf_dir)
+    results = pipe.run(
+        spark,
+        args.root,
+        resume=not args.no_resume,
+        limit=args.limit,
+        dry_run=args.dry_run,
+    )
+    for r in results:
+        print(f"{r.status:>9}  {r.name:<28} rows={r.rows} {r.seconds:.1f}s")
+    return 0 if all(r.status != "failed" for r in results) else 1
+
+
+def cmd_build_proposals(args: argparse.Namespace) -> int:
+    from .plans.builder import run_builder
+    from .queries.builder import _certs
+
+    spark = _spark()
+    certs = _certs(spark, args.sf_dir)
+    groups = args.groups.split(",") if args.groups else None
+    out = run_builder(
+        spark, certs, limit=args.limit, groups=groups, dry_run=args.dry_run
+    )
+    if args.dry_run:
+        return 0
+    for name, df in out.items():
+        if args.out:
+            path = os.path.join(args.out, name)
+            df.write.mode("overwrite").parquet(path)
+            print(f"wrote {path}")
+        else:
+            print(f"{name}: {df.count()} rows")
+    return 0
+
+
+def cmd_calculate(args: argparse.Namespace) -> int:
+    from .plans import calc
+    from .plans.fixtures import FIXTURE_VIEWS, register_fixture_views
+
+    spark = _spark()
+    register_fixture_views(spark, args.sf_dir)
+    staging = {name: spark.table(name) for name, _ in FIXTURE_VIEWS}
+    out = calc.run_calc(staging)
+    for name in ("gl", "broker_trace", "trace"):
+        df = out[name]
+        if args.out:
+            path = os.path.join(args.out, name)
+            df.write.mode("overwrite").parquet(path)
+            print(f"wrote {path}")
+        else:
+            print(f"{name}: {df.count()} rows")
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from .registry import all_queries
+
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; try: "
+              f"python -m apl_commissions_etl_spark list", file=sys.stderr)
+        return 2
+    df = qs[args.name].spark_fn(_spark(), args.sf_dir)
+    df.show(args.show, truncate=False)
+    return 0
+
+
+def cmd_list(args: argparse.Namespace) -> int:
+    from .registry import all_queries
+
+    for name, q in all_queries().items():
+        if not args.prefix or name.startswith(args.prefix):
+            ref = (q.survey_ref or "").split("(")[0].strip()
+            print(f"{name:<40} {ref[:70]}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="apl_commissions_etl_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("pipeline", help="resumable staged ETL (§3.1)")
+    p.add_argument("--root", default="/tmp/apl_pipeline")
+    p.add_argument("--sf-dir", default=_default_sf())
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--limit", type=int, default=None,
+                   help="run only the first N stages")
+    p.add_argument("--dry-run", action="store_true")
+    p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("build-proposals", help="standalone builder (§3.2)")
+    p.add_argument("--groups", default=None, help="comma-separated GroupIds")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--out", default=None, help="write outputs as parquet here")
+    p.add_argument("--sf-dir", default=_default_sf())
+    p.set_defaults(fn=cmd_build_proposals)
+
+    p = sub.add_parser("calculate", help="8-stage commission calc (§3.3)")
+    p.add_argument("--out", default=None)
+    p.add_argument("--sf-dir", default=_default_sf())
+    p.set_defaults(fn=cmd_calculate)
+
+    p = sub.add_parser("query", help="run one registered query")
+    p.add_argument("name")
+    p.add_argument("--sf-dir", default=_default_sf())
+    p.add_argument("--show", type=int, default=20)
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("list", help="list registered queries")
+    p.add_argument("prefix", nargs="?", default=None)
+    p.set_defaults(fn=cmd_list)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
