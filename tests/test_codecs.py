@@ -115,3 +115,39 @@ def test_spark_codec_roundtrip_matches_reference(spark, sf_dir):
             assert got["media_type"] == "audio/wav"
             assert got["sample_rate"] == multimodal.WAV_RATE
             assert got["n_frames"] == (len(raw) + len(raw) % 2) // 2
+
+
+# ---------------------------------------------------------------------------
+# Property-based round trips (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    payload=st.binary(max_size=600),
+    width=st.integers(min_value=1, max_value=40),
+)
+def test_bmp_roundtrip_property(payload, width):
+    height = max(1, -(-len(payload) // (width * 3)))  # ceil to capacity
+    blob = codecs.bmp_encode(payload, width, height)
+    w, h, bpp, decoded = codecs.bmp_decode(blob)
+    assert (w, h, bpp) == (width, height, 24)
+    assert decoded[: len(payload)] == payload
+    assert set(decoded[len(payload):]) <= {0}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    payload=st.binary(max_size=600),
+    rate=st.integers(min_value=1, max_value=192_000),
+    channels=st.integers(min_value=1, max_value=2),
+)
+def test_wav_roundtrip_property(payload, rate, channels):
+    blob = codecs.wav_encode(payload, rate, channels)
+    got_rate, got_ch, bits, n_frames, data = codecs.wav_decode(blob)
+    assert (got_rate, got_ch, bits) == (rate, channels, 16)
+    padded = payload + (b"\0" if len(payload) % 2 else b"")
+    assert data == padded
+    assert n_frames == len(padded) // (channels * 2)
