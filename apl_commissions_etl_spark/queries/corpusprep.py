@@ -180,11 +180,14 @@ def corpus_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     from ..operators import textanalysis as ta
 
-    w = ta.words("text")
-    sh = d.select(
+    # project the token array FIRST: inlining the split into the
+    # per-shingle lambda re-evaluates it O(tokens) times per row
+    # (dedup.word_shingles documents the same 10x trap)
+    toks = d.select("doc_id", ta.words("text").alias("w"))
+    sh = toks.select(
         "doc_id",
         F.explode(
-            F.array_distinct(corpus.word_shingles(w, F.size(w)))
+            F.array_distinct(corpus.word_shingles(F.col("w"), F.size("w")))
         ).alias("s"),
     )
     is_bench = F.col("doc_id") % 29 == 0
@@ -334,9 +337,10 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textanalysis as ta
 
     d = _docs(spark, sf_dir)
-    w = ta.words("text")
-    grams = d.select(
-        F.explode(corpus.word_shingles(w, F.size(w))).alias("gram")
+    # token array projected first — see corpus_contamination_ngram
+    toks = d.select(ta.words("text").alias("w"))
+    grams = toks.select(
+        F.explode(corpus.word_shingles(F.col("w"), F.size("w"))).alias("gram")
     )
     return (
         grams.groupBy("gram")
