@@ -96,6 +96,15 @@ AUDITS: list[tuple[str, list[str], list[str], str]] = [
         "1-row corpus total rides a BroadcastNestedLoopJoin — "
         "broadcast-small by construction.)",
     ),
+    (
+        "multimodal_codec_roundtrip",
+        ["MapInPandas"],
+        ["CartesianProduct", "BatchEvalPython", "Exchange"],
+        "Real BMP/WAV codec boundary: two Arrow-batched mapInPandas "
+        "stages (encode, decode) fused into one shuffle-free pipeline "
+        "over the document scan — the shape a 100 TB media "
+        "decode/feature pass must have (pure map, no exchange).",
+    ),
 ]
 
 
