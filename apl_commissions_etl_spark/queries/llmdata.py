@@ -1124,3 +1124,65 @@ def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.encode_corpus_media(d)
     return multimodal.decode_media(media)
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort({_WORDS}), ' ')) AS fp,
+             doc_id % 10 = 7 AS is_new
+      FROM documents
+    ),
+    idx AS (SELECT DISTINCT fp FROM fp WHERE NOT is_new),
+    batch AS (
+      SELECT doc_id, fp,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fp WHERE is_new
+    )
+    SELECT b.doc_id, b.fp,
+           CASE WHEN i.fp IS NOT NULL THEN 'dup_of_index'
+                WHEN b.rn > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS decision
+    FROM batch b LEFT JOIN idx i ON b.fp = i.fp
+    """,
+    survey_ref="north-star: INCREMENTAL dedup — the daily-increment "
+    "production pattern: a new batch (deterministic 10%% slice) deduped "
+    "against the existing corpus fingerprint index WITHOUT recomputing "
+    "the index, plus intra-batch keep-first. At 100 TB the index is a "
+    "bucketed fingerprint table keyed by fp, so the batch-side join is "
+    "shuffle-free on the index side; only the small increment "
+    "re-fingerprints",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each new doc is classified 'dup_of_index' (fingerprint already
+    in the corpus), 'dup_in_batch' (a smaller doc_id in the same batch
+    has the same fingerprint), or 'new'."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        ta.fingerprint_bow("text").alias("fp"),
+        (F.col("doc_id") % 10 == 7).alias("is_new"),
+    )
+    from pyspark.sql.window import Window
+
+    idx = fp.filter(~F.col("is_new")).select("fp").distinct()
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    batch = (
+        fp.filter("is_new")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    joined = batch.join(
+        idx.withColumnRenamed("fp", "idx_fp"),
+        batch["fp"] == F.col("idx_fp"),
+        "left",
+    )
+    return joined.select(
+        "doc_id",
+        "fp",
+        F.when(F.col("idx_fp").isNotNull(), "dup_of_index")
+        .when(F.col("rn") > 1, "dup_in_batch")
+        .otherwise("new")
+        .alias("decision"),
+    )

@@ -195,6 +195,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "dedup_minhash_lsh",
             "dedup_simhash",
             "dedup_chunk_spans",
+            "dedup_incremental_batch",
         ),
     ),
     "corpus_patterns_suite": (
