@@ -525,7 +525,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(64 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
     FROM documents
     """,
-    survey_ref="north-star: multimodal binary decode via Arrow mapInPandas (stubbed)",
+    survey_ref="north-star: multimodal binary decode via Arrow mapInPandas (deterministic dimension stub; the REAL codec path is multimodal_codec_roundtrip — pure-numpy BMP/WAV with byte-exact round trip)",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real mapInPandas over a binary payload column; decode stubbed
