@@ -35,7 +35,10 @@ HEADLINE = [
     "win_dedup_keep_latest",
     "dedup_minhash_lsh",
     "dedup_cluster_labels",
+    "dedup_incremental_batch",
     "text_chunk_overlap",
+    "corpus_ngram_topk",
+    "multimodal_codec_roundtrip",
     "pipeline_pretrain_corpus",
     "pipeline_quality_gate",
     "ann_topk_bruteforce",
