@@ -22,6 +22,7 @@ CSV + ZIP ingest S1/S2/S5/S7 (`sources/csv_ingest.py`,
 `sources/archive.py`), export upserts S9/S10 + keyed MERGE (`operators/export.py`),
 bucketed warehouse + skew salting + stateful streaming
 (`sources/warehouse.py`, `operators/skew.py`, `streaming/stateful.py`),
+exactly-once foreachBatch MERGE sink (`streaming/sinks.py`),
 the full calc cascade running in STREAMING mode
 (`tests/test_streaming_calc.py` — stream-static joins, streaming GL ==
 batch GL), audit assertion suite (§5.3, `plans/audit.py`), stratified
