@@ -183,7 +183,7 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
            GroupId, ProductCode, EffectiveDate, GroupSize,
            IsFirstYear, BasisYear
     FROM s1"""),
-    survey_ref="§2.9 stage 1 premium_context (run-calculation.sql:58-78)",
+    survey_ref="§2.9 stage 1 premium_context + P4 status-flag row filter (run-calculation.sql:58-78)",
 )
 def calc_stage1_premium_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _stages(spark, sf_dir)
@@ -382,7 +382,7 @@ def calc_broker_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN r.TotalCommission IS NULL THEN 'NoParticipantsExpanded'
                 ELSE 'Calculated' END AS TraceStatus
     FROM base b LEFT JOIN rollup r ON b.PremiumTransactionId = r.PremiumTransactionId"""),
-    survey_ref="§2.9 traceability rollup + failure diagnosis "
+    survey_ref="§2.9 + A8 traceability rollup + failure diagnosis "
     "(run-calculation.sql:470-561)",
 )
 def calc_traceability(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,7 +113,7 @@ def _typed(raw: DataFrame) -> DataFrame:
            c_mktsegment AS c_mktsegment5
     FROM customer
     """,
-    survey_ref="§2.1 S1/S2/S7 + P2: real CSV round-trip — headered "
+    survey_ref="§2.1 S1/S2/S4/S7 + P2: real CSV round-trip — headered "
     "multi-file glob read, header sanitization (space->_, leading "
     "digit->Col_, duplicate->_1), all-string bronze then try_cast prep "
     "(load-csv.ts:146-301); oracle reads the original parquet so any "

@@ -279,7 +279,7 @@ def join_anti_idempotent_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ) WHERE rn = 1
     """,
-    survey_ref="J9 correlated TOP-1 subquery -> window argmax (sql/transforms/02-groups.sql:127-128)",
+    survey_ref="J9/O1 correlated TOP-1 subquery -> window argmax (sql/transforms/02-groups.sql:127-128)",
 )
 def join_argmax_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's correlated 'TOP 1 ... ORDER BY priority' per

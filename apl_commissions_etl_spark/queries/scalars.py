@@ -29,7 +29,7 @@ from ..sources.testdata import load_table
     FROM customer
     """,
     survey_ref="§2.8 string: CONCAT/REPLACE/TRIM/SUBSTRING/LEN/LIKE + P7 prefix "
-    "strip (sql/transforms/01-brokers.sql:33-35)",
+    "strip + P8 fixed-width substring (sql/transforms/01-brokers.sql:33-35)",
 )
 def func_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The P-prefix strip -> BIGINT and 'G'+id build are the

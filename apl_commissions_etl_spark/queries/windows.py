@@ -375,7 +375,7 @@ def win_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderkey
     LIMIT 50
     """,
-    survey_ref="§2.6 O-family: keyset pagination — WHERE key > "
+    survey_ref="§2.6 O-family incl. O4 (global ordered read, redesigned as keyset pages): keyset pagination — WHERE key > "
     "last_seen ORDER BY key LIMIT n. Unlike OFFSET (which scans and "
     "discards every earlier row, O(page_number) per page), the keyset "
     "predicate pushes to the scan and each page costs one pruned "
