@@ -13,6 +13,14 @@
         == `sqlcmd ... sql/calc/run-calculation.sql`: the 8-stage
         cascade; writes GL entries, broker trace, and traceability.
 
+    python -m apl_commissions_etl_spark audit [--sf-dir DIR]
+        == sql/99-audit-and-cleanup.sql: FK orphan checks; exit 1 when
+        any check reports orphans.
+
+    python -m apl_commissions_etl_spark validate [--samples N] [--sf-dir DIR]
+        == scripts/validate-with-sampling.ts: per-scenario stratified
+        sample, config hashes re-derived via SQL text and compared.
+
     python -m apl_commissions_etl_spark query NAME [--sf-dir DIR] [--show N]
     python -m apl_commissions_etl_spark list [PREFIX]
 """
@@ -92,6 +100,37 @@ def cmd_calculate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_audit(args: argparse.Namespace) -> int:
+    from .plans.audit import referential_checks
+    from .plans.fixtures import FIXTURE_VIEWS, register_fixture_views
+
+    spark = _spark()
+    register_fixture_views(spark, args.sf_dir)
+    staging = {name: spark.table(name) for name, _ in FIXTURE_VIEWS}
+    rc = 0
+    for r in referential_checks(staging).collect():
+        flag = "" if r["orphan_count"] == 0 else "  <-- ORPHANS"
+        if r["orphan_count"]:
+            rc = 1
+        print(f'{r["check_name"]:<40} {r["orphan_count"]}{flag}')
+    return rc
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    from .plans.validate import validate_sample
+
+    spark = _spark()
+    result = validate_sample(spark, args.sf_dir, args.samples)
+    rc = 0
+    for scenario, (matched, sampled) in sorted(result.items()):
+        ok = matched == sampled
+        if not ok:
+            rc = 1
+        print(f"{scenario:<24} {matched}/{sampled}"
+              f"{'' if ok else '  <-- MISMATCH'}")
+    return rc
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     from .registry import all_queries
 
@@ -140,6 +179,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", default=None)
     p.add_argument("--sf-dir", default=_default_sf())
     p.set_defaults(fn=cmd_calculate)
+
+    p = sub.add_parser(
+        "audit", help="FK orphan audit over staging (99-audit equivalent)"
+    )
+    p.add_argument("--sf-dir", default=_default_sf())
+    p.set_defaults(fn=cmd_audit)
+
+    p = sub.add_parser(
+        "validate",
+        help="stratified sampling validator (validate-with-sampling)",
+    )
+    p.add_argument("--samples", type=int, default=20)
+    p.add_argument("--sf-dir", default=_default_sf())
+    p.set_defaults(fn=cmd_validate)
 
     p = sub.add_parser("query", help="run one registered query")
     p.add_argument("name")
