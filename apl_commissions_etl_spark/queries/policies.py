@@ -379,3 +379,62 @@ def dim_eo_insurance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("ToDate"), F.lit("")).try_cast("timestamp")
         .alias("ExpirationDate"),
     )
+
+
+#: far-future cut-off for the grace-period repair. The reference uses
+#: 2050-01-01 against production dates; the fixtures' far-expiry
+#: sentinel is 2027-01-01, so the engine parameterizes the threshold
+#: and the registered query runs it at 2026-06-01 to exercise real rows.
+FAR_FUTURE_CUTOFF = "2026-06-01"
+
+
+@query(
+    "fix_far_future_expirations",
+    oracle=f"WITH {dims_cte_sql()},\n"
+    + f"""
+    lic AS (
+      SELECT TRY_CAST(REPLACE(PartyUniqueId, 'P', '') AS BIGINT) AS BrokerId,
+             StateCode AS State,
+             LicenseNumber,
+             COALESCE(
+               TRY_CAST(NULLIF(LicenseEffectiveDate, '') AS TIMESTAMP),
+               TRY_CAST(NULLIF(LicenseExpirationDate, '') AS TIMESTAMP),
+               TIMESTAMP '{AS_OF} 00:00:00') AS EffectiveDate,
+             CASE WHEN CurrentStatus = 'Active'
+                       AND (NULLIF(LicenseExpirationDate, '') IS NULL
+                            OR TRY_CAST(NULLIF(LicenseExpirationDate, '')
+                                 AS TIMESTAMP) < TIMESTAMP '{AS_OF} 00:00:00')
+                  THEN TIMESTAMP '{FAR_EXPIRY} 00:00:00'
+                  ELSE COALESCE(
+                    TRY_CAST(NULLIF(LicenseExpirationDate, '') AS TIMESTAMP),
+                    TIMESTAMP '{FAR_EXPIRY} 00:00:00') END AS ExpirationDate
+      FROM raw_licenses
+      WHERE PartyUniqueId IS NOT NULL AND PartyUniqueId <> '')
+    SELECT BrokerId, State, LicenseNumber,
+           CASE WHEN ExpirationDate > TIMESTAMP '{FAR_FUTURE_CUTOFF} 00:00:00'
+                THEN EffectiveDate + INTERVAL 30 DAY
+                ELSE ExpirationDate END AS ExpirationDate,
+           ExpirationDate > TIMESTAMP '{FAR_FUTURE_CUTOFF} 00:00:00'
+             AS WasCorrected
+    FROM lic""",
+    survey_ref="§2 repair transform (scripts/fix-grace-period-dates.ts, "
+    "sql/fixes/fix-grace-period-dates.sql:96-125 Bug #36): far-future "
+    "expiration dates repaired to EffectiveDate + 30 days (the "
+    "reference's fix-2 default; fix-1's GracePeriodDate column is not "
+    "modeled by the fixture schema). Threshold parameterized "
+    "(reference: 2050-01-01; run here at the fixtures' sentinel "
+    "horizon so the rule touches real rows)",
+)
+def fix_far_future_expirations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lic = dim_broker_licenses(spark, sf_dir)
+    cutoff = F.lit(FAR_FUTURE_CUTOFF).cast("timestamp")
+    bad = F.col("ExpirationDate") > cutoff
+    return lic.select(
+        "BrokerId",
+        "State",
+        "LicenseNumber",
+        F.when(bad, F.date_add(F.col("EffectiveDate"), 30).cast("timestamp"))
+        .otherwise(F.col("ExpirationDate"))
+        .alias("ExpirationDate"),
+        bad.alias("WasCorrected"),
+    )
