@@ -1093,3 +1093,67 @@ def dim_eo_insurances_stg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("Status"),
     )
+
+
+@query(
+    "fix_heaped_schedule_rates",
+    oracle=_oracle("""
+    , sr AS (
+      SELECT TRIM(ScheduleName) AS ScheduleExternalId,
+             TRIM(ProductCode) AS ProductCode,
+             TRIM(State) AS State,
+             CAST(COALESCE(TRY_CAST(LevelRate AS DECIMAL(18,4)), 0) AS DOUBLE)
+               AS RateValue,
+             CAST(COALESCE(
+               NULLIF(TRY_CAST(NULLIF(TRIM(Year1), '') AS DECIMAL(18,4)), 0),
+               TRY_CAST(NULLIF(TRIM(LevelRate), '') AS DECIMAL(18,4)),
+               0) AS DOUBLE) AS FirstYearRate,
+             CAST(COALESCE(
+               NULLIF(TRY_CAST(NULLIF(TRIM(Year2), '') AS DECIMAL(18,4)), 0),
+               NULLIF(TRY_CAST(NULLIF(TRIM(Year66), '') AS DECIMAL(18,4)), 0),
+               TRY_CAST(NULLIF(TRIM(LevelRate), '') AS DECIMAL(18,4)),
+               0) AS DOUBLE) AS RenewalRate
+      FROM raw_schedule_rates
+      WHERE TRIM(ProductCode) <> ''),
+    marked AS (
+      SELECT *,
+             RateValue <> 0
+               AND FirstYearRate = RateValue
+               AND RenewalRate = RateValue AS heaped
+      FROM sr)
+    SELECT ScheduleExternalId, ProductCode, State,
+           RateValue,
+           CASE WHEN heaped THEN 0.0 ELSE FirstYearRate END AS FirstYearRate,
+           CASE WHEN heaped THEN 0.0 ELSE RenewalRate END AS RenewalRate,
+           heaped AS WasReset
+    FROM marked"""),
+    survey_ref="§2 repair transform (sql/fixes/fix-schedule-rates-heaped-"
+    "equals-level.sql): where the Year1/Year2->Level fallback heaped all "
+    "three rates to the same value, reset FirstYearRate/RenewalRate to 0 "
+    "and keep Level as the single source of truth",
+)
+def fix_heaped_schedule_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undo rate heaping: FirstYearRate == RenewalRate == Level (and
+    Level nonzero) means the fallback masked genuinely-missing year
+    rates — reset them so consumers read Level instead."""
+    sr = dim_schedule_rate_fallback(spark, sf_dir).drop(
+        "GroupSizeFrom", "GroupSizeTo"
+    )
+    heaped = (
+        (F.col("RateValue") != 0)
+        & (F.col("FirstYearRate") == F.col("RateValue"))
+        & (F.col("RenewalRate") == F.col("RateValue"))
+    )
+    return sr.select(
+        "ScheduleExternalId",
+        "ProductCode",
+        "State",
+        "RateValue",
+        F.when(heaped, F.lit(0.0)).otherwise(F.col("FirstYearRate")).alias(
+            "FirstYearRate"
+        ),
+        F.when(heaped, F.lit(0.0)).otherwise(F.col("RenewalRate")).alias(
+            "RenewalRate"
+        ),
+        heaped.alias("WasReset"),
+    )
