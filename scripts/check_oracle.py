@@ -70,8 +70,17 @@ def cells_equal(a, b):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    argv = list(sys.argv[1:])
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
+    first_n = None
+    for a in list(argv):
+        if a.startswith("--first="):
+            first_n = int(a.split("=", 1)[1])
+            argv.remove(a)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    filters = argv[1:]
 
     con = duckdb.connect()
     for t in TABLES:
@@ -79,9 +88,23 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    spark = get_spark("check-oracle")
+    if vanilla:
+        # Mimic the driver: a bare default session (Spark 4 defaults --
+        # ANSI on, 200 shuffle partitions, 10MB broadcast threshold, JVM
+        # timezone). Every query must be correct under ANY session.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check-oracle-vanilla")
+            .master("local[*]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check-oracle")
     qs = all_queries()
     names = [n for n in qs if not filters or any(f in n for f in filters)]
+    if first_n is not None:
+        names = names[:first_n]
     n_pass = n_fail = n_noor = 0
     for name in names:
         q = qs[name]
