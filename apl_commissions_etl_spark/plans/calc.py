@@ -350,6 +350,18 @@ def broker_trace(s8: DataFrame) -> DataFrame:
     )
 
 
+def _premium_attrs(c8: DataFrame, cols: list[str]) -> DataFrame:
+    """One row per premium carrying its stage-1 constants.
+
+    Every ``cols`` column is functionally dependent on
+    PremiumTransactionId (they ride in from the premiums ⋈ policies
+    join, and the policy dim is unique per certificate), so a
+    ``distinct()`` — a pure grouping HashAggregate, string keys
+    allowed, NO string aggregation buffers — replaces the per-column
+    MIN()s that would force a SortAggregate over the wide cascade."""
+    return c8.select("PremiumTransactionId", *cols).distinct()
+
+
 def traceability(c8: DataFrame) -> DataFrame:
     """Per-premium rollup + failure diagnosis (ref
     run-calculation.sql:470-561): every premium appears exactly once;
@@ -360,20 +372,30 @@ def traceability(c8: DataFrame) -> DataFrame:
     success rollup and failure diagnosis are conditional aggregates
     over ONE execution of the 10-join cascade — the reference's
     base/rollup join (and its double cascade scan) collapses into one
-    hash aggregation."""
+    hash aggregation.
+
+    Plan shape: every aggregation buffer is numeric (min/max over a
+    string column would demote the whole aggregation to a
+    SortAggregate — chained full sorts of the cascade at scale), so
+    this is ONE HashAggregate. ErrorMessage presence is equivalent to
+    "some row missed the proposal join", so the status needs only a
+    boolean max, not MIN(ErrorMessage)."""
     reached = F.col("HierarchyParticipantId").isNotNull()
-    return c8.groupBy("PremiumTransactionId").agg(
+    agg = c8.groupBy("PremiumTransactionId").agg(
         F.max(F.col("PremiumAmount").cast("double")).alias("PremiumAmount"),
-        F.coalesce(
-            F.sum(F.when(reached, F.col("Commission").cast(MONEY))).cast("double"),
-            F.lit(0.0),
-        ).alias("TotalCommission"),
+        F.sum(F.when(reached, F.col("Commission").cast(MONEY))).alias("ok_sum"),
         F.countDistinct("HierarchyParticipantId").alias("ParticipantCount"),
-        F.when(F.min("ErrorMessage").isNotNull(), "ProposalResolutionFailed")
-        .when(
-            F.sum(F.when(reached, F.col("Commission").cast(MONEY))).isNull(),
-            "NoParticipantsExpanded",
-        )
+        F.max(F.col("ProposalId").isNull().cast("int")).alias("no_proposal"),
+    )
+    return agg.select(
+        "PremiumTransactionId",
+        "PremiumAmount",
+        F.coalesce(F.col("ok_sum").cast("double"), F.lit(0.0)).alias(
+            "TotalCommission"
+        ),
+        "ParticipantCount",
+        F.when(F.col("no_proposal") == 1, "ProposalResolutionFailed")
+        .when(F.col("ok_sum").isNull(), "NoParticipantsExpanded")
         .otherwise("Calculated")
         .alias("TraceStatus"),
     )
@@ -396,9 +418,20 @@ def traceability_full(c8: DataFrame) -> DataFrame:
 
     Deviation (documented): the reference sums commission as FLOAT
     then rounds; we accumulate exact DECIMAL and round once — same
-    printed values, partition-order independent."""
+    printed values, partition-order independent.
+
+    Plan shape (same reasoning as ``traceability``): every
+    numeric-buffered aggregate (including min over CertificateId /
+    TransactionDate / IsFirstYear / BasisYear — long, timestamp and
+    int buffers are all hash-compatible) rides ONE HashAggregate; only
+    the string columns (GroupId, ProductCode, ProposalId) would demote
+    it to a SortAggregate, so they come from side frames: a pure
+    hash-distinct for the per-premium constants, and a narrow
+    MIN-over-ProposalId SortAggregate over a pre-deduplicated
+    3-column frame instead of dragging the whole 36-column cascade
+    through 3 chained sorts."""
     reached = F.col("HierarchyParticipantId").isNotNull()
-    agg = c8.groupBy("PremiumTransactionId").agg(
+    measures = c8.groupBy("PremiumTransactionId").agg(
         F.max(reached.cast("int")).alias("any_reached"),
         F.min("CertificateId").alias("PolicyId"),
         F.min("TransactionDate").alias("TransactionDate"),
@@ -406,10 +439,6 @@ def traceability_full(c8: DataFrame) -> DataFrame:
         F.round(F.sum(F.when(reached, F.col("Commission").cast(MONEY))), 2)
         .cast("double")
         .alias("OkTotalCommission"),
-        F.min(F.when(reached, F.col("ProposalId"))).alias("OkProposalId"),
-        F.min("ProposalId").alias("AnyProposalId"),
-        F.min("GroupId").alias("GroupId"),
-        F.min("ProductCode").alias("ProductCode"),
         F.min("IsFirstYear").alias("IsFirstYear"),
         F.min("BasisYear").alias("BasisYear"),
         F.countDistinct(F.when(reached, F.col("HierarchyId"))).alias(
@@ -425,6 +454,21 @@ def traceability_full(c8: DataFrame) -> DataFrame:
         F.max(F.col("HierarchyVersionId").isNotNull().cast("int")).alias(
             "has_hv"
         ),
+    )
+    attrs = _premium_attrs(c8, ["GroupId", "ProductCode"])
+    pids = (
+        c8.select("PremiumTransactionId", "ProposalId", reached.alias("reached"))
+        .distinct()  # hash agg first: the sort below sees ~1 row/premium
+        .groupBy("PremiumTransactionId")
+        .agg(
+            F.min(F.when(F.col("reached"), F.col("ProposalId"))).alias(
+                "OkProposalId"
+            ),
+            F.min("ProposalId").alias("AnyProposalId"),
+        )
+    )
+    agg = measures.join(attrs, "PremiumTransactionId").join(
+        pids, "PremiumTransactionId"
     )
     ok = F.col("any_reached") == 1
     return agg.select(
