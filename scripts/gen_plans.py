@@ -97,6 +97,15 @@ AUDITS: list[tuple[str, list[str], list[str], str]] = [
         "broadcast-small by construction.)",
     ),
     (
+        "calc_traceability",
+        ["HashAggregate"],
+        ["SortAggregate", "SortMergeJoin", "CartesianProduct"],
+        "Per-premium rollup as ONE HashAggregate over the cascade: "
+        "every aggregation buffer is numeric (string MIN/MAX would "
+        "demote the whole aggregation to chained SortAggregates — "
+        "full sorts of the fact at scale).",
+    ),
+    (
         "multimodal_codec_roundtrip",
         ["MapInPandas"],
         ["CartesianProduct", "BatchEvalPython", "Exchange"],
