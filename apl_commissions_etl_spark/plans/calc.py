@@ -567,6 +567,7 @@ def run_calc(
         "s6": c6.filter(survived_tier),
         "s7": c7.filter(survived_tier),
         "s8": s8,
+        "c8": c8,
         "gl": gl_entries(s8),
         "broker_trace": broker_trace(s8),
         "trace": traceability(c8),

@@ -102,3 +102,110 @@ def test_audit_suite_referentially_clean(spark, sf_dir):
     )
     # the planted no-proposal stratum must actually trip the check
     assert counts["premiums_group_without_proposal"] > 0
+
+
+def test_traceability_fanout_differential(stages, spark):
+    """The split-plan traceability (numeric-buffer HashAggregate +
+    hash-distinct attrs + narrow ProposalId MIN) must match the naive
+    single-aggregation formulation EXACTLY — including under
+    premium->proposal fanout, the one case where the per-premium
+    "constants" frames see multiple source rows per key."""
+    staging = {name: spark.table(name) for name, _ in FIXTURE_VIEWS}
+    # clone a proposal that actually matches premiums, under a new id:
+    # every premium of that group now resolves to TWO proposals
+    matched = (
+        stages["s2"].filter(F.col("ProposalId").isNotNull())
+        .select("ProposalId").first()[0]
+    )
+    pr = staging["stg_proposals"]
+    extra = pr.filter(F.col("ProposalId") == matched).withColumn(
+        "ProposalId", F.concat(F.lit("ZDUP-"), F.col("ProposalId"))
+    )
+    staging2 = dict(staging)
+    staging2["stg_proposals"] = pr.unionByName(extra)
+    st = calc.run_calc(staging2)
+    c8 = st["c8"]
+
+    # the fanout actually happened
+    multi = (
+        st["s2"].groupBy("PremiumTransactionId")
+        .agg(F.countDistinct("ProposalId").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert multi > 0
+
+    # naive reference formulation: one aggregation, string buffers and
+    # all (exactly the pre-optimization implementation)
+    reached = F.col("HierarchyParticipantId").isNotNull()
+    MONEY = calc.MONEY
+    naive_trace = c8.groupBy("PremiumTransactionId").agg(
+        F.max(F.col("PremiumAmount").cast("double")).alias("PremiumAmount"),
+        F.coalesce(
+            F.sum(F.when(reached, F.col("Commission").cast(MONEY))).cast("double"),
+            F.lit(0.0),
+        ).alias("TotalCommission"),
+        F.countDistinct("HierarchyParticipantId").alias("ParticipantCount"),
+        F.when(F.min("ErrorMessage").isNotNull(), "ProposalResolutionFailed")
+        .when(
+            F.sum(F.when(reached, F.col("Commission").cast(MONEY))).isNull(),
+            "NoParticipantsExpanded",
+        )
+        .otherwise("Calculated")
+        .alias("TraceStatus"),
+    )
+    naive_full = c8.groupBy("PremiumTransactionId").agg(
+        F.max(reached.cast("int")).alias("any_reached"),
+        F.min("CertificateId").alias("PolicyId"),
+        F.min("TransactionDate").alias("TransactionDate"),
+        F.min(F.col("PremiumAmount").cast("double")).alias("PremiumAmount"),
+        F.round(F.sum(F.when(reached, F.col("Commission").cast(MONEY))), 2)
+        .cast("double")
+        .alias("OkTotalCommission"),
+        F.min(F.when(reached, F.col("ProposalId"))).alias("OkProposalId"),
+        F.min("ProposalId").alias("AnyProposalId"),
+        F.min("GroupId").alias("GroupId"),
+        F.min("ProductCode").alias("ProductCode"),
+        F.countDistinct(F.when(reached, F.col("HierarchyId"))).alias(
+            "OkHierarchyCount"
+        ),
+        F.sum(reached.cast("long")).alias("OkParticipantCount"),
+        F.max(F.col("SplitParticipantId").isNotNull().cast("int")).alias(
+            "has_split"
+        ),
+    )
+
+    def rows(df, cols):
+        return sorted(
+            tuple(r) for r in df.select(*cols).collect()
+        )
+
+    tcols = [
+        "PremiumTransactionId", "PremiumAmount", "TotalCommission",
+        "ParticipantCount", "TraceStatus",
+    ]
+    assert rows(st["trace"], tcols) == rows(naive_trace, tcols)
+
+    full = st["trace_full"]
+    fcols = ["PremiumTransactionId", "PolicyId", "TransactionDate",
+             "PremiumAmount", "GroupId", "ProductCode", "ProposalId",
+             "TotalCommission", "HierarchyCount", "ParticipantCount"]
+    naive_proj = naive_full.select(
+        "PremiumTransactionId", "PolicyId", "TransactionDate",
+        "PremiumAmount", "GroupId", "ProductCode",
+        F.when(F.col("any_reached") == 1, F.col("OkProposalId"))
+        .otherwise(F.col("AnyProposalId"))
+        .alias("ProposalId"),
+        F.when(F.col("any_reached") == 1, F.col("OkTotalCommission"))
+        .otherwise(F.lit(0.0))
+        .alias("TotalCommission"),
+        F.when(F.col("any_reached") == 1, F.col("OkHierarchyCount"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("HierarchyCount"),
+        F.when(F.col("any_reached") == 1, F.col("OkParticipantCount"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ParticipantCount"),
+    )
+    assert rows(full, fcols) == rows(naive_proj, fcols)
