@@ -350,6 +350,78 @@ def connected_components(
     )
 
 
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    planes_per_band: int = 4,
+    bands: int = 16,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine — the SCALE path.
+
+    Sign-LSH banded candidate generation (the random-hyperplane twin of
+    the MinHash band join): each vector keys into ``bands`` buckets,
+    one per contiguous group of ``planes_per_band`` coordinates, the
+    bucket id being the sign pattern of that group. Two vectors at
+    angle θ agree on one plane with p = 1 - θ/π, so a band matches with
+    p^planes and at least one of B bands matches with 1-(1-p^planes)^B
+    — at cosine 0.4, 4x16 gives ~94% recall while pruning the
+    candidate space to same-bucket pairs (vs the O(n²) crossJoin of
+    ``embedding_cosine_pairs``, kept as the correctness baseline).
+
+    Candidates come from per-band bucket equi-joins (never a
+    cartesian); cosine is verified on candidates only, so the output is
+    exactly a subset of the brute-force pairs. Buckets larger than
+    ``max_bucket`` are dropped before the self-join — mass-duplicate
+    clusters belong to exact dedup, the same hot-bucket contract as the
+    MinHash band join (and the reason the band join stays near-linear
+    on duplicate-dense corpora)."""
+    from .similarity import cosine
+
+    keyed_cols = []
+    for b in range(bands):
+        signs = [
+            F.when(
+                F.element_at(F.col(vec_col), b * planes_per_band + i + 1) >= 0,
+                "1",
+            ).otherwise("0")
+            for i in range(planes_per_band)
+        ]
+        keyed_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat(*signs).alias("bucket"))
+        )
+    keyed = emb.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*keyed_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # bucket-size cap: the (band, bucket) count table is at most
+    # bands * 2^planes rows — broadcast-small at any corpus size
+    ok = (
+        keyed.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "bucket")
+    )
+    keyed = keyed.join(F.broadcast(ok), ["band", "bucket"])
+    a = keyed.select("band", "bucket", F.col("id").alias("id_a"))
+    b2 = keyed.select("band", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:

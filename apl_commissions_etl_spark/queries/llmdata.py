@@ -424,6 +424,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45)
 
 
+_ELSH_COS = (
+    "list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v))"
+    " * sqrt(list_dot_product(eb.v, eb.v)))"
+)
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    keyed AS (
+      SELECT id, b.band,
+             array_to_string(list_transform(range(1, 5),
+               i -> CASE WHEN v[b.band * 4 + i] >= 0
+                         THEN '1' ELSE '0' END), '') AS bucket
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) b
+    ),
+    ok AS (
+      SELECT band, bucket FROM keyed
+      GROUP BY band, bucket HAVING COUNT(*) <= 50
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+      FROM keyed a
+      JOIN ok USING (band, bucket)
+      JOIN keyed bb USING (band, bucket)
+      WHERE a.id < bb.id
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT c.id_a, c.id_b, CAST({_ELSH_COS} AS DOUBLE) AS cosine
+      FROM cand c
+      JOIN e ea ON ea.id = c.id_a
+      JOIN e eb ON eb.id = c.id_b
+    ) WHERE cosine >= 0.4
+    """,
+    survey_ref="north-star: embedding near-dup SCALE path — sign-LSH "
+    "banded bucket join (4 planes x 16 bands over the 64 coords, "
+    "random-hyperplane twin of the MinHash band join), hot buckets "
+    "capped, cosine verified on candidates only; output is a strict "
+    "subset of the brute-force pairs (recall ~94% at cosine 0.4, "
+    "measured vs dedup_embedding_cosine in tests/test_llmdata.py)",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.4,
+        planes_per_band=4, bands=16, max_bucket=50,
+    )
+
+
 #: session-scoped ANN constants: the query vector and the seeded /
 #: k-means-trained centroid lists are deterministic per (session, sf),
 #: but re-collecting them costs 2-3 tiny driver jobs PER RUN — pure

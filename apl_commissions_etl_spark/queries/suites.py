@@ -188,7 +188,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "north-star deduplication family: exact (hash-groupBy), n-gram "
         "Jaccard (shingle equi-join, df-capped), MinHash+LSH (band "
         "join + verify, bucket-capped), SimHash (md5-parity bits), "
-        "span-level chunk dedup",
+        "span-level chunk dedup, embedding sign-LSH near-dup",
         (
             "dedup_exact",
             "dedup_ngram_jaccard",
@@ -196,6 +196,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "dedup_simhash",
             "dedup_chunk_spans",
             "dedup_incremental_batch",
+            "dedup_embedding_lsh",
         ),
     ),
     "corpus_patterns_suite": (
