@@ -1261,3 +1261,124 @@ def corpus_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("block_reason"),
         (~blocked_domain & ~blocked_tld).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (completes the sketch family:
+# count-min = frequency, KMV = distinct via order statistics, Bloom =
+# membership, HLL = distinct via register maxima — the one that
+# actually ships in every production engine)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256  # registers (bucket = first md5 byte)
+#: alpha_m * m^2 * 2^55 precomputed in Python: ONE double literal both
+#: engines parse identically (the raw-estimate numerator; 2^55 is the
+#: exact-integer scale of the register sum below)
+_HLL_NUMER = repr(0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 2.0**55)
+_HLL_EMPTY_SCALED = 1 << 55  # an empty register contributes 2^(55-0)
+
+
+@query(
+    "corpus_hll_distinct",
+    oracle=f"""
+    WITH w AS (SELECT DISTINCT unnest({_WORDS}) AS tok FROM documents),
+    h AS (SELECT CAST('0x' || substr(md5(tok), 1, 2) AS INT) AS bucket,
+                 CAST('0x' || substr(md5(tok), 3, 13) AS BIGINT) AS wv
+          FROM w),
+    r AS (SELECT bucket,
+                 MAX(CASE WHEN wv = 0 THEN 53
+                          ELSE 53 - length(bin(wv)) END) AS rho
+          FROM h GROUP BY bucket),
+    s AS (SELECT CAST(COUNT(*) AS INT) AS n_used,
+                 CAST(SUM(CAST(pow(2, 55 - rho) AS BIGINT)) AS BIGINT)
+                   AS used_scaled
+          FROM r),
+    x AS (SELECT COUNT(*) AS exact_distinct FROM w),
+    e AS (
+      SELECT n_used, exact_distinct,
+             used_scaled
+               + ({_HLL_M} - n_used) * CAST({_HLL_EMPTY_SCALED} AS BIGINT)
+               AS total_scaled,
+             {_HLL_M} - n_used AS n_zero
+      FROM s, x),
+    est AS (
+      SELECT n_used, n_zero, total_scaled, exact_distinct,
+             round({_HLL_NUMER} / total_scaled, 6) AS hll_raw,
+             CASE WHEN n_zero > 0
+                  THEN round({_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / n_zero), 6)
+                  END AS linear_count
+      FROM e)
+    SELECT n_used, n_zero, total_scaled,
+           CAST(hll_raw AS DOUBLE) AS hll_raw,
+           CAST(linear_count AS DOUBLE) AS linear_count,
+           CAST(CASE WHEN n_zero > 0 AND hll_raw <= 2.5 * {_HLL_M}
+                     THEN linear_count ELSE hll_raw END AS DOUBLE)
+             AS estimate,
+           exact_distinct
+    FROM est
+    """,
+    survey_ref="north-star: HyperLogLog distinct-count sketch — 256 "
+    "md5-derived registers (bucket = first hash byte, rho = leading "
+    "zeros of the next 52 bits + 1) built by one max-combinable "
+    "groupBy. The register sum is EXACT integer math (2^(55-rho) fits "
+    "BIGINT, worst case 256*2^54 < 2^63) so the estimate is "
+    "partition-order- and engine-independent; ln() only in the "
+    "small-range linear-counting branch, 6-dp rounded to absorb libm "
+    "last-ulp drift. The 256-row register table is the whole sketch "
+    "state — mergeable across shards with another MAX, the "
+    "constant-size distributed-distinct answer next to KMV's "
+    "order-statistics variant",
+)
+def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(ta.words("text")).alias("tok")).distinct()
+    h = toks.select(
+        F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.conv(F.substring(F.md5("tok"), 3, 13), 16, 10).cast("long").alias("wv"),
+    )
+    regs = h.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("wv") == 0, 53).otherwise(53 - F.length(F.bin("wv")))
+        ).alias("rho")
+    )
+    s = regs.agg(
+        F.count(F.lit(1)).cast("int").alias("n_used"),
+        F.sum(F.pow(F.lit(2.0), 55 - F.col("rho")).cast("long")).alias(
+            "used_scaled"
+        ),
+    )
+    x = toks.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    e = s.crossJoin(x).select(
+        "n_used",
+        (F.lit(_HLL_M) - F.col("n_used")).alias("n_zero"),
+        (
+            F.col("used_scaled")
+            + (F.lit(_HLL_M) - F.col("n_used")).cast("long")
+            * F.lit(_HLL_EMPTY_SCALED)
+        ).alias("total_scaled"),
+        "exact_distinct",
+    )
+    hll_raw = F.round(F.lit(float(_HLL_NUMER)) / F.col("total_scaled"), 6)
+    linear = F.when(
+        F.col("n_zero") > 0,
+        F.round(
+            _HLL_M * F.log(F.lit(float(_HLL_M)) / F.col("n_zero")), 6
+        ),
+    )
+    est = e.select(
+        "n_used", "n_zero", "total_scaled",
+        hll_raw.cast("double").alias("hll_raw"),
+        linear.cast("double").alias("linear_count"),
+        "exact_distinct",
+    )
+    return est.select(
+        "n_used", "n_zero", "total_scaled", "hll_raw", "linear_count",
+        F.when(
+            (F.col("n_zero") > 0) & (F.col("hll_raw") <= 2.5 * _HLL_M),
+            F.col("linear_count"),
+        )
+        .otherwise(F.col("hll_raw"))
+        .cast("double")
+        .alias("estimate"),
+        "exact_distinct",
+    )

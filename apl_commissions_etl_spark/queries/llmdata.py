@@ -1236,3 +1236,149 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: the compression step between raw embeddings and
+# a serving ANN index (IVF-PQ) — 64 dims -> 8 sub-codes of 2 bits here
+# ---------------------------------------------------------------------------
+
+_PQ_SUBS = 8  # subspaces (8 dims each over the 64-dim fixture vectors)
+_PQ_K = 4  # centroids per subspace codebook
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """codebooks[s][k] = 8-dim centroid: subvector s of seed vector k
+    (the _ann_constants seeds — deterministic, collected once per
+    session). Production PQ k-means-trains each codebook on subvector
+    samples; seeding keeps it reproducible, the assignment plumbing is
+    identical."""
+    _, seeds = _ann_constants(spark, sf_dir)
+    return [
+        [
+            [float(x) for x in seeds[k][1][s * 8 : s * 8 + 8]]
+            for k in range(_PQ_K)
+        ]
+        for s in range(_PQ_SUBS)
+    ]
+
+
+def _pq_spark_dist(sub: int, cent: list[float]) -> str:
+    """Scaled-integer squared L2 distance of subvector ``sub`` to a
+    centroid literal: each term rounds to the 1e-9 grid before an
+    integer fold, so the distance is exact and accumulation-order- and
+    engine-independent (doubles only inside one term, where both
+    engines evaluate the identical expression)."""
+    sv = f"slice(transform(embedding, x -> CAST(x AS DOUBLE)), {sub * 8 + 1}, 8)"
+    cv = similarity._vec_sql(cent)
+    return (
+        f"aggregate(zip_with({sv}, {cv},"
+        " (x, y) -> CAST(round((x - y) * (x - y) * 1e9) AS BIGINT)),"
+        " 0L, (acc, t) -> acc + t)"
+    )
+
+
+def _pq_duck_dist(sub: int, cent: list[float]) -> str:
+    terms = []
+    for i, c in enumerate(cent):
+        x = f"(CAST(embedding[{sub * 8 + i + 1}] AS DOUBLE) - ({c!r}))"
+        terms.append(f"CAST(round({x} * {x} * 1e9) AS BIGINT)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_duck_oracle(codebooks: list[list[list[float]]]) -> str:
+    dist_cols = ",\n           ".join(
+        f"{_pq_duck_dist(s, codebooks[s][k])} AS d_{s}_{k}"
+        for s in range(_PQ_SUBS)
+        for k in range(_PQ_K)
+    )
+
+    def code_case(s: int) -> str:
+        d = [f"d_{s}_{k}" for k in range(_PQ_K)]
+        return (
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]} THEN 0 "
+            f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
+            f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END"
+        )
+
+    codes = " || ".join(f"CAST({code_case(s)} AS VARCHAR)" for s in range(_PQ_SUBS))
+    errs = " + ".join(
+        f"least(d_{s}_0, d_{s}_1, d_{s}_2, d_{s}_3)" for s in range(_PQ_SUBS)
+    )
+    return f"""
+    WITH d AS (
+      SELECT vec_id,
+           {dist_cols}
+      FROM embeddings)
+    SELECT vec_id,
+           {codes} AS pq_code,
+           CAST(({errs}) AS DOUBLE) / 1e9 AS recon_err
+    FROM d
+    """
+
+
+_PQ_DUCK_SEED_DIST = """
+      SELECT e.vec_id, s.sub, c.k,
+             CAST(SUM(CAST(round(
+               (CAST(e.embedding[s.sub * 8 + i.i] AS DOUBLE)
+                - CAST(c.embedding[s.sub * 8 + i.i] AS DOUBLE))
+               * (CAST(e.embedding[s.sub * 8 + i.i] AS DOUBLE)
+                  - CAST(c.embedding[s.sub * 8 + i.i] AS DOUBLE))
+               * 1e9) AS BIGINT)) AS BIGINT) AS dist
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+      CROSS JOIN (SELECT vec_id AS k, embedding FROM embeddings
+                  WHERE vec_id < 4) c
+      CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) i
+      GROUP BY e.vec_id, s.sub, c.k
+"""
+
+
+@query(
+    "ann_pq_codes",
+    oracle=f"""
+    WITH d AS ({_PQ_DUCK_SEED_DIST}),
+    best AS (
+      SELECT vec_id, sub,
+             MIN(struct_pack(d := dist, k := k)).k AS code,
+             MIN(struct_pack(d := dist, k := k)).d AS dist
+      FROM d GROUP BY vec_id, sub),
+    rows_out AS (
+      SELECT vec_id,
+             string_agg(CAST(code AS VARCHAR), '' ORDER BY sub) AS pq_code,
+             CAST(SUM(dist) AS BIGINT) AS err_scaled
+      FROM best GROUP BY vec_id)
+    SELECT vec_id, pq_code,
+           CAST(err_scaled AS DOUBLE) / 1e9 AS recon_err
+    FROM rows_out
+    """,
+    survey_ref="north-star: product quantization — 64-dim embeddings "
+    "compressed to 8 sub-codes (2 bits each) against seeded per-"
+    "subspace codebooks, the IVF-PQ index-build step (16x smaller "
+    "vectors for the ANN serving tier). Assignment is entirely "
+    "map-side (codebooks ride the plan as one literal array; at 64K "
+    "codebook scale they'd broadcast as a relation like "
+    "ivf_assign_via_join); squared-L2 terms quantize to the 1e-9 grid "
+    "before an exact integer fold so code AND reconstruction error "
+    "are engine- and partition-order-independent",
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, sf_dir)
+    code_exprs = []
+    err_exprs = []
+    for s in range(_PQ_SUBS):
+        entries = ",".join(
+            f"named_struct('d', {_pq_spark_dist(s, books[s][k])}, 'c', {k})"
+            for k in range(_PQ_K)
+        )
+        best = f"array_min(array({entries}))"
+        code_exprs.append(f"CAST({best}.c AS STRING)")
+        err_exprs.append(f"{best}.d")
+    code = F.expr("concat(" + ",".join(code_exprs) + ")")
+    err = F.expr("(" + " + ".join(err_exprs) + ")")
+    return emb.select(
+        "vec_id",
+        code.alias("pq_code"),
+        (err.cast("double") / F.lit(1e9)).alias("recon_err"),
+    )
