@@ -1382,3 +1382,101 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         code.alias("pq_code"),
         (err.cast("double") / F.lit(1e9)).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG retrieval: the serving-side composition (flagship #4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_rag_retrieval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, {_SIGN4_SQL.format(v='v')} AS qb
+          FROM e WHERE vec_id < 3),
+    b AS (SELECT vec_id, v, {_SIGN4_SQL.format(v='v')} AS bk FROM e),
+    cand AS (
+      SELECT q.qid, b.vec_id,
+             list_dot_product(b.v, q.qv)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM q JOIN b ON b.bk = q.qb AND b.vec_id <> q.qid),
+    r AS (
+      SELECT qid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos DESC, vec_id) AS rn
+      FROM cand),
+    hits AS (
+      SELECT r.qid, r.rn, r.vec_id, r.cos, d.text
+      FROM r JOIN documents d ON d.doc_id = r.vec_id
+      WHERE r.rn <= 3)
+    SELECT qid,
+           CAST(COUNT(*) AS INT) AS n_retrieved,
+           CAST(MAX(cos) AS DOUBLE) AS top_cosine,
+           string_agg(
+             '[doc ' || CAST(vec_id AS VARCHAR) || '] '
+               || substr(text, 1, 60),
+             ' | ' ORDER BY rn) AS context
+    FROM hits GROUP BY qid
+    """,
+    survey_ref="north-star FLAGSHIP composition #4: RAG retrieval — "
+    "a query batch answered end-to-end in ONE plan: sign-LSH bucket "
+    "candidate join (no per-query driver loop), per-query top-3 "
+    "window, hit hydration against the documents table (vec_id is "
+    "doc-aligned in the fixture), and ordered context assembly for "
+    "the generator prompt. Every stage is an already-verified "
+    "operator (ann_topk_batch's join + window, the doc equi-join, "
+    "A5's ordered string_agg) composed; at corpus scale the bucket "
+    "key partitions the index side and the doc join is a co-bucketed "
+    "equi-join on doc_id",
+)
+def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = _docs(spark, sf_dir)
+    bucket = similarity.sign_lsh_bucket(F.col("embedding"), planes=4)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        bucket.alias("qb"),
+    )
+    b = emb.select("vec_id", "embedding", bucket.alias("qb"))
+    cand = (
+        b.join(F.broadcast(q), "qb")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            similarity.cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+    )
+    rn = F.row_number().over(W.partitionBy("qid").orderBy(F.desc("cos"), "vec_id"))
+    hits = (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .join(docs, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "qid", "rn", "vec_id", "cos",
+            F.concat(
+                F.lit("[doc "),
+                F.col("vec_id").cast("string"),
+                F.lit("] "),
+                F.substring("text", 1, 60),
+            ).alias("snippet"),
+        )
+    )
+    return hits.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("int").alias("n_retrieved"),
+        F.max("cos").cast("double").alias("top_cosine"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "snippet"))
+                ),
+                lambda s: s["snippet"],
+            ),
+            " | ",
+        ).alias("context"),
+    )

@@ -138,6 +138,7 @@ def all_queries() -> dict[str, Query]:
         graph,
         ingest,
         joins,
+        layout,
         llmdata,
         policies,
         reporting,
