@@ -204,12 +204,14 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "quantization, n-gram heavy hitters / novelty, KMV + Bloom + "
         "count-min sketches, perplexity filter, length buckets, "
         "per-source dup rates, temperature mixing (rates + applied), "
-        "stratified sampling, URL/domain filter, TF-IDF keywords",
+        "stratified sampling, URL/domain filter, TF-IDF keywords, "
+        "HyperLogLog distinct",
         (
             "corpus_pack_sequences",
             "corpus_quantize_int8",
             "corpus_ngram_topk",
             "corpus_kmv_distinct",
+            "corpus_hll_distinct",
             "corpus_bloom_filter",
             "corpus_countmin_sketch",
             "corpus_countmin_estimate",
@@ -230,8 +232,12 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "slots: sign-LSH ANN, embedding-cosine near-dup, near-dup "
         "clusters, chunk overlap, PII scrub, multimodal decode/frame "
         "sampling, repetition filter, contamination check, train/val/"
-        "test split, PageRank, fused ML inference",
+        "test split, PageRank, fused ML inference, product "
+        "quantization, Z-order layout planning, RAG retrieval",
         (
+            "ann_pq_codes",
+            "layout_zorder_plan",
+            "pipeline_rag_retrieval",
             "ann_topk_lsh",
             "dedup_embedding_cosine",
             "dedup_cluster_labels",
