@@ -164,3 +164,33 @@ def stream_attribution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sj.attribution_rollup(
         sj.click_purchase_pairs(_events(spark, sf_dir))
     )
+
+
+@query(
+    "stream_dedup_ttl",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT)
+                       >= 21600
+                  THEN 1 ELSE 0 END AS is_emission
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_type, event_id, ts AS emitted_ts
+    FROM marked WHERE is_emission = 1""",
+    survey_ref="§2.10 streaming (new surface): TTL-bounded dedup — "
+    "the applyInPandasWithState operator (streaming/dedup_ttl.py, "
+    "live-tested in tests/test_scale_toolkit.py) evicts each key's "
+    "state after a processing-time TTL so the state store stays at "
+    "(arrival rate x ttl) entries at 100 TB-stream scale; because "
+    "every arrival re-arms the timeout, the batch equivalent is "
+    "exactly first-arrival-per-idle-gap-island (6h TTL here), a "
+    "gaps-and-islands window pass",
+)
+def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.dedup_ttl import ttl_dedup_batch
+
+    return ttl_dedup_batch(_events(spark, sf_dir))

@@ -172,13 +172,14 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "§2.10 streaming surface, batch-equivalent registrations "
         "(the live readStream/writeStream paths are exercised by "
         "tests/test_streaming*.py): tumbling/sliding/session windows, "
-        "watermarked dedup, inner/left-outer stream-stream interval "
-        "joins, attribution rollup",
+        "watermarked dedup, TTL-bounded stateful dedup, inner/"
+        "left-outer stream-stream interval joins, attribution rollup",
         (
             "stream_tumbling_window",
             "stream_sliding_window",
             "stream_session_window",
             "stream_dedup_keep_first",
+            "stream_dedup_ttl",
             "stream_interval_join",
             "stream_interval_join_outer",
             "stream_attribution_rollup",

@@ -250,3 +250,51 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_stream_dedup_ttl_keep_first(spark, tmp_path):
+    """transformWithStateInPandas dedup: only the first document per
+    fingerprint is emitted; a repeat in a later micro-batch (within
+    the TTL) is dropped, and state survives the checkpointed restart."""
+    from apl_commissions_etl_spark.streaming.dedup_ttl import dedup_stream_ttl
+
+    src = str(tmp_path / "fp_src")
+    out_dir = str(tmp_path / "fp_out")
+    ckpt = str(tmp_path / "fp_ck")
+    schema = "fp string, doc_id long"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            dedup_stream_ttl(stream, ttl_ms=3_600_000)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # the ProcessingTimeTimeout keeps scheduling no-data batches,
+        # so availableNow never self-terminates — drain the data
+        # batches, then stop explicitly (same shape as the
+        # closed-sessions test above)
+        if not q.awaitTermination(15):
+            q.stop()
+            q.awaitTermination(30)
+        return {
+            (r.fp, r.doc_id, r.n_dups_in_batch)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    write([("a", 10), ("a", 11), ("b", 20)])
+    assert run() == {("a", 10, 1), ("b", 20, 0)}
+
+    # restart: 'a' and 'b' are already in (restored) state -> dropped;
+    # 'c' is new
+    write([("a", 12), ("b", 21), ("c", 30)])
+    assert run() == {("a", 10, 1), ("b", 20, 0), ("c", 30, 0)}
