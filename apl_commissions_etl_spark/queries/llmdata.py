@@ -1480,3 +1480,153 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " | ",
         ).alias("context"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training: the tokenizer-build step (iterative-algorithm
+# family next to kmeans_refine and graph_pagerank)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 2
+
+
+def _bpe_syms(col: str):
+    """Symbols of a bracket-wrapped sequence '[a][b]...' (outer
+    brackets stripped, split on the literal '][' boundary)."""
+    return F.split(
+        F.expr(f"substring({col}, 2, length({col}) - 2)"), r"\]\["
+    )
+
+
+def _bpe_pairs(df: DataFrame) -> DataFrame:
+    sy = _bpe_syms("w")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(sy) - 1),
+        lambda i: F.struct(
+            F.element_at(sy, i).alias("a"), F.element_at(sy, i + 1).alias("b")
+        ),
+    )
+    return (
+        df.filter(F.size(sy) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+    )
+
+
+def _bpe_best(pairs: DataFrame) -> DataFrame:
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "a", "b")
+        .limit(1)
+    )
+
+
+def _bpe_merge(df: DataFrame, best: DataFrame) -> DataFrame:
+    return df.crossJoin(F.broadcast(best)).select(
+        F.replace(
+            F.col("w"),
+            F.concat(F.lit("["), F.col("a"), F.lit("]["), F.col("b"), F.lit("]")),
+            F.concat(F.lit("["), F.col("a"), F.col("b"), F.lit("]")),
+        ).alias("w")
+    )
+
+
+def _bpe_duck_round(prev_w: str, rnd: int) -> str:
+    """CTEs for one merge round: pair counts over {prev_w}, argmax
+    pair b{rnd}, merged corpus w{rnd}."""
+    return f"""
+    p{rnd} AS (
+      SELECT u.a AS a, u.b AS b FROM (
+        SELECT unnest(list_transform(range(1, len(s)),
+                 i -> {{'a': s[i], 'b': s[i+1]}})) AS u
+        FROM (SELECT string_split(substr(w, 2, length(w) - 2), '][') AS s
+              FROM {prev_w}))),
+    b{rnd} AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM p{rnd} GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1),
+    w{rnd} AS (
+      SELECT replace(w,
+               '[' || (SELECT a FROM b{rnd}) || '][' || (SELECT b FROM b{rnd}) || ']',
+               '[' || (SELECT a FROM b{rnd}) || (SELECT b FROM b{rnd}) || ']') AS w
+      FROM {prev_w}),
+    t{rnd} AS (
+      SELECT CAST(SUM(len(string_split(substr(w, 2, length(w) - 2), '][')))
+                  AS BIGINT) AS toks
+      FROM w{rnd})"""
+
+
+@query(
+    "text_bpe_train",
+    oracle=f"""
+    WITH flt AS (
+      SELECT word FROM (SELECT unnest({_WORDS}) AS word FROM documents)
+      WHERE regexp_matches(word, '^[a-z0-9]+$')),
+    w0 AS (SELECT regexp_replace(word, '(.)', '[\\1]', 'g') AS w FROM flt),
+    t0 AS (SELECT CAST(SUM(length(word)) AS BIGINT) AS toks FROM flt),
+    {_bpe_duck_round('w0', 1)},
+    {_bpe_duck_round('w1', 2)}
+    SELECT 0 AS round, CAST(NULL AS VARCHAR) AS sym_a,
+           CAST(NULL AS VARCHAR) AS sym_b,
+           CAST(NULL AS BIGINT) AS pair_count,
+           (SELECT toks FROM t0) AS corpus_tokens
+    UNION ALL
+    SELECT 1, (SELECT a FROM b1), (SELECT b FROM b1),
+           (SELECT c FROM b1), (SELECT toks FROM t1)
+    UNION ALL
+    SELECT 2, (SELECT a FROM b2), (SELECT b FROM b2),
+           (SELECT c FROM b2), (SELECT toks FROM t2)
+    """,
+    survey_ref="north-star: BPE merge training — 2 unrolled "
+    "merge-learning rounds over the corpus: adjacent-symbol-pair "
+    "counts (one combinable shuffle on the pair key), deterministic "
+    "argmax (count desc, then lexicographic), greedy leftmost merge "
+    "applied via non-overlapping replace on a bracket-wrapped symbol "
+    "encoding (both engines scan left-to-right, exactly BPE's greedy "
+    "rule). The learned merge table + per-round corpus token count "
+    "is the tokenizer-build loop the reference lacks entirely; at "
+    "scale each round materializes the merged corpus (localCheckpoint "
+    "/ shard write) instead of growing one lineage, and trains on a "
+    "deterministic hash-bucket sample (corpus_sample_stratified)",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(ta.words("text")).alias("word")).filter(
+        F.col("word").rlike("^[a-z0-9]+$")
+    )
+    w0 = words.select(
+        F.regexp_replace("word", "(.)", "[$1]").alias("w")
+    )
+    t0 = words.agg(F.sum(F.length("word")).alias("toks"))
+
+    best1 = _bpe_best(_bpe_pairs(w0))
+    w1 = _bpe_merge(w0, best1)
+    t1 = w1.agg(F.sum(F.size(_bpe_syms("w"))).alias("toks"))
+
+    best2 = _bpe_best(_bpe_pairs(w1))
+    w2 = _bpe_merge(w1, best2)
+    t2 = w2.agg(F.sum(F.size(_bpe_syms("w"))).alias("toks"))
+
+    def row(rnd: int, best: DataFrame | None, toks: DataFrame) -> DataFrame:
+        if best is None:
+            base = toks.select(
+                F.lit(0).alias("round"),
+                F.lit(None).cast("string").alias("sym_a"),
+                F.lit(None).cast("string").alias("sym_b"),
+                F.lit(None).cast("long").alias("pair_count"),
+                F.col("toks").alias("corpus_tokens"),
+            )
+            return base
+        return best.crossJoin(toks).select(
+            F.lit(rnd).alias("round"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            F.col("c").alias("pair_count"),
+            F.col("toks").alias("corpus_tokens"),
+        )
+
+    return (
+        row(0, None, t0)
+        .unionByName(row(1, best1, t1))
+        .unionByName(row(2, best2, t2))
+    )

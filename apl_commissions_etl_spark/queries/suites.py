@@ -234,8 +234,10 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "clusters, chunk overlap, PII scrub, multimodal decode/frame "
         "sampling, repetition filter, contamination check, train/val/"
         "test split, PageRank, fused ML inference, product "
-        "quantization, Z-order layout planning, RAG retrieval",
+        "quantization, Z-order layout planning, RAG retrieval, BPE "
+        "merge training",
         (
+            "text_bpe_train",
             "ann_pq_codes",
             "layout_zorder_plan",
             "pipeline_rag_retrieval",

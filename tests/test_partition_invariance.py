@@ -23,6 +23,12 @@ SENSITIVE = [
     "corpus_countmin_sketch",
     "text_profile_suite",
     "seq_anomaly_zscore",
+    # round-3 additions: register-max sketch, scaled-int PQ distances,
+    # global-ntile layout assignment, windowed RAG context assembly
+    "corpus_hll_distinct",
+    "ann_pq_codes",
+    "layout_zorder_plan",
+    "pipeline_rag_retrieval",
 ]
 
 
