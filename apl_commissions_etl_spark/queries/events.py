@@ -565,3 +565,140 @@ def seq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         zscore.alias("zscore"),
         (F.abs(zscore) > 3.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  WHEN event_type = 'signup' THEN 'insert'
+                  ELSE 'update' END AS op,
+             value
+      FROM events),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM log)
+    SELECT user_id, op AS last_op, ts AS updated_at,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+           n_changes
+    FROM ranked
+    WHERE rn = 1 AND op <> 'delete'""",
+    survey_ref="new surface: CDC changelog apply — a Debezium/Delta-"
+    "CDF-shaped change stream (insert/update/delete tombstone derived "
+    "from event_type) collapsed to the current table state: "
+    "last-writer-wins per key by (ts, event_id) sequence, tombstoned "
+    "keys dropped. One W3 keep-latest window; the change count rides "
+    "the same key exchange. This is the read-side of "
+    "export_merge_upsert: MERGE applies a batch to a target, this "
+    "derives the target from the log alone (the replayable-source "
+    "contract); at 100 TB the log is bucketed by key and the window "
+    "is shuffle-free",
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    log = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update")
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    ranked = log.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_changes"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") != "delete")).select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("ts").alias("updated_at"),
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
+        "n_changes",
+    )
+
+
+@query(
+    "agg_partial_merge",
+    oracle="""
+    WITH shard AS (
+      SELECT user_id % 100 AS bucket, event_id % 2 AS shard_id,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             MIN(ts) AS min_ts, MAX(ts) AS max_ts
+      FROM events GROUP BY 1, 2),
+    merged AS (
+      SELECT bucket,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             MIN(min_ts) AS min_ts, MAX(max_ts) AS max_ts
+      FROM shard GROUP BY bucket),
+    direct AS (
+      SELECT user_id % 100 AS bucket, COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             MIN(ts) AS min_ts, MAX(ts) AS max_ts
+      FROM events GROUP BY 1)
+    SELECT m.bucket, m.n, m.cents, m.min_ts, m.max_ts,
+           CAST(m.n = d.n AND m.cents = d.cents
+                AND m.min_ts = d.min_ts AND m.max_ts = d.max_ts
+                AS BOOLEAN) AS matches_direct
+    FROM merged m JOIN direct d USING (bucket)""",
+    survey_ref="new surface: partial-aggregate state merge — per-shard "
+    "aggregate states (count / integer-cents sum / min / max) merged "
+    "into the global result and PROVEN equal to the direct "
+    "aggregation in the same output (matches_direct all true). This "
+    "is the algebraic-mergeability contract every 100 TB rollup "
+    "rests on (map-side combine, incremental daily->monthly "
+    "re-aggregation, cross-datacenter shard merge): sums stay exact "
+    "integers so the merge is associative; the same property the "
+    "sketch family (KMV/HLL/count-min/Bloom) extends to "
+    "non-algebraic measures",
+)
+def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    cents = F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+
+    def stats(df: DataFrame, keys: list) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            cents,
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+
+    base = e.select(
+        (F.col("user_id") % 100).alias("bucket"),
+        (F.col("event_id") % 2).alias("shard_id"),
+        "value",
+        "ts",
+    )
+    shard = stats(base, ["bucket", "shard_id"])
+    merged = shard.groupBy("bucket").agg(
+        F.sum("n").alias("n"),
+        F.sum("cents").alias("cents"),
+        F.min("min_ts").alias("min_ts"),
+        F.max("max_ts").alias("max_ts"),
+    )
+    direct = stats(base, ["bucket"]).withColumnsRenamed(
+        {"n": "d_n", "cents": "d_cents", "min_ts": "d_min", "max_ts": "d_max"}
+    )
+    return merged.join(direct, "bucket").select(
+        "bucket", "n", "cents", "min_ts", "max_ts",
+        (
+            (F.col("n") == F.col("d_n"))
+            & (F.col("cents") == F.col("d_cents"))
+            & (F.col("min_ts") == F.col("d_min"))
+            & (F.col("max_ts") == F.col("d_max"))
+        ).alias("matches_direct"),
+    )

@@ -155,8 +155,11 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "§2.13 sequence analytics + event-stream surface: funnel, "
         "cohort retention, transition matrix, as-of attribution, JSON "
         "props rollup, batch sessionization, time-bucket rollup, "
-        "rolling z-score anomalies",
+        "rolling z-score anomalies, CDC changelog apply, "
+        "partial-aggregate state merge",
         (
+            "cdc_apply_changelog",
+            "agg_partial_merge",
             "seq_funnel_users",
             "seq_funnel_summary",
             "seq_cohort_retention",
