@@ -44,10 +44,10 @@ from .dims import (
     FEES_STG_CTE,
     LICENSES_STG_CTE,
     _views,
-    brokers_dim_frame,
-    dim_broker_licenses_stg,
-    dim_eo_insurances_stg,
-    dim_fees_classified,
+    brokers_dim_cached,
+    eo_stg_cached,
+    fees_classified_cached,
+    lic_stg_cached,
 )
 
 #: fixed stand-ins for GETDATE() in the expiry classifications —
@@ -123,7 +123,7 @@ _STATUS_NAME_SQL = f"""CASE {_STATUS_CODE_SQL}
 )
 def report_brokers(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
-    b = brokers_dim_frame(spark).filter(F.col("Id").isNotNull())
+    b = brokers_dim_cached(spark, sf_dir).filter(F.col("Id").isNotNull())
     status_code = (
         F.when(F.col("Status") == "Active", 1)
         .when(F.col("Status") == "Inactive", 2)
@@ -190,8 +190,8 @@ def report_brokers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the reference)",
 )
 def report_broker_eo_insurances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eo = dim_eo_insurances_stg(spark, sf_dir)
-    b = brokers_dim_frame(spark).select(
+    eo = eo_stg_cached(spark, sf_dir)
+    b = brokers_dim_cached(spark, sf_dir).select(
         F.col("Id").alias("BrokerId"),
         F.col("Name").alias("BrokerName"),
         F.col("ExternalPartyId").alias("BrokerExternalId"),
@@ -243,8 +243,8 @@ def report_broker_eo_insurances(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every branch at the fixed AS_OF",
 )
 def report_broker_licenses(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lic = dim_broker_licenses_stg(spark, sf_dir)
-    b = brokers_dim_frame(spark).select(
+    lic = lic_stg_cached(spark, sf_dir)
+    b = brokers_dim_cached(spark, sf_dir).select(
         F.col("Id").alias("BrokerId"),
         F.col("Name").alias("BrokerName"),
         F.col("ExternalPartyId").alias("BrokerExternalId"),
@@ -296,10 +296,10 @@ def _fee_earning_brokers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-broker fee earnings joined to the broker master — the
     view-1-shaped base that views 6-8 extend (exact DECIMAL sums,
     DOUBLE only at the edge)."""
-    fees = dim_fees_classified(spark, sf_dir).filter(
+    fees = fees_classified_cached(spark, sf_dir).filter(
         F.col("RecipientBrokerId").isNotNull()
     )
-    b = brokers_dim_frame(spark).select(
+    b = brokers_dim_cached(spark, sf_dir).select(
         F.col("Id").alias("BrokerId"),
         F.col("Name").alias("BrokerName"),
         F.col("Status").alias("BrokerStatus"),
@@ -353,7 +353,7 @@ def report_earning_brokers_licenses(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     eb = _fee_earning_brokers(spark, sf_dir)
-    lic = dim_broker_licenses_stg(spark, sf_dir).select(
+    lic = lic_stg_cached(spark, sf_dir).select(
         "BrokerId",
         "LicenseState",
         "LicenseNumber",
@@ -409,7 +409,7 @@ def report_earning_brokers_licenses(
 )
 def report_earning_brokers_eo(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = _fee_earning_brokers(spark, sf_dir)
-    eo = dim_eo_insurances_stg(spark, sf_dir).select(
+    eo = eo_stg_cached(spark, sf_dir).select(
         "BrokerId",
         F.col("Id").alias("eo_Id"),
         F.col("Carrier").alias("InsuranceCompany"),
