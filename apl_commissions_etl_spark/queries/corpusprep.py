@@ -1382,3 +1382,67 @@ def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("estimate"),
         "exact_distinct",
     )
+
+
+_HLL_RHO = "CASE WHEN wv = 0 THEN 53 ELSE 53 - length(bin(wv)) END"
+_HLL_H = f"""
+      SELECT doc_id % 2 AS shard,
+             CAST('0x' || substr(md5(tok), 1, 2) AS INT) AS bucket,
+             CAST('0x' || substr(md5(tok), 3, 13) AS BIGINT) AS wv
+      FROM (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents)
+"""
+
+
+@query(
+    "corpus_hll_merge",
+    oracle=f"""
+    WITH h AS ({_HLL_H}),
+    shard_regs AS (
+      SELECT shard, bucket, MAX({_HLL_RHO}) AS rho
+      FROM h GROUP BY shard, bucket),
+    merged AS (
+      SELECT bucket, MAX(rho) AS rho FROM shard_regs GROUP BY bucket),
+    direct AS (
+      SELECT bucket, MAX({_HLL_RHO}) AS rho FROM h GROUP BY bucket),
+    cmp AS (
+      SELECT m.bucket, m.rho,
+             CAST(m.rho = d.rho AS BOOLEAN) AS matches_direct
+      FROM merged m JOIN direct d USING (bucket))
+    SELECT CAST(COUNT(*) AS INT) AS n_registers,
+           CAST(SUM(rho) AS BIGINT) AS rho_sum,
+           CAST(MIN(matches_direct) AS BOOLEAN) AS all_match
+    FROM cmp
+    """,
+    survey_ref="north-star: HLL shard merge — per-shard register "
+    "tables (the 256-row sketch state of corpus_hll_distinct, built "
+    "per doc_id-parity shard) merged with a second MAX and PROVEN "
+    "register-identical to the direct whole-corpus build "
+    "(all_match=true). MAX is idempotent/commutative/associative, so "
+    "the merge is exact at any shard count and order — the property "
+    "that lets 1000 executors (or 10 datacenters) sketch "
+    "independently and combine in one tiny exchange; the twin of "
+    "agg_partial_merge for non-algebraic distinct counting",
+)
+def corpus_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("shard"),
+        F.explode(ta.words("text")).alias("tok"),
+    )
+    h = toks.select(
+        "shard",
+        F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.conv(F.substring(F.md5("tok"), 3, 13), 16, 10).cast("long").alias("wv"),
+    )
+    rho = F.when(F.col("wv") == 0, 53).otherwise(53 - F.length(F.bin("wv")))
+    shard_regs = h.groupBy("shard", "bucket").agg(F.max(rho).alias("rho"))
+    merged = shard_regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    direct = h.groupBy("bucket").agg(F.max(rho).alias("d_rho"))
+    cmp = merged.join(direct, "bucket").select(
+        "bucket", "rho", (F.col("rho") == F.col("d_rho")).alias("matches_direct")
+    )
+    return cmp.agg(
+        F.count(F.lit(1)).cast("int").alias("n_registers"),
+        F.sum("rho").alias("rho_sum"),
+        F.min("matches_direct").alias("all_match"),
+    )

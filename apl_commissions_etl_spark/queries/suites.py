@@ -216,6 +216,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "corpus_ngram_topk",
             "corpus_kmv_distinct",
             "corpus_hll_distinct",
+            "corpus_hll_merge",
             "corpus_bloom_filter",
             "corpus_countmin_sketch",
             "corpus_countmin_estimate",

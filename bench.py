@@ -36,6 +36,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_cluster_labels",
     "dedup_incremental_batch",
+    "text_bpe_train",
+    "layout_zorder_plan",
+    "pipeline_rag_retrieval",
+    "cdc_apply_changelog",
     "text_chunk_overlap",
     "corpus_ngram_topk",
     "multimodal_codec_roundtrip",

@@ -114,6 +114,33 @@ AUDITS: list[tuple[str, list[str], list[str], str]] = [
         "over the document scan — the shape a 100 TB media "
         "decode/feature pass must have (pure map, no exchange).",
     ),
+    (
+        "pipeline_rag_retrieval",
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "RAG serving in one plan: the query batch broadcasts into the "
+        "bucketed index side (one hash join, no per-query driver "
+        "loop), the top-k window and the context string_agg share the "
+        "qid exchange, and doc hydration is a plain equi-join.",
+    ),
+    (
+        "text_bpe_train",
+        [],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "Two BPE merge rounds as one declarative plan: pair counts "
+        "are combinable hash aggregations, each round's argmax is a "
+        "1-row broadcast (BroadcastNestedLoopJoin on a single row, "
+        "not a cartesian), merges are codegen string replaces. No "
+        "Python anywhere in the training loop.",
+    ),
+    (
+        "stream_dedup_ttl",
+        ["Window"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "Batch twin of the TTL-state streaming dedup: one "
+        "gaps-and-islands window pass per key — the LAG and the "
+        "emission filter share a single (user, type) exchange.",
+    ),
 ]
 
 
