@@ -22,6 +22,9 @@ CSV + ZIP ingest S1/S2/S5/S7 (`sources/csv_ingest.py`,
 `sources/archive.py`), export upserts S9/S10 + keyed MERGE (`operators/export.py`),
 bucketed warehouse + skew salting + stateful streaming
 (`sources/warehouse.py`, `operators/skew.py`, `streaming/stateful.py`),
+TTL-bounded stateful streaming dedup (`streaming/dedup_ttl.py` —
+state self-evicts via processing-time timeout, live-tested across a
+checkpointed restart in `tests/test_scale_toolkit.py`),
 exactly-once foreachBatch MERGE sink (`streaming/sinks.py`),
 the full calc cascade running in STREAMING mode
 (`tests/test_streaming_calc.py` — stream-static joins, streaming GL ==
