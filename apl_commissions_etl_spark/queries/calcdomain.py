@@ -492,3 +492,78 @@ def calc_stage7_commissions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("AppliedRate").cast("double").alias("AppliedRate"),
         F.col("Commission").cast("double").alias("Commission"),
     )
+
+
+@query(
+    "calc_incremental_gl",
+    oracle=_oracle("""
+    , gl AS (
+      SELECT 'GL-' || PremiumTransactionId || '-' || HierarchyParticipantId
+               || '-O' AS GlEntryId,
+             'Original' AS EntryType,
+             CAST(RetainedCommission AS DOUBLE) AS Amount
+      FROM s8
+      UNION ALL
+      SELECT 'GL-' || PremiumTransactionId || '-' || HierarchyParticipantId
+               || '-A',
+             'Assigned',
+             CAST(AssignedCommission AS DOUBLE)
+      FROM s8
+      WHERE RecipientBrokerId IS NOT NULL AND AssignedCommission <> 0)
+    SELECT EntryType,
+           COUNT(*) AS n_entries,
+           CAST(SUM(CAST(round(Amount * 100) AS BIGINT)) AS BIGINT)
+             AS amount_cents,
+           MIN(GlEntryId) AS min_id,
+           MAX(GlEntryId) AS max_id,
+           CAST(1 AS BOOLEAN) AS matches_direct
+    FROM gl GROUP BY EntryType"""),
+    survey_ref="§2.9 + new surface: INCREMENTAL GL calculation — the "
+    "daily-delta production run: premiums split into an existing "
+    "corpus and a deterministic ~1/8 'new batch' (md5 bucket), the "
+    "8-stage cascade run on EACH slice independently, results "
+    "unioned, and the union PROVEN equal to the direct whole-input "
+    "run in the same output (matches_direct, plus count/cents/id "
+    "extremes that hash against the direct-only oracle). Sound "
+    "because every cascade stage is per-premium row-local (joins "
+    "against broadcast dims, no cross-premium window), so at 100 TB "
+    "the daily run processes only the new partition and appends — "
+    "never recomputing history; the same row-locality argument the "
+    "streaming-mode cascade (tests/test_streaming_calc.py) rests on",
+)
+def calc_incremental_gl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staging = _staging(spark, sf_dir)
+    prem = staging["stg_premium_transactions"]
+    is_new = F.substring(F.md5("PremiumTransactionId"), 1, 1) < "2"
+    slices = [
+        calc.run_calc({**staging, "stg_premium_transactions": df})["gl"]
+        for df in (prem.filter(~is_new), prem.filter(is_new))
+    ]
+    inc = slices[0].unionByName(slices[1])
+    direct = _stages(spark, sf_dir)["gl"]
+
+    def summary(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy("EntryType").agg(
+            F.count(F.lit(1)).alias(f"{prefix}n"),
+            F.sum(F.round(F.col("Amount") * 100).cast("long")).alias(
+                f"{prefix}cents"
+            ),
+            F.min("GlEntryId").alias(f"{prefix}min_id"),
+            F.max("GlEntryId").alias(f"{prefix}max_id"),
+        )
+
+    inc_s = summary(inc, "")
+    dir_s = summary(direct, "d_")
+    return inc_s.join(dir_s, "EntryType").select(
+        "EntryType",
+        F.col("n").alias("n_entries"),
+        F.col("cents").alias("amount_cents"),
+        "min_id",
+        "max_id",
+        (
+            (F.col("n") == F.col("d_n"))
+            & (F.col("cents") == F.col("d_cents"))
+            & (F.col("min_id") == F.col("d_min_id"))
+            & (F.col("max_id") == F.col("d_max_id"))
+        ).alias("matches_direct"),
+    )
