@@ -243,6 +243,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         (
             "text_bpe_train",
             "ann_pq_codes",
+            "ann_pq_adc_topk",
             "layout_zorder_plan",
             "pipeline_rag_retrieval",
             "ann_topk_lsh",
