@@ -538,3 +538,150 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: the equal-width histogram form (the
+# quantile member of the sketch family next to HLL/KMV/count-min/Bloom)
+# ---------------------------------------------------------------------------
+
+_QH_BUCKETS = 1024
+_QH_WIDTH = 600000.0 / _QH_BUCKETS  # 585.9375: exactly representable
+_QH_QS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "agg_quantile_sketch",
+    oracle=f"""
+    WITH hist AS (
+      SELECT CAST(floor(o_totalprice / {_QH_WIDTH!r}) AS INT) AS bucket,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1),
+    shard_hist AS (
+      SELECT o_orderkey % 2 AS shard,
+             CAST(floor(o_totalprice / {_QH_WIDTH!r}) AS INT) AS bucket,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1, 2),
+    merged AS (
+      SELECT bucket, CAST(SUM(c) AS BIGINT) AS c
+      FROM shard_hist GROUP BY bucket),
+    hist_match AS (
+      SELECT CAST(MIN(CAST(m.c = h.c AS INT)) = 1 AS BOOLEAN) AS ok
+      FROM merged m JOIN hist h USING (bucket)),
+    cum AS (
+      SELECT bucket, c,
+             SUM(c) OVER (ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER () AS n
+      FROM merged),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _QH_QS)}]) AS q),
+    hits AS (
+      SELECT q.q, c.bucket, c.c, c.cum - c.c AS cum_before, c.n,
+             ROW_NUMBER() OVER (PARTITION BY q.q ORDER BY c.bucket) AS rn
+      FROM qs q JOIN cum c ON c.cum >= q.q * c.n),
+    est AS (
+      SELECT q, n,
+             round(bucket * {_QH_WIDTH!r}
+               + (q * n - cum_before) / c * {_QH_WIDTH!r}, 6) AS estimate
+      FROM hits WHERE rn = 1),
+    exact AS (
+      SELECT unnest([{", ".join(str(q) for q in _QH_QS)}]) AS q,
+             unnest([quantile_cont(o_totalprice, 0.5),
+                     quantile_cont(o_totalprice, 0.9),
+                     quantile_cont(o_totalprice, 0.99)]) AS exact_q
+      FROM orders)
+    SELECT e.q, CAST(e.estimate AS DOUBLE) AS estimate,
+           CAST(x.exact_q AS DOUBLE) AS exact_q,
+           CAST(abs(e.estimate - x.exact_q) <= {_QH_WIDTH!r} AS BOOLEAN)
+             AS within_bucket_bound,
+           (SELECT ok FROM hist_match) AS merge_matches_direct
+    FROM est e JOIN exact x USING (q)
+    """,
+    survey_ref="north-star: mergeable quantile sketch — equal-width "
+    "1024-bucket histogram (bucket = floor(price/width), width an "
+    "exactly-representable double so both engines bin identically), "
+    "quantiles read by cumulative count + in-bucket linear "
+    "interpolation. Error is bounded by ONE bucket width (emitted as "
+    "a checked column against the exact R-7 percentile) and the "
+    "sketch merges across shards by bucket-count SUM — proven "
+    "identical to the direct build in the same output. The quantile "
+    "member of the sketch family (HLL/KMV distinct, count-min "
+    "frequency, Bloom membership): constant-size state where exact "
+    "percentiles need the full sorted column",
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / _QH_WIDTH).cast("int")
+    hist = o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("c"))
+    shard_hist = o.groupBy(
+        (F.col("o_orderkey") % 2).alias("shard"), bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    merged = shard_hist.groupBy("bucket").agg(F.sum("c").alias("c"))
+    hist_match = (
+        merged.join(hist.withColumnRenamed("c", "h_c"), "bucket")
+        .agg(
+            (F.min((F.col("c") == F.col("h_c")).cast("int")) == 1).alias("ok")
+        )
+    )
+    cum = merged.select(
+        "bucket",
+        "c",
+        F.sum("c")
+        .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing)).alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _QH_QS])).alias("q")
+    )
+    hits = qs.join(cum, F.col("cum") >= F.col("q") * F.col("n")).select(
+        "q",
+        "bucket",
+        "c",
+        (F.col("cum") - F.col("c")).alias("cum_before"),
+        "n",
+        F.row_number()
+        .over(W.partitionBy("q").orderBy("bucket"))
+        .alias("rn"),
+    )
+    est = hits.filter(F.col("rn") == 1).select(
+        "q",
+        F.round(
+            F.col("bucket") * _QH_WIDTH
+            + (F.col("q") * F.col("n") - F.col("cum_before"))
+            / F.col("c")
+            * _QH_WIDTH,
+            6,
+        ).alias("estimate"),
+    )
+    exact = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(f"x{i}")
+            for i, q in enumerate(_QH_QS)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(q).alias("q"), F.col(f"x{i}").alias("exact_q"))
+                    for i, q in enumerate(_QH_QS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact_q")
+    return (
+        est.join(exact, "q")
+        .crossJoin(hist_match)
+        .select(
+            "q",
+            F.col("estimate").cast("double").alias("estimate"),
+            F.col("exact_q").cast("double").alias("exact_q"),
+            (F.abs(F.col("estimate") - F.col("exact_q")) <= _QH_WIDTH).alias(
+                "within_bucket_bound"
+            ),
+            F.col("ok").alias("merge_matches_direct"),
+        )
+    )

@@ -48,7 +48,8 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
     "agg_patterns_suite": (
         "§2.4 A1/A2/A4/A5/A6/A7/A10/A12 aggregation family fingerprints "
         "(each sub-query maps to its own reference site; see the "
-        "sub-queries' survey_refs)",
+        "sub-queries' survey_refs) + the mergeable quantile sketch and "
+        "partial-aggregate merge proof",
         (
             "agg_pricing_summary",
             "agg_group_stats",
@@ -58,6 +59,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "agg_min_per_key_prefiltered",
             "agg_entropy_routing",
             "agg_summary_union_counts",
+            "agg_quantile_sketch",
         ),
     ),
     "dim_entities_suite": (
