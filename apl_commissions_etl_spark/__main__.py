@@ -144,6 +144,22 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Formatted physical plan of a registered query — the '.explain
+    and iterate' loop as a first-class command (PLANS.md pins the
+    flagship trees; this inspects any of the registered queries)."""
+    from .registry import all_queries
+
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; try: "
+              f"python -m apl_commissions_etl_spark list", file=sys.stderr)
+        return 2
+    df = qs[args.name].spark_fn(_spark(), args.sf_dir)
+    df.explain(args.mode)
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     from .registry import all_queries
 
@@ -199,6 +215,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf-dir", default=_default_sf())
     p.add_argument("--show", type=int, default=20)
     p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("explain", help="print a query's physical plan")
+    p.add_argument("name")
+    p.add_argument("--sf-dir", default=_default_sf())
+    p.add_argument(
+        "--mode", default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
+    p.set_defaults(fn=cmd_explain)
 
     p = sub.add_parser("list", help="list registered queries")
     p.add_argument("prefix", nargs="?", default=None)

@@ -44,3 +44,13 @@ def test_pipeline_resume_skips(spark, tmp_path, capsys):
     assert main(["pipeline", "--root", root, "--sf-dir", SF]) == 0
     second = capsys.readouterr().out
     assert "skipped" in second and "completed" not in second
+
+
+def test_explain_prints_plan(spark, capsys):
+    assert main(["explain", "join_date_band", "--sf-dir", SF]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "BroadcastHashJoin" in out
+
+
+def test_explain_unknown_name_fails(capsys):
+    assert main(["explain", "no_such_query", "--sf-dir", SF]) == 2
