@@ -314,3 +314,109 @@ def audit_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+_READY_SQL = """
+    SELECT 'status_split_versions_not_active' AS check_name,
+           COUNT(CASE WHEN Status <> 1 THEN 1 END) AS n_issues
+    FROM stg_premium_split_versions
+    UNION ALL
+    SELECT 'status_hierarchy_versions_not_active',
+           COUNT(CASE WHEN Status <> 1 THEN 1 END)
+    FROM stg_hierarchy_versions
+    UNION ALL
+    SELECT 'completeness_proposals_without_split_version', COUNT(*)
+    FROM stg_proposals p
+    WHERE NOT EXISTS (SELECT 1 FROM stg_premium_split_versions v
+                      WHERE v.ProposalId = p.ProposalId)
+    UNION ALL
+    SELECT 'completeness_hierarchy_versions_without_participants', COUNT(*)
+    FROM stg_hierarchy_versions hv
+    WHERE NOT EXISTS (SELECT 1 FROM stg_hierarchy_participants hp
+                      WHERE hp.HierarchyVersionId = hv.HierarchyVersionId)
+    UNION ALL
+    SELECT 'quality_split_versions_total_not_100', COUNT(*)
+    FROM (
+      SELECT v.SplitVersionId
+      FROM stg_premium_split_versions v
+      JOIN stg_premium_split_participants sp
+        ON sp.SplitVersionId = v.SplitVersionId
+      GROUP BY v.SplitVersionId
+      HAVING SUM(CAST(sp.SplitPercent AS DECIMAL(18,2)))
+             <> CAST(100 AS DECIMAL(18,2)))
+    UNION ALL
+    SELECT 'quality_premiums_nonpositive', COUNT(*)
+    FROM stg_premium_transactions
+    WHERE PremiumAmount <= 0"""
+
+
+@query(
+    "audit_production_readiness",
+    oracle=f"WITH {fixtures_cte_sql()}\n"
+    "SELECT check_name, CAST(n_issues AS BIGINT) AS n_issues,\n"
+    "       CAST(n_issues = 0 AS BOOLEAN) AS passes\n"
+    f"FROM ({_READY_SQL})",
+    survey_ref="§5 pre-export gate: the production-readiness "
+    "verification (sql/verify/verify-production-readiness.sql:1-140 — "
+    "status fields, completeness EXISTS chains, split-total and "
+    "premium-sign quality) as ONE registered report instead of "
+    "PRINT-a-warning batches: each check is an aggregate or "
+    "anti-join count with a pass flag; at scale every check is a "
+    "semi/anti broadcast join or a single-pass conditional count, "
+    "so the whole gate costs one scan per staging table",
+)
+def audit_production_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _staging(spark, sf_dir)
+    sv, hv = s["stg_premium_split_versions"], s["stg_hierarchy_versions"]
+    props, hp = s["stg_proposals"], s["stg_hierarchy_participants"]
+    sp, prem = s["stg_premium_split_participants"], s["stg_premium_transactions"]
+
+    def row(name: str, n) -> DataFrame:
+        return n.select(
+            F.lit(name).alias("check_name"), F.col("n").alias("n_issues")
+        )
+
+    checks = [
+        row(
+            "status_split_versions_not_active",
+            sv.agg(F.count(F.when(F.col("Status") != 1, 1)).alias("n")),
+        ),
+        row(
+            "status_hierarchy_versions_not_active",
+            hv.agg(F.count(F.when(F.col("Status") != 1, 1)).alias("n")),
+        ),
+        row(
+            "completeness_proposals_without_split_version",
+            props.join(
+                sv.select("ProposalId").distinct(), "ProposalId", "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        row(
+            "completeness_hierarchy_versions_without_participants",
+            hv.join(
+                hp.select("HierarchyVersionId").distinct(),
+                "HierarchyVersionId",
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        row(
+            "quality_split_versions_total_not_100",
+            sv.join(sp, "SplitVersionId")
+            .groupBy("SplitVersionId")
+            .agg(F.sum(F.col("SplitPercent").cast("decimal(18,2)")).alias("t"))
+            .filter(F.col("t") != F.lit(100).cast("decimal(18,2)"))
+            .agg(F.count(F.lit(1)).alias("n")),
+        ),
+        row(
+            "quality_premiums_nonpositive",
+            prem.agg(
+                F.count(F.when(F.col("PremiumAmount") <= 0, 1)).alias("n")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "check_name", "n_issues", (F.col("n_issues") == 0).alias("passes")
+    )
