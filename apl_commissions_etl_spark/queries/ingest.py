@@ -271,3 +271,211 @@ def pipeline_materialize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("cents_sum"),
     ).select("pattern", "n_rows", "int_sum", "cents_sum")
     return s8.unionAll(s3).unionAll(s11)
+
+
+# ---------------------------------------------------------------------------
+# Format completeness: JSONL / ORC / partitioned-parquet sinks and the
+# text-log parse path (§2.1 sources beyond CSV/ZIP/parquet)
+# ---------------------------------------------------------------------------
+
+_JSONL_STAGE: dict[tuple[str, str], str] = {}
+_ORC_STAGE: dict[tuple[str, str], str] = {}
+_PART_STAGE: dict[tuple[str, str], str] = {}
+_LOG_STAGE: dict[tuple[str, str], str] = {}
+
+
+def _events_for_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+
+
+def _jsonl_stage(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _JSONL_STAGE:
+        path = _stage_dir(spark, sf_dir, "jsonl")
+        _events_for_stage(spark, sf_dir).coalesce(2).write.mode(
+            "overwrite"
+        ).json(path)
+        _JSONL_STAGE[key] = path
+    return _JSONL_STAGE[key]
+
+
+@query(
+    "ingest_jsonl_typed",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS ts_us,
+           user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+    survey_ref="§2.1 source completeness: JSON-lines round trip — "
+    "events written as JSONL (2 part files) and read back with an "
+    "EXPLICIT schema (schema inference is a full extra pass at 100 "
+    "TB; production readers always pin the schema). Timestamps ride "
+    "as epoch microseconds (integer-exact both directions, no "
+    "datetime-format ambiguity); the oracle reads the original "
+    "parquet so any round-trip mangling breaks the hash",
+)
+def ingest_jsonl_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _jsonl_stage(spark, sf_dir)
+    schema = (
+        "event_id long, ts_us long, user_id long, "
+        "event_type string, value_cents long"
+    )
+    return spark.read.schema(schema).json(path).select(
+        "event_id", "ts_us", "user_id", "event_type", "value_cents"
+    )
+
+
+def _orc_stage(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ORC_STAGE:
+        path = _stage_dir(spark, sf_dir, "orc")
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        ).coalesce(2).write.mode("overwrite").orc(path)
+        _ORC_STAGE[key] = path
+    return _ORC_STAGE[key]
+
+
+@query(
+    "ingest_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             AS o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM orders
+    """,
+    survey_ref="§2.1 source completeness: ORC round trip — orders "
+    "written as ORC (Spark-native columnar alternative to parquet; "
+    "predicate pushdown and column pruning work identically) and "
+    "read back typed; money through DECIMAL(18,2) so the engine's "
+    "ORC writer/reader path is value-hash-exact vs the parquet "
+    "original",
+)
+def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _orc_stage(spark, sf_dir)
+    return spark.read.orc(path).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderdate",
+    )
+
+
+def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Orders written hive-partitioned by order year (once per
+    session) — the layout every date-ranged query at 100 TB depends
+    on: the year filter becomes a PartitionFilter and non-matching
+    directories are never opened."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PART_STAGE:
+        path = _stage_dir(spark, sf_dir, "part")
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.year(F.col("o_orderdate")).alias("o_year"),
+        ).write.mode("overwrite").partitionBy("o_year").parquet(path)
+        _PART_STAGE[key] = path
+    return _PART_STAGE[key]
+
+
+@query(
+    "sink_partitioned_prune",
+    oracle="""
+    SELECT EXTRACT(MONTH FROM o_orderdate) AS o_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+    GROUP BY 1
+    """,
+    survey_ref="§2.1 sink completeness + §4 partition pruning: orders "
+    "written hive-partitioned by order year, read back with a "
+    "partition-key filter — the o_year=1995 predicate resolves "
+    "against directory names (PartitionFilters in the scan, asserted "
+    "in tests/test_partition_prune.py), so every other year's files "
+    "are never opened. THE layout decision for time-series at 100 "
+    "TB; monthly rollup + integer cents keep the result value-exact "
+    "vs the unpartitioned original",
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = partitioned_orders_path(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_year") == 1995)
+        .groupBy(F.month("o_orderdate").alias("o_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100).cast("long")
+            ).alias("cents"),
+        )
+    )
+
+
+def _log_stage(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LOG_STAGE:
+        path = _stage_dir(spark, sf_dir, "log")
+        _events_for_stage(spark, sf_dir).select(
+            F.concat(
+                F.col("ts_us").cast("string"),
+                F.lit(" ["),
+                F.upper("event_type"),
+                F.lit("] user="),
+                F.col("user_id").cast("string"),
+                F.lit(" event="),
+                F.col("event_id").cast("string"),
+                F.lit(" cents="),
+                F.col("value_cents").cast("string"),
+            ).alias("value")
+        ).coalesce(2).write.mode("overwrite").text(path)
+        _LOG_STAGE[key] = path
+    return _LOG_STAGE[key]
+
+
+@query(
+    "ingest_log_parse",
+    oracle="""
+    SELECT epoch_us(ts) AS ts_us,
+           upper(event_type) AS level,
+           user_id, event_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+    survey_ref="§2.1 source completeness: text-log parse — events "
+    "serialized to a '<ts_us> [TYPE] user=.. event=.. cents=..' log "
+    "format, read back via spark.read.text and re-structured with "
+    "ONE regexp_extract per field inside the scan projection (no "
+    "UDF, no intermediate materialization — the log-to-table path "
+    "every observability pipeline runs). The oracle computes the "
+    "same fields from the original events, proving the parse "
+    "inverts the format exactly",
+)
+def ingest_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _log_stage(spark, sf_dir)
+    lines = spark.read.text(path)
+    pat = r"^(\d+) \[([A-Z]+)\] user=(\d+) event=(\d+) cents=(-?\d+)$"
+    return lines.select(
+        F.regexp_extract("value", pat, 1).cast("long").alias("ts_us"),
+        F.regexp_extract("value", pat, 2).alias("level"),
+        F.regexp_extract("value", pat, 3).cast("long").alias("user_id"),
+        F.regexp_extract("value", pat, 4).cast("long").alias("event_id"),
+        F.regexp_extract("value", pat, 5).cast("long").alias("value_cents"),
+    )

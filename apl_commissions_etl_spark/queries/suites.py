@@ -82,13 +82,19 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
     ),
     "prep_patterns_suite": (
         "§2.2 P1-P3 (trim/safe-cast), P5 (NOT-NULL gate), P9 (invalid-"
-        "group regex), P10 (exclusion list), P11 (heuristic predicates)",
+        "group regex), P10 (exclusion list), P11 (heuristic predicates) "
+        "+ §2.1 format round trips (JSONL, ORC, partitioned-parquet "
+        "pruning sink, text-log parse)",
         (
             "prep_safe_cast",
             "prep_conformance_gate",
             "prep_invalid_group_regex",
             "prep_exclusion_list",
             "prep_heuristic_predicates",
+            "ingest_jsonl_typed",
+            "ingest_orc_roundtrip",
+            "sink_partitioned_prune",
+            "ingest_log_parse",
         ),
     ),
     "join_patterns_suite": (
