@@ -1,0 +1,91 @@
+"""Property tests for the round-3 operators: sketch error bounds,
+PQ self-reconstruction, BPE merge learning on a known corpus, Z-order
+skip advantage, CDC last-writer-wins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apl_commissions_etl_spark.registry import all_queries
+
+
+def _q(name, spark, sf_dir):
+    return all_queries()[name].spark_fn(spark, sf_dir)
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """256 registers -> ~1.04/sqrt(256) = 6.5% standard error; 20% is
+    a 3-sigma envelope."""
+    row = _q("corpus_hll_distinct", spark, sf_dir).collect()[0]
+    est, exact = row["estimate"], row["exact_distinct"]
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.20
+
+
+def test_hll_merge_register_exact(spark, sf_dir):
+    row = _q("corpus_hll_merge", spark, sf_dir).collect()[0]
+    assert row["all_match"] is True
+
+
+def test_pq_seed_vectors_reconstruct_exactly(spark, sf_dir):
+    """The codebooks ARE the subvectors of vec_id 0-3, so those four
+    vectors must quantize with zero reconstruction error and code
+    digits equal to their own id."""
+    rows = {
+        r["vec_id"]: r
+        for r in _q("ann_pq_codes", spark, sf_dir)
+        .filter(F.col("vec_id") < 4)
+        .collect()
+    }
+    for vid in range(4):
+        assert rows[vid]["recon_err"] == 0.0
+        assert rows[vid]["pq_code"] == str(vid) * 8
+
+
+def test_pq_adc_ranks_by_quantized_distance(spark, sf_dir):
+    rows = _q("ann_pq_adc_topk", spark, sf_dir).collect()
+    assert len(rows) == 10
+    exacts = [r["exact_dist"] for r in rows]
+    assert exacts == sorted(exacts)
+    assert all(r["adc_dist"] >= 0 for r in rows)
+
+
+def test_bpe_merges_reduce_corpus_tokens(spark, sf_dir):
+    rows = {r["round"]: r for r in _q("text_bpe_train", spark, sf_dir).collect()}
+    t0, t1, t2 = (rows[i]["corpus_tokens"] for i in range(3))
+    # each merge round replaces pair_count adjacent pairs with single
+    # symbols: tokens drop by exactly the occurrences merged
+    assert t1 == t0 - rows[1]["pair_count"]
+    assert t2 == t1 - rows[2]["pair_count"]
+    assert rows[1]["pair_count"] >= rows[2]["pair_count"] > 0
+
+
+def test_zorder_skips_more_files_than_linear(spark, sf_dir):
+    plan = _q("layout_zorder_plan", spark, sf_dir).collect()
+    reads = {"zorder": 0, "linear": 0}
+    for r in plan:
+        reads[r["layout"]] += int(r["probe_must_read"])
+    assert reads["linear"] == 64  # time layout cannot skip a custkey probe
+    # skip strength grows with rows-per-file: 44/64 at sf0.001
+    # (23 rows/file), 23/64 at sf0.01 (234 rows/file)
+    assert reads["zorder"] <= 48
+
+
+def test_cdc_tombstones_drop_keys(spark, sf_dir):
+    """Keys whose LAST change is a delete must be absent."""
+    from apl_commissions_etl_spark.sources.testdata import load_table
+
+    applied = _q("cdc_apply_changelog", spark, sf_dir)
+    assert applied.filter(F.col("last_op") == "delete").count() == 0
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type")
+    )
+    n_deleted = last.filter(F.col("event_type") == "error").count()
+    n_users = last.count()
+    assert applied.count() == n_users - n_deleted
