@@ -89,3 +89,36 @@ def test_cdc_tombstones_drop_keys(spark, sf_dir):
     n_deleted = last.filter(F.col("event_type") == "error").count()
     n_users = last.count()
     assert applied.count() == n_users - n_deleted
+
+
+def test_calc_gl_correct_without_broadcast(spark, sf_dir):
+    """Resilience at true scale: if every dim outgrew the broadcast
+    threshold, the cascade's joins degrade to shuffle joins — the
+    RESULT must not change. (The broadcast plan is the fast path,
+    asserted in PLANS.md; this pins the fallback's correctness.)"""
+    from apl_commissions_etl_spark.plans import calc
+    from apl_commissions_etl_spark.plans.fixtures import (
+        FIXTURE_VIEWS,
+        register_fixture_views,
+    )
+
+    register_fixture_views(spark, sf_dir)
+    staging = {n: spark.table(n) for n, _ in FIXTURE_VIEWS}
+
+    def gl_fingerprint():
+        gl = calc.run_calc(staging)["gl"]
+        return gl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("Amount") * 100).cast("long")).alias("cents"),
+            F.min("GlEntryId").alias("lo"),
+            F.max("GlEntryId").alias("hi"),
+        ).collect()[0]
+
+    base = gl_fingerprint()
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        no_bcast = gl_fingerprint()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert tuple(base) == tuple(no_bcast)
