@@ -659,3 +659,40 @@ def report_gl_period_close(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("BrokerId").alias("n_brokers"),
         )
     )
+
+
+def register_reporting_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """SQL-catalog parity with the reference's `reporting` schema
+    (create-reporting-schema.sql): registers every report query as a
+    TEMP VIEW named like the reference view (EarningBrokers, Brokers,
+    ...), so a user ports `SELECT * FROM reporting.EarningBrokers`
+    by dropping the schema qualifier. Returns the registered names.
+
+    Views are lazy: each SELECT executes the underlying plan (with
+    the session's dim-frame caches doing the sharing); at warehouse
+    scale the same function would CREATE OR REPLACE persistent views
+    in the metastore."""
+    from ..registry import all_queries
+
+    mapping = {
+        "report_earning_brokers": "EarningBrokers",
+        "report_brokers": "Brokers",
+        "report_broker_eo_insurances": "BrokerEOInsurances",
+        "report_broker_licenses": "BrokerLicenses",
+        "report_commission_rules": "GroupCommissionRules",
+        "report_earning_brokers_licenses": "EarningBrokersWithLicenses",
+        "report_earning_brokers_eo": "EarningBrokersWithEO",
+        "report_earning_brokers_appointments": "EarningBrokersWithAppointments",
+        "report_gl_entries_enriched": "GLJournalEntries",
+        "report_premium_transactions": "PremiumTransactions",
+        "report_payments": "Payments",
+        "report_schedules_rates": "Schedules",
+        "report_commission_hierarchy": "GroupCommissionRulesWithEarners",
+        "report_brokers_with_assignments": "BrokersWithAssignments",
+        "report_gl_period_close": "GLPeriodClose",
+        "report_available_views": "AvailableViews",
+    }
+    qs = all_queries()
+    for qname, vname in mapping.items():
+        qs[qname].spark_fn(spark, sf_dir).createOrReplaceTempView(vname)
+    return list(mapping.values())

@@ -122,3 +122,21 @@ def test_calc_gl_correct_without_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert tuple(base) == tuple(no_bcast)
+
+
+def test_reporting_views_registered_for_sql(spark, sf_dir):
+    """The reference's reporting schema as temp views: plain SQL works
+    against every registered view name."""
+    from apl_commissions_etl_spark.queries.reporting import (
+        register_reporting_views,
+    )
+
+    names = register_reporting_views(spark, sf_dir)
+    assert "EarningBrokers" in names and len(names) == 16
+    # the reference's catalog lists its 15 views; GLPeriodClose is the
+    # beyond-reference addition so it registers but isn't cataloged
+    assert spark.sql("SELECT * FROM AvailableViews").count() == 15
+    row = spark.sql(
+        "SELECT COUNT(*) AS n FROM EarningBrokers WHERE TotalEarnedCommission > 0"
+    ).collect()[0]
+    assert row["n"] > 0
