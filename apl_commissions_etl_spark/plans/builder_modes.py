@@ -47,97 +47,104 @@ def _with_year(df: DataFrame) -> DataFrame:
     return df.withColumn("EffYear", F.year("CertEffectiveDate"))
 
 
-def multi_config_remainder(criteria: DataFrame) -> DataFrame:
-    """Certs of groups with 2+ distinct configs — what is left for the
-    config-mode cascade after the simple-groups path consumed the
-    single-config groups (ref 06a HAVING COUNT(DISTINCT ConfigJson)=1,
-    06a-proposals-simple-groups.sql:82-92)."""
+_NC_KEY = ["GroupId", "CertEffectiveDate", "ProductCode", "PlanCode"]
+
+#: finest routing granularity: every 06b-06e decision is a function of
+#: which (Group, EffectiveDate, Product, Plan, ConfigHash) combinations
+#: exist and how many certificates carry each — never of any other
+#: per-certificate column. So the whole cascade runs on this aggregate.
+FINEST = [*_NC_KEY, "ConfigHash"]
+
+
+def finest_configs(criteria: DataFrame) -> DataFrame:
+    """Pre-aggregate the certificate-level conformant criteria to the
+    finest routing key, restricted to multi-config groups (what is left
+    after the 06a simple-groups path consumed the single-config groups,
+    ref 06a-proposals-simple-groups.sql:82-92).
+
+    This is the cascade's ONLY pass over certificate-scale data: one
+    combinable groupBy shuffle. Every later stage (non-conformant keys,
+    plan-/year-differentiated keys, granular keys) aggregates or
+    anti-joins THIS frame, which is bounded by the number of distinct
+    (group, date, product, plan, config) combinations — dimension
+    scale, not fact scale, at 100 TB."""
     ok = conformant_criteria(criteria)
+    per_key = ok.groupBy(*FINEST).agg(
+        F.count(F.lit(1)).cast("int").alias("CertCount")
+    )
     multi = (
-        ok.groupBy("GroupId")
+        per_key.groupBy("GroupId")
         .agg(F.countDistinct("ConfigHash").alias("n_cfg"))
         .filter(F.col("n_cfg") > 1)
         .select("GroupId")
     )
-    return _with_year(ok.join(F.broadcast(multi), "GroupId"))
+    return _with_year(per_key.join(F.broadcast(multi), "GroupId"))
 
 
-def nonconformant_keys(remainder: DataFrame) -> DataFrame:
+def nonconformant_keys(finest: DataFrame) -> DataFrame:
     """Keys with 2+ distinct configs even at full granularity — no
     single proposal can represent them (ref 06b:23-33)."""
     return (
-        remainder.groupBy("GroupId", "CertEffectiveDate", "ProductCode", "PlanCode")
+        finest.groupBy(*_NC_KEY)
         .agg(F.countDistinct("ConfigHash").alias("DistinctConfigs"))
         .filter(F.col("DistinctConfigs") > 1)
         .drop("DistinctConfigs")
     )
 
 
-_NC_KEY = ["GroupId", "CertEffectiveDate", "ProductCode", "PlanCode"]
-
-
-def nonconformant_certs(remainder: DataFrame) -> DataFrame:
-    """All certificates under a non-conformant key (ref 06b:46-53)."""
-    return remainder.join(F.broadcast(nonconformant_keys(remainder)), _NC_KEY)
-
-
-def conformant_remainder(remainder: DataFrame) -> DataFrame:
-    """remainder minus non-conformant keys (ref 06b:172-181)."""
-    return remainder.join(
-        F.broadcast(nonconformant_keys(remainder)), _NC_KEY, "left_anti"
-    )
-
-
-def _key_stats(df: DataFrame) -> DataFrame:
+def _key_stats(finest: DataFrame) -> DataFrame:
     """Per (Group, Year, Product, Plan): config count + representative
-    config (MAX, ref 06c:42 MAX(ConfigJson)) + cert count + date span."""
-    return df.groupBy(*KEY4).agg(
+    config (MAX, ref 06c:42 MAX(ConfigJson)) + cert count + date span.
+    Exact under the pre-aggregation: COUNT DISTINCT / MAX over configs
+    and MIN/MAX over dates are insensitive to it, and the certificate
+    count is the SUM of the finest-level counts."""
+    return finest.groupBy(*KEY4).agg(
         F.countDistinct("ConfigHash").alias("NConfigs"),
         F.max("ConfigHash").alias("ConfigHash"),
-        F.count(F.lit(1)).cast("int").alias("CertCount"),
+        F.sum("CertCount").cast("int").alias("CertCount"),
         F.min("CertEffectiveDate").alias("MinEffDate"),
         F.max("CertEffectiveDate").alias("MaxEffDate"),
     )
 
 
-def plan_differentiated_keys(conformant2: DataFrame) -> DataFrame:
+def plan_differentiated_keys(finest2: DataFrame) -> DataFrame:
     """>1 config per (Group, Year, Product), exactly 1 once Plan is
     added (ref 06c:25-64)."""
     without_plan = (
-        conformant2.groupBy("GroupId", "EffYear", "ProductCode")
+        finest2.groupBy("GroupId", "EffYear", "ProductCode")
         .agg(F.countDistinct("ConfigHash").alias("n"))
         .filter(F.col("n") > 1)
         .drop("n")
     )
     return (
-        _key_stats(conformant2)
+        _key_stats(finest2)
         .filter(F.col("NConfigs") == 1)
         .join(F.broadcast(without_plan), ["GroupId", "EffYear", "ProductCode"])
         .drop("NConfigs")
     )
 
 
-def year_differentiated_keys(remainder2: DataFrame) -> DataFrame:
+def year_differentiated_keys(finest3: DataFrame) -> DataFrame:
     """>1 config per (Group, Product, Plan) across years, exactly 1
     once Year is added (ref 06d:25-64)."""
     without_year = (
-        remainder2.groupBy("GroupId", "ProductCode", "PlanCode")
+        finest3.groupBy("GroupId", "ProductCode", "PlanCode")
         .agg(F.countDistinct("ConfigHash").alias("n"))
         .filter(F.col("n") > 1)
         .drop("n")
     )
     return (
-        _key_stats(remainder2)
+        _key_stats(finest3)
         .filter(F.col("NConfigs") == 1)
         .join(F.broadcast(without_year), ["GroupId", "ProductCode", "PlanCode"])
         .drop("NConfigs")
     )
 
 
-def granular_keys(remainder3: DataFrame) -> DataFrame:
+def granular_keys(finest4: DataFrame) -> DataFrame:
     """One key per remaining distinct (Group, Year, Product, Plan);
     multi-config keys take the MAX config (ref 06e:35-46)."""
-    return _key_stats(remainder3).drop("NConfigs")
+    return _key_stats(finest4).drop("NConfigs")
 
 
 def _anti_key4(df: DataFrame, keys: DataFrame) -> DataFrame:
@@ -145,32 +152,47 @@ def _anti_key4(df: DataFrame, keys: DataFrame) -> DataFrame:
 
 
 def mode_cascade(criteria: DataFrame, persist=None) -> dict[str, DataFrame]:
-    """The full 06b-06e routing cascade.
+    """The full 06b-06e routing cascade, run at key granularity.
+
+    ONE certificate-scale pass (``finest_configs``) reduces the fact to
+    the finest routing key; every cascade level then aggregates /
+    anti-joins that key-scale frame. The certificate-level members of
+    the result ("remainder", "nc_certs", ...) are LAZY broadcast
+    (anti-)joins of the already-checkpointed criteria against the tiny
+    key tables — narrow map-side plans, never re-materialized. The
+    reference instead materializes each 06b-06e step as a full staging
+    table; at 100 TB that is 5 extra fact-scale writes this shape
+    avoids.
 
     ``persist`` (e.g. ``lambda df: df.localCheckpoint()``) is applied
-    to EVERY stage, so each level's plan references the materialized
-    predecessor instead of re-expanding its whole subtree. Without it
-    the anti-join chain grows the analyzed plan multiplicatively (the
-    sf0.1 granular_keys plan reaches ~800 scan nodes), and with AQE
-    re-planning per action, driver-side planning time — not execution —
-    dominates every downstream query. The reference materializes each
-    06b-06e step as a table for the same reason."""
+    to the finest aggregate and each key table, truncating lineage so
+    downstream plans stay LogicalRDD-leaf-sized (without it the
+    anti-join chain grows the analyzed plan multiplicatively and, with
+    AQE re-planning per action, driver-side planning time dominates).
+    Everything persisted is key-scale, so the checkpoints are cheap."""
     p = persist if persist is not None else (lambda df: df)
-    remainder = p(multi_config_remainder(criteria))
-    conformant2 = p(conformant_remainder(remainder))
-    pdk = p(plan_differentiated_keys(conformant2))
-    remainder2 = p(_anti_key4(conformant2, pdk))
-    ydk = p(year_differentiated_keys(remainder2))
-    remainder3 = p(_anti_key4(remainder2, ydk))
+    ok = _with_year(conformant_criteria(criteria))
+    fin = p(finest_configs(criteria))
+    multi = fin.select("GroupId").distinct()
+    remainder = ok.join(F.broadcast(multi), "GroupId")
+    nck = p(nonconformant_keys(fin))
+    fin2 = fin.join(F.broadcast(nck), _NC_KEY, "left_anti")
+    conformant2 = remainder.join(F.broadcast(nck), _NC_KEY, "left_anti")
+    pdk = p(plan_differentiated_keys(fin2))
+    fin3 = _anti_key4(fin2, pdk)
+    remainder2 = _anti_key4(conformant2, pdk)
+    ydk = p(year_differentiated_keys(fin3))
+    fin4 = _anti_key4(fin3, ydk)
+    remainder3 = _anti_key4(remainder2, ydk)
     return {
         "remainder": remainder,
-        "nc_certs": p(nonconformant_certs(remainder)),
+        "nc_certs": remainder.join(F.broadcast(nck), _NC_KEY),
         "conformant2": conformant2,
         "pd_keys": pdk,
         "remainder2": remainder2,
         "yd_keys": ydk,
         "remainder3": remainder3,
-        "granular_keys": p(granular_keys(remainder3)),
+        "granular_keys": p(granular_keys(fin4)),
     }
 
 
