@@ -140,3 +140,42 @@ def test_reporting_views_registered_for_sql(spark, sf_dir):
         "SELECT COUNT(*) AS n FROM EarningBrokers WHERE TotalEarnedCommission > 0"
     ).collect()[0]
     assert row["n"] > 0
+
+
+def test_mode_cascade_single_fact_shuffle(spark, sf_dir):
+    """Scale contract of the key-level 06b-06e cascade: the only
+    shuffle over certificate-scale data is the one finest-key
+    aggregation; every certificate-level cascade member is a pure
+    broadcast (anti-)join with NO hash-partition exchange of its own."""
+    from apl_commissions_etl_spark.plans import builder_modes as modes
+    from apl_commissions_etl_spark.queries.builder import _criteria
+
+    crit = _criteria(spark, sf_dir)
+    fin_plan = (
+        modes.finest_configs(crit)._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly one exchange moves certificate-scale rows (the finest
+    # groupBy); the multi-config group filter is COUNT DISTINCT over
+    # the key-scale aggregate, whose two-phase plan adds two more
+    # exchanges of key-scale data, and its join side arrives as a
+    # BroadcastExchange — never a second shuffle of the fact
+    assert fin_plan.count("Exchange hashpartitioning") <= 3, fin_plan
+    assert "BroadcastExchange" in fin_plan or "BroadcastHashJoin" in fin_plan
+
+    cascade = modes.mode_cascade(crit, persist=lambda df: df.localCheckpoint())
+    for member in ("remainder", "nc_certs", "conformant2", "remainder3"):
+        plan = (
+            cascade[member]._jdf.queryExecution().executedPlan().toString()
+        )
+        # the only hash exchange allowed is the multi-config group-list
+        # dedup, whose input is the key-scale checkpoint leaf — the
+        # certificate side itself reaches every join unshuffled, via
+        # broadcasts of the key tables
+        assert plan.count("Exchange hashpartitioning") <= 1, (member, plan)
+        assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, member
+
+    # the cascade's key tables are group-scale: orders of magnitude
+    # smaller than the certificate fact they route
+    n_certs = crit.count()
+    for keys in ("pd_keys", "yd_keys", "granular_keys"):
+        assert cascade[keys].count() < n_certs / 5
