@@ -1459,3 +1459,174 @@ def validate_sampling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("matched"),
     )
+
+
+@query(
+    "fix_proposal_effective_dates",
+    oracle=_oracle("""
+    , cert_dates AS (
+      SELECT GroupId, CertificateId, MIN(CertEffectiveDate) AS d
+      FROM input_certificate_info
+      WHERE CertificateId > 0
+      GROUP BY GroupId, CertificateId
+    ),
+    group_min AS (
+      SELECT GroupId, MIN(d) AS TrueMinEffectiveDate
+      FROM cert_dates GROUP BY GroupId
+    ),
+    hist AS (
+      SELECT GroupId, d, CAST(COUNT(*) AS INT) AS n
+      FROM cert_dates GROUP BY GroupId, d
+    ),
+    affected AS (
+      SELECT p2.ProposalId, CAST(SUM(h.n) AS INT) AS AffectedCertCount
+      FROM proposals p2
+      JOIN hist h ON h.GroupId = p2.GroupId AND h.d < p2.EffectiveDateFrom
+      GROUP BY p2.ProposalId
+    )
+    SELECT p.ProposalId, p.GroupId,
+           p.EffectiveDateFrom AS CurrentEffectiveDateFrom,
+           g.TrueMinEffectiveDate,
+           LEAST(p.EffectiveDateFrom, g.TrueMinEffectiveDate)
+             AS NewEffectiveDateFrom,
+           CASE WHEN p.EffectiveDateFrom > g.TrueMinEffectiveDate
+                THEN 1 ELSE 0 END AS WasCorrected,
+           COALESCE(a.AffectedCertCount, 0) AS AffectedCertCount
+    FROM proposals p
+    JOIN group_min g USING (GroupId)
+    LEFT JOIN affected a USING (ProposalId)"""),
+    survey_ref="§2 repair transform (sql/fix/fix-proposal-effective-"
+    "dates.sql:29-115): proposals whose EffectiveDateFrom starts later "
+    "than certificates in their group get clamped to the group's true "
+    "minimum effective date, with the affected-certificate count the "
+    "reference reports per proposal. The per-proposal count joins a "
+    "group-scale (GroupId, date) histogram instead of the fact, so the "
+    "repair never re-scans certificates per proposal",
+)
+def fix_proposal_effective_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    certs = _certs(spark, sf_dir)
+    cert_dates = (
+        certs.filter(F.col("CertificateId") > 0)
+        .groupBy("GroupId", "CertificateId")
+        .agg(F.min("CertEffectiveDate").alias("d"))
+    )
+    group_min = cert_dates.groupBy("GroupId").agg(
+        F.min("d").alias("TrueMinEffectiveDate")
+    )
+    hist = cert_dates.groupBy("GroupId", "d").agg(
+        F.count(F.lit(1)).cast("int").alias("n")
+    )
+    props = builder.build_proposals(_criteria(spark, sf_dir)).select(
+        "ProposalId", "GroupId", "EffectiveDateFrom"
+    )
+    affected = (
+        props.join(
+            F.broadcast(hist),
+            (props.GroupId == hist.GroupId) & (hist.d < props.EffectiveDateFrom),
+        )
+        .groupBy("ProposalId")
+        .agg(F.sum("n").cast("int").alias("AffectedCertCount"))
+    )
+    return (
+        props.join(F.broadcast(group_min), "GroupId")
+        .join(F.broadcast(affected), "ProposalId", "left")
+        .select(
+            "ProposalId",
+            "GroupId",
+            F.col("EffectiveDateFrom").alias("CurrentEffectiveDateFrom"),
+            "TrueMinEffectiveDate",
+            F.least("EffectiveDateFrom", "TrueMinEffectiveDate").alias(
+                "NewEffectiveDateFrom"
+            ),
+            (F.col("EffectiveDateFrom") > F.col("TrueMinEffectiveDate"))
+            .cast("int")
+            .alias("WasCorrected"),
+            F.coalesce("AffectedCertCount", F.lit(0)).alias("AffectedCertCount"),
+        )
+    )
+
+
+@query(
+    "fix_link_hierarchy_gaps",
+    oracle=_oracle("""
+    , hiers AS (
+      SELECT GroupId, HierarchyHash, MIN(CertEffectiveDate) AS EffectiveDate
+      FROM per_split GROUP BY GroupId, HierarchyHash
+    ),
+    linked AS (
+      SELECT GroupId, MIN(ProposalId) AS LinkedProposalId
+      FROM proposals GROUP BY GroupId
+    ),
+    needing AS (
+      SELECT p.ProposalId, p.GroupId, p.EffectiveDateFrom, p.EffectiveDateTo
+      FROM proposals p JOIN linked l USING (GroupId)
+      WHERE p.ProposalId <> l.LinkedProposalId
+    ),
+    cand AS (
+      SELECT n.ProposalId, h.HierarchyHash, h.EffectiveDate,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.ProposalId
+               ORDER BY h.EffectiveDate DESC, h.HierarchyHash DESC) AS rn
+      FROM needing n
+      JOIN hiers h ON h.GroupId = n.GroupId
+       AND (n.EffectiveDateTo IS NULL OR n.EffectiveDateTo >= h.EffectiveDate)
+       AND n.EffectiveDateFrom <= h.EffectiveDate
+    )
+    SELECT n.ProposalId, n.GroupId,
+           c.HierarchyHash AS SourceHierarchyHash,
+           c.EffectiveDate AS SourceHierarchyEffectiveDate,
+           CASE WHEN c.HierarchyHash IS NULL THEN 0 ELSE 1 END AS CanLink
+    FROM needing n
+    LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (ProposalId)"""),
+    survey_ref="§2 repair transform (sql/fix/link-hierarchies-to-all-"
+    "proposals.sql:31-100): proposals left without hierarchies (the "
+    "reference links each hierarchy to ONE proposal per group) matched "
+    "to the best candidate hierarchy of their group — date-band "
+    "containment, latest effective date first (the reference's "
+    "unordered TOP 1 made deterministic by the hash tie-break). J9 "
+    "correlated-TOP-1 as one window argmax over a group-scale join",
+)
+def fix_link_hierarchy_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hiers = (
+        _per_split(spark, sf_dir)
+        .groupBy("GroupId", "HierarchyHash")
+        .agg(F.min("CertEffectiveDate").alias("EffectiveDate"))
+    )
+    props = builder.build_proposals(_criteria(spark, sf_dir)).select(
+        "ProposalId", "GroupId", "EffectiveDateFrom", "EffectiveDateTo"
+    )
+    linked = props.groupBy("GroupId").agg(
+        F.min("ProposalId").alias("LinkedProposalId")
+    )
+    needing = props.join(F.broadcast(linked), "GroupId").filter(
+        F.col("ProposalId") != F.col("LinkedProposalId")
+    )
+    cand = (
+        needing.join(
+            F.broadcast(hiers),
+            (needing.GroupId == hiers.GroupId)
+            & (
+                needing.EffectiveDateTo.isNull()
+                | (needing.EffectiveDateTo >= hiers.EffectiveDate)
+            )
+            & (needing.EffectiveDateFrom <= hiers.EffectiveDate),
+        )
+        .select(needing.ProposalId, "HierarchyHash", "EffectiveDate")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("ProposalId").orderBy(
+                    F.desc("EffectiveDate"), F.desc("HierarchyHash")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return needing.join(F.broadcast(cand), "ProposalId", "left").select(
+        "ProposalId",
+        "GroupId",
+        F.col("HierarchyHash").alias("SourceHierarchyHash"),
+        F.col("EffectiveDate").alias("SourceHierarchyEffectiveDate"),
+        F.col("HierarchyHash").isNotNull().cast("int").alias("CanLink"),
+    )

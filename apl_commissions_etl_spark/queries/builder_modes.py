@@ -410,3 +410,53 @@ def builder_mode_routing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@query(
+    "fix_flag_nonconformant_groups",
+    oracle=_oracle("""
+    SELECT g.GroupId,
+           CASE WHEN s.GroupId IS NULL THEN 0 ELSE 1 END AS IsNonConformant,
+           COALESCE(s.NcKeyCount, 0) AS NcKeyCount,
+           COALESCE(s.NcCertCount, 0) AS NcCertCount
+    FROM (SELECT DISTINCT GroupId FROM conformant) g
+    LEFT JOIN (
+      SELECT GroupId,
+             CAST(COUNT(DISTINCT CAST(CertEffectiveDate AS VARCHAR) || '|'
+                        || COALESCE(ProductCode, '') || '|'
+                        || COALESCE(PlanCode, '')) AS INT) AS NcKeyCount,
+             CAST(COUNT(DISTINCT CertificateId) AS INT) AS NcCertCount
+      FROM nc_certs GROUP BY GroupId) s USING (GroupId)"""),
+    survey_ref="§2 repair transform (sql/fix/flag-nonconformant-groups"
+    ".sql:22-174): IsNonConformant flag per employer group from the "
+    "06b non-conformant key set, with the per-group key and certificate "
+    "counts the reference prints. The flag side is the cascade's "
+    "key-scale nc table — a broadcast left join against the group dim, "
+    "the UPDATE-join re-expressed as a projection",
+)
+def fix_flag_nonconformant_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.builder import conformant_criteria
+
+    groups = (
+        conformant_criteria(_criteria(spark, sf_dir))
+        .select("GroupId")
+        .distinct()
+    )
+    nc = _cascade(spark, sf_dir)["nc_certs"]
+    key_str = F.concat(
+        F.col("CertEffectiveDate").cast("string"),
+        F.lit("|"),
+        F.coalesce("ProductCode", F.lit("")),
+        F.lit("|"),
+        F.coalesce("PlanCode", F.lit("")),
+    )
+    stats = nc.groupBy("GroupId").agg(
+        F.countDistinct(key_str).cast("int").alias("NcKeyCount"),
+        F.countDistinct("CertificateId").cast("int").alias("NcCertCount"),
+    )
+    return groups.join(F.broadcast(stats), "GroupId", "left").select(
+        "GroupId",
+        F.col("NcKeyCount").isNotNull().cast("int").alias("IsNonConformant"),
+        F.coalesce("NcKeyCount", F.lit(0)).alias("NcKeyCount"),
+        F.coalesce("NcCertCount", F.lit(0)).alias("NcCertCount"),
+    )
