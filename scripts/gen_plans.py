@@ -134,6 +134,19 @@ AUDITS: list[tuple[str, list[str], list[str], str]] = [
         "Python anywhere in the training loop.",
     ),
     (
+        "mode_cascade (finest routing aggregation)",
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
+        "The 06b-06e config-mode cascade's single certificate-scale "
+        "pass: the criteria pre-aggregate to the finest routing key "
+        "(Group, EffDate, Product, Plan, ConfigHash) in one combinable "
+        "shuffle; the multi-config group filter re-aggregates the "
+        "key-scale result and re-enters as a broadcast join. Every "
+        "later cascade level consumes this frame — the certificate "
+        "fact is never shuffled again (the one-shuffle contract is "
+        "count-asserted in tests/test_round3_ops.py).",
+    ),
+    (
         "stream_dedup_ttl",
         ["Window"],
         ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
@@ -167,6 +180,11 @@ def main() -> None:
             register_fixture_views(spark, SF)
             staging = {n: spark.table(n) for n, _ in FIXTURE_VIEWS}
             df = calc.run_calc(staging)["gl"]
+        elif name.startswith("mode_cascade"):
+            from apl_commissions_etl_spark.plans import builder_modes as modes
+            from apl_commissions_etl_spark.queries.builder import _criteria
+
+            df = modes.finest_configs(_criteria(spark, SF))
         else:
             df = qs[name].spark_fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
