@@ -144,6 +144,23 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc Spark SQL over the base tables (registered as views under
+    their parquet names) and the full reporting schema (reference view
+    names: EarningBrokers, GLJournalEntries, ...) — the reference's
+    ``sqlcmd`` / check-*.ts workflow as one command."""
+    from .queries.reporting import register_reporting_views
+    from .sources.testdata import TABLES, load_table
+
+    spark = _spark()
+    for t in TABLES:
+        load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+    register_reporting_views(spark, args.sf_dir)
+    df = spark.sql(args.statement)
+    df.show(args.show, truncate=False)
+    return 0
+
+
 def cmd_explain(args: argparse.Namespace) -> int:
     """Formatted physical plan of a registered query — the '.explain
     and iterate' loop as a first-class command (PLANS.md pins the
@@ -215,6 +232,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf-dir", default=_default_sf())
     p.add_argument("--show", type=int, default=20)
     p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser(
+        "sql", help="ad-hoc SQL over base tables + reporting views"
+    )
+    p.add_argument("statement")
+    p.add_argument("--sf-dir", default=_default_sf())
+    p.add_argument("--show", type=int, default=20)
+    p.set_defaults(fn=cmd_sql)
 
     p = sub.add_parser("explain", help="print a query's physical plan")
     p.add_argument("name")

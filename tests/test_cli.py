@@ -54,3 +54,16 @@ def test_explain_prints_plan(spark, capsys):
 
 def test_explain_unknown_name_fails(capsys):
     assert main(["explain", "no_such_query", "--sf-dir", SF]) == 2
+
+
+def test_sql_over_base_table_and_reporting_view(spark, capsys):
+    assert main(["sql",
+                 "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+                 "GROUP BY o_orderstatus",
+                 "--sf-dir", SF]) == 0
+    assert "o_orderstatus" in capsys.readouterr().out
+    assert main(["sql",
+                 "SELECT COUNT(*) AS brokers FROM EarningBrokers "
+                 "WHERE TotalEarnedCommission > 0",
+                 "--sf-dir", SF]) == 0
+    assert "brokers" in capsys.readouterr().out
