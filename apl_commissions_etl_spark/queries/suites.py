@@ -240,6 +240,19 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "text_tfidf_topk",
         ),
     ),
+    "fix_patterns_suite": (
+        "§2 post-transform repair family (sql/fix*, scripts/fix-*): "
+        "far-future expiration repair, heaped schedule-rate fix, "
+        "proposal effective-date clamp, hierarchy gap linking, "
+        "non-conformant group flagging",
+        (
+            "fix_far_future_expirations",
+            "fix_heaped_schedule_rates",
+            "fix_proposal_effective_dates",
+            "fix_link_hierarchy_gaps",
+            "fix_flag_nonconformant_groups",
+        ),
+    ),
     "llmdata_extras_suite": (
         "north-star operators beyond the seven dedicated LLM-data "
         "slots: sign-LSH ANN, embedding-cosine near-dup, near-dup "
