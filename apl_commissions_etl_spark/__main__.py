@@ -22,6 +22,10 @@
         sample, config hashes re-derived via SQL text and compared.
 
     python -m apl_commissions_etl_spark query NAME [--sf-dir DIR] [--show N]
+    python -m apl_commissions_etl_spark sql STATEMENT [--sf-dir DIR] [--show N]
+        ad-hoc SQL over the base tables and the reporting views
+        (reference names: EarningBrokers, GLJournalEntries, ...)
+    python -m apl_commissions_etl_spark explain NAME [--mode MODE]
     python -m apl_commissions_etl_spark list [PREFIX]
 """
 
@@ -146,16 +150,27 @@ def cmd_query(args: argparse.Namespace) -> int:
 
 def cmd_sql(args: argparse.Namespace) -> int:
     """Ad-hoc Spark SQL over the base tables (registered as views under
-    their parquet names) and the full reporting schema (reference view
+    their parquet names) and the reporting schema (reference view
     names: EarningBrokers, GLJournalEntries, ...) — the reference's
-    ``sqlcmd`` / check-*.ts workflow as one command."""
-    from .queries.reporting import register_reporting_views
-    from .sources.testdata import TABLES, load_table
+    ``sqlcmd`` / check-*.ts workflow as one command.
+
+    Base tables register through the guarded ``register_base_tables``
+    (a redundant createOrReplaceTempView would uncache every cached
+    plan built on the view). Reporting views register ON DEMAND: only
+    the ones the statement actually names — constructing a report's
+    DataFrame triggers the session's calc-stage materialization, so a
+    base-table query must not pay for the reporting layer."""
+    import re as _re
+
+    from .queries.reporting import REPORTING_VIEW_QUERIES, register_reporting_views
+    from .sources.testdata import register_base_tables
 
     spark = _spark()
-    for t in TABLES:
-        load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
-    register_reporting_views(spark, args.sf_dir)
+    register_base_tables(spark, args.sf_dir)
+    tokens = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", args.statement))
+    wanted = [v for v in REPORTING_VIEW_QUERIES.values() if v in tokens]
+    if wanted:
+        register_reporting_views(spark, args.sf_dir, only=wanted)
     df = spark.sql(args.statement)
     df.show(args.show, truncate=False)
     return 0

@@ -555,37 +555,42 @@ def report_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the catalog rows for view 16 — single source for BOTH engines
+#: the catalog rows for view 16 — single source for BOTH engines.
+#: ViewName matches the registered SQL view name (the same reference
+#: name register_reporting_views uses), and the descriptions are the
+#: reference's own catalog text (create-reporting-schema.sql:642-659),
+#: so `SELECT ViewName FROM AvailableViews` -> `SELECT * FROM <name>`
+#: round-trips exactly as it does against the reference schema
 _VIEW_CATALOG: list[tuple[str, str]] = [
-    ("report_earning_brokers",
+    ("EarningBrokers",
      "Brokers with recent commission activity (last earned date, 3-month totals)"),
-    ("report_commission_rules",
+    ("GroupCommissionRules",
      "Commission proposals/rules by group"),
-    ("report_gl_entries_enriched",
-     "Commission journal entries with broker/group/policy context"),
-    ("report_premium_transactions",
-     "Premium payment transactions with policy context"),
-    ("report_payments",
-     "Broker payment register batched monthly from the GL entries"),
-    ("report_schedules_rates",
+    ("GLJournalEntries",
+     "Production commission journal entries"),
+    ("PremiumTransactions",
+     "Premium payment transactions"),
+    ("Payments",
+     "Payment records to brokers"),
+    ("Schedules",
      "Commission rate schedules with rates"),
-    ("report_brokers",
-     "Broker master with decoded status and type"),
-    ("report_broker_eo_insurances",
-     "Broker E&O insurance details with expiry classification"),
-    ("report_broker_licenses",
-     "Broker license details with expiry classification"),
-    ("report_earning_brokers_licenses",
-     "Fee-earning brokers with their license details"),
-    ("report_earning_brokers_eo",
-     "Fee-earning brokers with their E&O insurance details"),
-    ("report_earning_brokers_appointments",
-     "Fee-earning brokers with appointment tenure"),
-    ("report_commission_hierarchy",
+    ("Brokers",
+     "All active brokers with contact and status information"),
+    ("BrokerEOInsurances",
+     "E&O Insurance details for all brokers"),
+    ("BrokerLicenses",
+     "License details for all brokers"),
+    ("EarningBrokersWithLicenses",
+     "Earning brokers joined with their license details"),
+    ("EarningBrokersWithEO",
+     "Earning brokers joined with E&O insurance details"),
+    ("EarningBrokersWithAppointments",
+     "Earning brokers with appointment/tenure information"),
+    ("GroupCommissionRulesWithEarners",
      "Full commission hierarchy: proposals to splits to hierarchies to participants"),
-    ("report_brokers_with_assignments",
+    ("BrokersWithAssignments",
      "Brokers with their commission assignment details"),
-    ("report_available_views",
+    ("AvailableViews",
      "This list of available reporting views"),
 ]
 
@@ -661,38 +666,51 @@ def report_gl_period_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def register_reporting_views(spark: SparkSession, sf_dir: str) -> list[str]:
+#: registered query -> reference view name (create-reporting-schema.sql);
+#: GLPeriodClose is the beyond-reference addition
+REPORTING_VIEW_QUERIES: dict[str, str] = {
+    "report_earning_brokers": "EarningBrokers",
+    "report_brokers": "Brokers",
+    "report_broker_eo_insurances": "BrokerEOInsurances",
+    "report_broker_licenses": "BrokerLicenses",
+    "report_commission_rules": "GroupCommissionRules",
+    "report_earning_brokers_licenses": "EarningBrokersWithLicenses",
+    "report_earning_brokers_eo": "EarningBrokersWithEO",
+    "report_earning_brokers_appointments": "EarningBrokersWithAppointments",
+    "report_gl_entries_enriched": "GLJournalEntries",
+    "report_premium_transactions": "PremiumTransactions",
+    "report_payments": "Payments",
+    "report_schedules_rates": "Schedules",
+    "report_commission_hierarchy": "GroupCommissionRulesWithEarners",
+    "report_brokers_with_assignments": "BrokersWithAssignments",
+    "report_gl_period_close": "GLPeriodClose",
+    "report_available_views": "AvailableViews",
+}
+
+
+def register_reporting_views(
+    spark: SparkSession, sf_dir: str, only: list[str] | None = None
+) -> list[str]:
     """SQL-catalog parity with the reference's `reporting` schema
     (create-reporting-schema.sql): registers every report query as a
     TEMP VIEW named like the reference view (EarningBrokers, Brokers,
     ...), so a user ports `SELECT * FROM reporting.EarningBrokers`
     by dropping the schema qualifier. Returns the registered names.
 
-    Views are lazy: each SELECT executes the underlying plan (with
-    the session's dim-frame caches doing the sharing); at warehouse
-    scale the same function would CREATE OR REPLACE persistent views
-    in the metastore."""
+    ``only`` restricts to a subset of reference view names — building
+    a report DataFrame triggers the session's staged-cascade
+    materialization, so callers serving one ad-hoc statement register
+    just the views it mentions. Each SELECT then executes the view's
+    plan with the session's dim-frame caches doing the sharing; at
+    warehouse scale the same function would CREATE OR REPLACE
+    persistent views in the metastore."""
     from ..registry import all_queries
 
-    mapping = {
-        "report_earning_brokers": "EarningBrokers",
-        "report_brokers": "Brokers",
-        "report_broker_eo_insurances": "BrokerEOInsurances",
-        "report_broker_licenses": "BrokerLicenses",
-        "report_commission_rules": "GroupCommissionRules",
-        "report_earning_brokers_licenses": "EarningBrokersWithLicenses",
-        "report_earning_brokers_eo": "EarningBrokersWithEO",
-        "report_earning_brokers_appointments": "EarningBrokersWithAppointments",
-        "report_gl_entries_enriched": "GLJournalEntries",
-        "report_premium_transactions": "PremiumTransactions",
-        "report_payments": "Payments",
-        "report_schedules_rates": "Schedules",
-        "report_commission_hierarchy": "GroupCommissionRulesWithEarners",
-        "report_brokers_with_assignments": "BrokersWithAssignments",
-        "report_gl_period_close": "GLPeriodClose",
-        "report_available_views": "AvailableViews",
-    }
     qs = all_queries()
-    for qname, vname in mapping.items():
+    registered = []
+    for qname, vname in REPORTING_VIEW_QUERIES.items():
+        if only is not None and vname not in only:
+            continue
         qs[qname].spark_fn(spark, sf_dir).createOrReplaceTempView(vname)
-    return list(mapping.values())
+        registered.append(vname)
+    return registered

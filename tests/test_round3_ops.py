@@ -135,7 +135,12 @@ def test_reporting_views_registered_for_sql(spark, sf_dir):
     assert "EarningBrokers" in names and len(names) == 16
     # the reference's catalog lists its 15 views; GLPeriodClose is the
     # beyond-reference addition so it registers but isn't cataloged
-    assert spark.sql("SELECT * FROM AvailableViews").count() == 15
+    catalog = [
+        r["ViewName"] for r in spark.sql("SELECT * FROM AvailableViews").collect()
+    ]
+    assert len(catalog) == 15
+    # discovery round-trip: every cataloged name resolves as a view
+    assert set(catalog) <= set(names)
     row = spark.sql(
         "SELECT COUNT(*) AS n FROM EarningBrokers WHERE TotalEarnedCommission > 0"
     ).collect()[0]
