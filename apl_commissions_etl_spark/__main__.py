@@ -167,8 +167,14 @@ def cmd_sql(args: argparse.Namespace) -> int:
 
     spark = _spark()
     register_base_tables(spark, args.sf_dir)
-    tokens = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", args.statement))
-    wanted = [v for v in REPORTING_VIEW_QUERIES.values() if v in tokens]
+    # Spark resolves temp-view names case-insensitively; match likewise
+    tokens = {
+        t.lower()
+        for t in _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", args.statement)
+    }
+    wanted = [
+        v for v in REPORTING_VIEW_QUERIES.values() if v.lower() in tokens
+    ]
     if wanted:
         register_reporting_views(spark, args.sf_dir, only=wanted)
     df = spark.sql(args.statement)
