@@ -1519,10 +1519,15 @@ def fix_proposal_effective_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     props = builder.build_proposals(_criteria(spark, sf_dir)).select(
         "ProposalId", "GroupId", "EffectiveDateFrom"
     )
+    # hist shares lineage with props (both from the certificate fact);
+    # rename its key so the join condition references distinct attributes
+    # (avoids Spark's "trivially true equals predicate" self-join warning)
+    hist_r = hist.withColumnRenamed("GroupId", "HistGroupId")
     affected = (
         props.join(
-            F.broadcast(hist),
-            (props.GroupId == hist.GroupId) & (hist.d < props.EffectiveDateFrom),
+            F.broadcast(hist_r),
+            (props.GroupId == hist_r.HistGroupId)
+            & (hist_r.d < props.EffectiveDateFrom),
         )
         .groupBy("ProposalId")
         .agg(F.sum("n").cast("int").alias("AffectedCertCount"))
@@ -1601,15 +1606,18 @@ def fix_link_hierarchy_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     needing = props.join(F.broadcast(linked), "GroupId").filter(
         F.col("ProposalId") != F.col("LinkedProposalId")
     )
+    # same-lineage join (hiers also derives from the certificate fact):
+    # rename its key to keep the predicate on distinct attributes
+    hiers_r = hiers.withColumnRenamed("GroupId", "HierGroupId")
     cand = (
         needing.join(
-            F.broadcast(hiers),
-            (needing.GroupId == hiers.GroupId)
+            F.broadcast(hiers_r),
+            (needing.GroupId == hiers_r.HierGroupId)
             & (
                 needing.EffectiveDateTo.isNull()
-                | (needing.EffectiveDateTo >= hiers.EffectiveDate)
+                | (needing.EffectiveDateTo >= hiers_r.EffectiveDate)
             )
-            & (needing.EffectiveDateFrom <= hiers.EffectiveDate),
+            & (needing.EffectiveDateFrom <= hiers_r.EffectiveDate),
         )
         .select(needing.ProposalId, "HierarchyHash", "EffectiveDate")
         .withColumn(

@@ -108,11 +108,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "builder_mode_split_configs",
     # §2.10 streaming
     "stream_patterns_suite",
-    # LLM-data north-star operators
+    # LLM-data north-star operators (ann_topk_bruteforce rotated out in
+    # r4: it is the labeled O(n*q) baseline and the ANN family stays
+    # driver-covered by ann_topk_ivf + llmdata_extras_suite)
     "text_profile_suite",
     "dedup_patterns_suite",
     "corpus_patterns_suite",
-    "ann_topk_bruteforce",
     "ann_topk_ivf",
     "llmdata_extras_suite",
     "pipeline_pretrain_corpus",
@@ -120,7 +121,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # §2.12 reporting layer + §2.13 sequence analytics
     "report_views_suite",
     "seq_patterns_suite",
+    # production repair family (reference sql/fix/*.sql, sql/fixes/*.sql):
+    # one fingerprinted suite row checks all 6 repair queries
+    "fix_patterns_suite",
 )
+
+#: Rotation plan if driver slots free up (or the prefix grows): the
+#: next families to pin, in order, are currently driver-"local" only —
+#: each already passes the full local sweep + vanilla rehearsal.
+#:   1. report_brokers_suite      (§2.12 broker-centric views 2-4/6-8)
+#:   2. audit_patterns_suite      (sql/analysis diagnostics family)
+#:   3. export_entities_suite     (per-entity export scripts S9/S10)
+#:   4. calc_stage4_hierarchies_resolved (covered today via stage5)
+#:   5. graph_pagerank / cdc_apply_changelog (beyond-§2 extras)
+#: Keep this list in sync when adding families so the 50-slot prefix
+#: stays an intentional choice rather than registration-order accident.
 
 
 def all_queries() -> dict[str, Query]:
