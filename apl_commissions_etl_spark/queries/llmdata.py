@@ -565,36 +565,54 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, qcol, k=10, planes=8)
 
 
+#: DuckDB rendering of multimodal._png_geometry (width 16..63 from the
+#: byte length, height = whatever fits at 3 bytes/px) — the oracle
+#: recomputes the container dimensions the Spark side READS from the
+#: real PNG IHDR after inflate+unfilter.
+_PNG_GEOM_SQL = """
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INT) AS nb,
+             CAST(16 + octet_length(encode(text)) % 48 AS INT) AS width
+      FROM documents"""
+
+
 @query(
     "multimodal_decode",
-    oracle="""
+    oracle=f"""
+    WITH g AS ({_PNG_GEOM_SQL})
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           nb AS n_bytes,
            sha256(text) AS content_hash,
-           CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
-           CAST(64 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
-    FROM documents
+           width,
+           CAST(greatest(1, CAST(ceil(nb / (3.0 * width)) AS INT)) AS INT)
+             AS height
+    FROM g JOIN documents USING (doc_id)
     """,
-    survey_ref="north-star: multimodal binary decode via Arrow mapInPandas (deterministic dimension stub; the REAL codec path is multimodal_codec_roundtrip — pure-numpy BMP/WAV with byte-exact round trip)",
+    survey_ref="north-star: REAL multimodal decode via Arrow "
+    "mapInPandas — corpus text packed into genuine zlib-deflated PNGs "
+    "(per-row scanline filters, CRC-checked chunks), decoded back "
+    "byte-exactly; dimensions come from the parsed IHDR and the "
+    "content hash from the recovered pixel payload "
+    "(operators/codecs.py png_encode/png_decode)",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real mapInPandas over a binary payload column; decode stubbed
-    deterministically (see operators/multimodal.py) so the Arrow
-    plumbing is oracle-checkable."""
+    """Real compressed-image decode: mapInPandas encode to PNG, then a
+    second Arrow stage walks chunks, inflates, unfilters, and emits
+    header dimensions + payload hash (operators/multimodal.py)."""
     d = load_table(spark, sf_dir, "documents")
-    with_payload = multimodal.attach_binary_payload(d, "text")
+    with_payload = multimodal.attach_png_payload(d, "doc_id", "text")
     return multimodal.decode_features(with_payload, "doc_id")
 
 
 @query(
     "multimodal_resize_plan",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id,
-             CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
-             CAST(64 + (octet_length(encode(text)) // 64) % 64 AS INT)
+    oracle=f"""
+    WITH g AS ({_PNG_GEOM_SQL}),
+    d AS (
+      SELECT doc_id, width,
+             CAST(greatest(1, CAST(ceil(nb / (3.0 * width)) AS INT)) AS INT)
                AS height
-      FROM documents)
+      FROM g)
     SELECT doc_id, width, height,
            CAST(greatest(floor(width * least(224.0 / width, 224.0 / height)),
                          1) AS INT) AS resized_w,
@@ -609,7 +627,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     decoded = multimodal.decode_features(
-        multimodal.attach_binary_payload(d, "text"), "doc_id"
+        multimodal.attach_png_payload(d, "doc_id", "text"), "doc_id"
     ).select("doc_id", "width", "height")
     return multimodal.resize_plan(decoded, 224, 224)
 
@@ -1174,6 +1192,46 @@ def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.encode_corpus_media(d)
     return multimodal.decode_media(media)
+
+
+@query(
+    "multimodal_png_roundtrip",
+    oracle=f"""
+    WITH g AS ({_PNG_GEOM_SQL})
+    SELECT doc_id,
+           'image/png' AS media_type,
+           width,
+           CAST(greatest(1, CAST(ceil(nb / (3.0 * width)) AS INT)) AS INT)
+             AS height,
+           CAST(width * greatest(1, CAST(ceil(nb / (3.0 * width)) AS INT)) * 3
+             AS INT) AS n_pixel_bytes,
+           sha256(text) AS payload_sha256
+    FROM g JOIN documents USING (doc_id)
+    """,
+    survey_ref="north-star: COMPRESSED codec round trip — corpus text "
+    "deflated into real PNG containers (per-row None/Sub/Up/Average/"
+    "Paeth scanline filters, CRC-verified chunks, multi-IDAT) and "
+    "decoded back through the generic media sniffer "
+    "(operators/multimodal.decode_media). payload_sha256 == "
+    "sha256(text) proves inflate+unfilter is byte-exact; width/height "
+    "come from the parsed IHDR and the oracle recomputes them from "
+    "octet_length alone. Container byte size is intentionally NOT a "
+    "column: deflate output depends on the zlib build, and a correct "
+    "roundtrip must be invariant to it",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_png_payload(d, "doc_id", "text")
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        (F.col("width") * F.col("height") * 3).cast("int")
+        .alias("n_pixel_bytes"),
+        "payload_sha256",
+    )
 
 
 @query(

@@ -256,13 +256,14 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
     "llmdata_extras_suite": (
         "north-star operators beyond the seven dedicated LLM-data "
         "slots: sign-LSH ANN, embedding-cosine near-dup, near-dup "
-        "clusters, chunk overlap, PII scrub, multimodal decode/frame "
-        "sampling, repetition filter, contamination check, train/val/"
-        "test split, PageRank, fused ML inference, product "
-        "quantization, Z-order layout planning, RAG retrieval, BPE "
-        "merge training",
+        "clusters, chunk overlap, PII scrub, multimodal PNG decode / "
+        "roundtrip / frame sampling, repetition filter, contamination "
+        "check, train/val/test split, PageRank, fused ML inference, "
+        "product quantization, Z-order layout planning, RAG retrieval, "
+        "BPE merge training",
         (
             "text_bpe_train",
+            "multimodal_png_roundtrip",
             "ann_pq_codes",
             "ann_pq_adc_topk",
             "layout_zorder_plan",

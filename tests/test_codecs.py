@@ -151,3 +151,72 @@ def test_wav_roundtrip_property(payload, rate, channels):
     padded = payload + (b"\0" if len(payload) % 2 else b"")
     assert data == padded
     assert n_frames == len(padded) // (channels * 2)
+
+
+# ---------------------------------------------------------------------------
+# PNG (compressed: deflate + scanline filters + CRC-verified chunks)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("width,height", [(16, 1), (5, 7), (1, 1), (50, 6)])
+def test_png_roundtrip_geometry(width, height):
+    payload = bytes((i * 7 + 3) % 256 for i in range(width * height * 3))
+    blob = codecs.png_encode(payload, width, height)
+    w, h, depth, ctype, decoded = codecs.png_decode(blob)
+    assert (w, h, depth, ctype) == (width, height, 8, 2)
+    assert decoded == payload
+
+
+def test_png_all_filter_types_exercised():
+    # >= 5 rows guarantees every filter type (row % 5) round-trips
+    width = 8
+    payload = bytes(range(256)) * ((width * 3 * 6) // 256 + 1)
+    payload = payload[: width * 3 * 6]
+    blob = codecs.png_encode(payload, width, 6)
+    _, h, _, _, decoded = codecs.png_decode(blob)
+    assert h == 6 and decoded == payload
+
+
+def test_png_multi_idat_concatenated():
+    # incompressible payload (sha256 chain) > 4 KiB compressed forces
+    # multiple IDAT chunks
+    chunks, seed = [], b"idat-seed"
+    for _ in range(12_000 // 32 + 1):
+        seed = hashlib.sha256(seed).digest()
+        chunks.append(seed)
+    payload = b"".join(chunks)[:12_000]
+    blob = codecs.png_encode(payload, 64, -(-len(payload) // (64 * 3)))
+    assert blob.count(b"IDAT") >= 2
+    *_, decoded = codecs.png_decode(blob)
+    assert decoded[: len(payload)] == payload
+
+
+def test_png_crc_corruption_detected():
+    blob = bytearray(codecs.png_encode(b"hello png", 16, 1))
+    blob[-20] ^= 0xFF  # flip a byte inside a chunk body/CRC
+    with pytest.raises(ValueError):
+        codecs.png_decode(bytes(blob))
+
+
+def test_png_rejects_foreign_bytes():
+    with pytest.raises(ValueError):
+        codecs.png_decode(b"GIF89a" + b"\0" * 60)
+
+
+def test_png_oversized_payload_rejected():
+    with pytest.raises(ValueError):
+        codecs.png_encode(b"x" * 100, 4, 4)  # capacity 48
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    payload=st.binary(max_size=600),
+    width=st.integers(min_value=1, max_value=40),
+)
+def test_png_roundtrip_property(payload, width):
+    height = max(1, -(-len(payload) // (width * 3)))
+    blob = codecs.png_encode(payload, width, height)
+    w, h, depth, ctype, decoded = codecs.png_decode(blob)
+    assert (w, h, depth, ctype) == (width, height, 8, 2)
+    assert decoded[: len(payload)] == payload
+    assert set(decoded[len(payload):]) <= {0}

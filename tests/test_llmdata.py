@@ -76,15 +76,22 @@ def test_simhash_near_dup_signatures_close(spark, sf_dir):
 
 
 def test_multimodal_decode_batching(spark, sf_dir):
+    import hashlib
+
     d = load_table(spark, sf_dir, "documents").repartition(4)
     out = multimodal.decode_features(
-        multimodal.attach_binary_payload(d, "text"), "doc_id"
+        multimodal.attach_png_payload(d, "doc_id", "text"), "doc_id"
     )
     rows = out.collect()
     assert len(rows) == d.count()
-    r = rows[0]
-    assert 64 <= r.width < 128 and 64 <= r.height < 128
-    assert len(r.content_hash) == 64
+    # real decode: dimensions from IHDR, hash over the recovered bytes
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+    for r in rows[:25]:
+        raw = texts[r.doc_id].encode("utf-8")
+        assert r.n_bytes == len(raw)
+        assert r.content_hash == hashlib.sha256(raw).hexdigest()
+        assert r.width == 16 + len(raw) % 48
+        assert r.height == max(1, -(-len(raw) // (3 * r.width)))
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
@@ -119,7 +126,7 @@ def test_multimodal_resize_and_frame_sampling(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").limit(50)
     decoded = multimodal.decode_features(
-        multimodal.attach_binary_payload(d, "text"), "doc_id"
+        multimodal.attach_png_payload(d, "doc_id", "text"), "doc_id"
     )
     resized = multimodal.resize_plan(decoded, 224, 224).collect()
     assert len(resized) == 50

@@ -39,6 +39,7 @@ PANDAS_OK = {
     "consolidate_proposals",
     "multimodal_decode",
     "multimodal_codec_roundtrip",
+    "multimodal_png_roundtrip",
     "multimodal_frame_sample",
     "multimodal_resize_plan",
 }
