@@ -1557,6 +1557,8 @@ def _bpe_syms(col: str):
 
 
 def _bpe_pairs(df: DataFrame) -> DataFrame:
+    """Adjacent-symbol pairs of each vocab entry, carrying the entry's
+    corpus frequency ``n`` so counts aggregate at vocabulary scale."""
     sy = _bpe_syms("w")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(sy) - 1),
@@ -1566,15 +1568,15 @@ def _bpe_pairs(df: DataFrame) -> DataFrame:
     )
     return (
         df.filter(F.size(sy) >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .select("p.a", "p.b")
+        .select(F.explode(pairs).alias("p"), "n")
+        .select("p.a", "p.b", "n")
     )
 
 
 def _bpe_best(pairs: DataFrame) -> DataFrame:
     return (
         pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("n").alias("c"))
         .orderBy(F.desc("c"), "a", "b")
         .limit(1)
     )
@@ -1586,7 +1588,8 @@ def _bpe_merge(df: DataFrame, best: DataFrame) -> DataFrame:
             F.col("w"),
             F.concat(F.lit("["), F.col("a"), F.lit("]["), F.col("b"), F.lit("]")),
             F.concat(F.lit("["), F.col("a"), F.col("b"), F.lit("]")),
-        ).alias("w")
+        ).alias("w"),
+        "n",
     )
 
 
@@ -1636,34 +1639,44 @@ def _bpe_duck_round(prev_w: str, rnd: int) -> str:
            (SELECT c FROM b2), (SELECT toks FROM t2)
     """,
     survey_ref="north-star: BPE merge training — 2 unrolled "
-    "merge-learning rounds over the corpus: adjacent-symbol-pair "
-    "counts (one combinable shuffle on the pair key), deterministic "
-    "argmax (count desc, then lexicographic), greedy leftmost merge "
-    "applied via non-overlapping replace on a bracket-wrapped symbol "
-    "encoding (both engines scan left-to-right, exactly BPE's greedy "
-    "rule). The learned merge table + per-round corpus token count "
-    "is the tokenizer-build loop the reference lacks entirely; at "
-    "scale each round materializes the merged corpus (localCheckpoint "
-    "/ shard write) instead of growing one lineage, and trains on a "
-    "deterministic hash-bucket sample (corpus_sample_stratified)",
+    "merge-learning rounds at VOCABULARY scale: one combinable "
+    "shuffle folds the corpus to (word, frequency), then pair "
+    "counting / argmax / merge all run over distinct words weighted "
+    "by frequency (Sennrich's word-frequency-dict formulation — "
+    "identical totals to corpus-scale counting, at a fraction of the "
+    "rows). Deterministic argmax (count desc, then lexicographic); "
+    "greedy leftmost merge via non-overlapping replace on a "
+    "bracket-wrapped symbol encoding (both engines scan "
+    "left-to-right, exactly BPE's greedy rule). Each round's merged "
+    "vocab is localCheckpoint-ed so later rounds never re-derive "
+    "earlier merges; at 100 TB the same plan holds — the vocab fold "
+    "is the only fact-scale shuffle, and rounds iterate on the "
+    "vocab-sized frame",
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     words = d.select(F.explode(ta.words("text")).alias("word")).filter(
         F.col("word").rlike("^[a-z0-9]+$")
     )
-    w0 = words.select(
-        F.regexp_replace("word", "(.)", "[$1]").alias("w")
+    # the ONLY fact-scale operation: fold the token stream to
+    # (word, n). Checkpointed because every round reads it.
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
-    t0 = words.agg(F.sum(F.length("word")).alias("toks"))
+    w0 = vocab.select(
+        F.regexp_replace("word", "(.)", "[$1]").alias("w"), "n"
+    )
+    t0 = vocab.agg(F.sum(F.length("word") * F.col("n")).alias("toks"))
 
     best1 = _bpe_best(_bpe_pairs(w0))
-    w1 = _bpe_merge(w0, best1)
-    t1 = w1.agg(F.sum(F.size(_bpe_syms("w"))).alias("toks"))
+    w1 = _bpe_merge(w0, best1).localCheckpoint(eager=False)
+    t1 = w1.agg(F.sum(F.size(_bpe_syms("w")) * F.col("n")).alias("toks"))
 
     best2 = _bpe_best(_bpe_pairs(w1))
     w2 = _bpe_merge(w1, best2)
-    t2 = w2.agg(F.sum(F.size(_bpe_syms("w"))).alias("toks"))
+    t2 = w2.agg(F.sum(F.size(_bpe_syms("w")) * F.col("n")).alias("toks"))
 
     def row(rnd: int, best: DataFrame | None, toks: DataFrame) -> DataFrame:
         if best is None:
