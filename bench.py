@@ -14,7 +14,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from apl_commissions_etl_spark.registry import all_queries
-from apl_commissions_etl_spark.session import get_spark
+from apl_commissions_etl_spark.session import get_spark, warm_shared_caches
 
 # Headline set: exercised per-round by the driver. Keep it covering the
 # heavy operator classes (scan-agg, shuffle join, window, domain calc,
@@ -66,7 +66,18 @@ def main() -> None:
     # number — cold should measure the QUERY's first-run cost (scans,
     # cache builds), not engine boot
     spark.range(1).count()
-    # warm each query once (JVM JIT, parquet footers, staging caches):
+    # populate the session-scoped SHARED frames first (staging dims +
+    # calc cascade, builder criteria, LSH index, ANN constants) — the
+    # reference materializes staging once per run before any query, and
+    # billing that one-time population to whichever query happens to
+    # run first made calc_gl_entries' cold number ~20s of cache build +
+    # ~0.4s of query. The cost is reported, not hidden (shared_warm).
+    t0 = time.time()
+    warm = warm_shared_caches(spark, sf_dir)
+    warm_total = round(time.time() - t0, 3)
+    print(f"[bench] shared caches warmed in {warm_total:.3f}s {warm}",
+          file=sys.stderr, flush=True)
+    # warm each query once (JVM JIT, parquet footers):
     # the engine is a long-running service, so steady-state per-query
     # latency is the honest throughput metric
     cold: dict[str, float] = {}
@@ -109,12 +120,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                # first-execution times from the warm-up pass: includes
-                # JIT/footer reads and population of the session-scoped
-                # staging caches (criteria/cascade/LSH index), i.e. what
-                # a cold start pays before steady state
+                # first-execution times from the warm-up pass (JIT,
+                # parquet footers) — shared-cache population is timed
+                # separately in shared_warm so cold measures the query
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                # one-time session startup: materializing the shared
+                # staging/cascade/index frames (the reference's
+                # TRUNCATE+INSERT staging phase equivalent)
+                "shared_warm": warm,
+                "shared_warm_total": warm_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
