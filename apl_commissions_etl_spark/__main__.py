@@ -255,7 +255,14 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_query)
 
     p = sub.add_parser(
-        "sql", help="ad-hoc SQL over base tables + reporting views"
+        "sql",
+        help="ad-hoc SQL over base tables + reporting views",
+        description="Run an ad-hoc SQL statement over the base tables "
+        "and reporting views. View registration is token-based: any "
+        "reporting-view name appearing ANYWHERE in the statement "
+        "(including string literals or comments) triggers that view's "
+        "registration, which may materialize its calc-stage inputs — "
+        "avoid naming views you don't query.",
     )
     p.add_argument("statement")
     p.add_argument("--sf-dir", default=_default_sf())

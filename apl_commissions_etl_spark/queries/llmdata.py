@@ -1336,45 +1336,6 @@ def _pq_spark_dist(sub: int, cent: list[float]) -> str:
     )
 
 
-def _pq_duck_dist(sub: int, cent: list[float]) -> str:
-    terms = []
-    for i, c in enumerate(cent):
-        x = f"(CAST(embedding[{sub * 8 + i + 1}] AS DOUBLE) - ({c!r}))"
-        terms.append(f"CAST(round({x} * {x} * 1e9) AS BIGINT)")
-    return "(" + " + ".join(terms) + ")"
-
-
-def _pq_duck_oracle(codebooks: list[list[list[float]]]) -> str:
-    dist_cols = ",\n           ".join(
-        f"{_pq_duck_dist(s, codebooks[s][k])} AS d_{s}_{k}"
-        for s in range(_PQ_SUBS)
-        for k in range(_PQ_K)
-    )
-
-    def code_case(s: int) -> str:
-        d = [f"d_{s}_{k}" for k in range(_PQ_K)]
-        return (
-            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]} THEN 0 "
-            f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
-            f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END"
-        )
-
-    codes = " || ".join(f"CAST({code_case(s)} AS VARCHAR)" for s in range(_PQ_SUBS))
-    errs = " + ".join(
-        f"least(d_{s}_0, d_{s}_1, d_{s}_2, d_{s}_3)" for s in range(_PQ_SUBS)
-    )
-    return f"""
-    WITH d AS (
-      SELECT vec_id,
-           {dist_cols}
-      FROM embeddings)
-    SELECT vec_id,
-           {codes} AS pq_code,
-           CAST(({errs}) AS DOUBLE) / 1e9 AS recon_err
-    FROM d
-    """
-
-
 _PQ_DUCK_SEED_DIST = """
       SELECT e.vec_id, s.sub, c.k,
              CAST(SUM(CAST(round(

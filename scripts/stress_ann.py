@@ -108,7 +108,7 @@ def main() -> None:
         n_topk = batch_topk(r).count()
         t_topk = time.time() - t0
         t0 = time.time()
-        n_codes = pq_codes(r).write.format("noop").mode("overwrite").save()
+        pq_codes(r).write.format("noop").mode("overwrite").save()
         t_codes = time.time() - t0
         rows.append((factor, n_topk, t_topk, t_codes))
         print(f"{factor}x: topk rows={n_topk} {t_topk:.2f}s; "

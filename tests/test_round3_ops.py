@@ -65,10 +65,14 @@ def test_zorder_skips_more_files_than_linear(spark, sf_dir):
     reads = {"zorder": 0, "linear": 0}
     for r in plan:
         reads[r["layout"]] += int(r["probe_must_read"])
-    assert reads["linear"] == 64  # time layout cannot skip a custkey probe
-    # skip strength grows with rows-per-file: 44/64 at sf0.001
-    # (23 rows/file), 23/64 at sf0.01 (234 rows/file)
-    assert reads["zorder"] <= 48
+    n_files = len(plan) // 2  # plan emits one row per (layout, file)
+    # time layout cannot skip a custkey probe: every file must be read
+    assert reads["linear"] == n_files
+    # the relative property, not fixture-scale constants: Z-order must
+    # strictly beat the linear layout (observed 44/64 at sf0.001,
+    # 23/64 at sf0.01 — skip strength grows with rows-per-file)
+    assert reads["zorder"] < reads["linear"]
+    assert reads["zorder"] <= n_files * 3 // 4
 
 
 def test_cdc_tombstones_drop_keys(spark, sf_dir):
