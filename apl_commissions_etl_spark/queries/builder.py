@@ -591,6 +591,10 @@ def builder_display_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     props = builder.build_proposals(
         _criteria(spark, sf_dir)
     )
+    # group_names resolves `customer` by NAME: pin the fixture views to
+    # this sf_dir (a cached _criteria hit skips registration, so the
+    # ambient view could belong to a previously-used scale factor)
+    register_builder_views(spark, sf_dir)
     spark.sql(
         """CREATE OR REPLACE TEMPORARY VIEW group_names AS
         SELECT 'G' || CAST(c_custkey AS VARCHAR(20)) AS GId,
@@ -1451,6 +1455,12 @@ def validate_sampling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans import validate as v
 
     sampled = v.sample_stratified(_criteria(spark, sf_dir), 20)
+    # the re-derivation path resolves fixture views by NAME at plan
+    # capture; a cached _criteria hit skips registration, so in a
+    # session that last registered a different sf_dir the SQL text
+    # would silently read the other scale's certificates — pin the
+    # views to THIS sf_dir first (no-op when already current)
+    register_builder_views(spark, sf_dir)
     rederived = spark.sql(v.REDERIVE_SQL)
     joined = sampled.join(rederived, ["GroupId", "CertificateId"], "left")
     return joined.groupBy("Scenario").agg(

@@ -253,6 +253,41 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "fix_flag_nonconformant_groups",
         ),
     ),
+    "audit_patterns_suite": (
+        "diagnostic/validation family (sql/analysis/*, reference "
+        "check-* scripts): referential-integrity orphan counts, "
+        "resolution-chain validation, per-column profiles, "
+        "expectation checks, production-readiness report, "
+        "conformance grouping-sets + analysis, stratified sampling "
+        "validation, equal-split lateral distribution",
+        (
+            "audit_referential_integrity",
+            "audit_resolution_chain",
+            "audit_column_profile",
+            "audit_expectations",
+            "audit_production_readiness",
+            "conformance_grouping_sets",
+            "conformance_analysis",
+            "validate_sampling_report",
+            "hier_equal_split_distribution",
+        ),
+    ),
+    "export_entities_suite": (
+        "per-entity export family (sql/export/01..17-*.sql S9/S10 "
+        "shapes beyond the dedicated export_merge_upsert slot): "
+        "anti-join insert-missing, UPDATE-join enrichment, schedule "
+        "rate tiers, rate-tier volume summary, hierarchy product "
+        "rates, snapshot diff, bucketed blob staging",
+        (
+            "export_upsert_missing",
+            "export_update_join",
+            "export_schedule_rate_tiers",
+            "export_rate_tier_volume_summary",
+            "export_hierarchy_product_rates",
+            "export_snapshot_diff",
+            "export_blob_staged",
+        ),
+    ),
     "llmdata_extras_suite": (
         "north-star operators beyond the seven dedicated LLM-data "
         "slots: sign-LSH ANN, embedding-cosine near-dup, near-dup "

@@ -129,11 +129,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: Rotation plan if driver slots free up (or the prefix grows): the
 #: next families to pin, in order, are currently driver-"local" only —
 #: each already passes the full local sweep + vanilla rehearsal.
-#:   1. report_brokers_suite      (§2.12 broker-centric views 2-4/6-8)
-#:   2. audit_patterns_suite      (sql/analysis diagnostics family)
-#:   3. export_entities_suite     (per-entity export scripts S9/S10)
-#:   4. calc_stage4_hierarchies_resolved (covered today via stage5)
-#:   5. graph_pagerank / cdc_apply_changelog (beyond-§2 extras)
+#:   1. audit_patterns_suite      (sql/analysis diagnostics + sampling
+#:                                 validation + conformance rollups)
+#:   2. export_entities_suite     (per-entity export scripts S9/S10
+#:                                 beyond the export_merge_upsert slot)
+#:   3. calc_stage4_hierarchies_resolved (covered today via stage5)
+#:   4. graph_pagerank / multimodal_png_roundtrip (beyond-§2 extras,
+#:                                 also fingerprinted in llmdata_extras)
 #: Keep this list in sync when adding families so the 50-slot prefix
 #: stays an intentional choice rather than registration-order accident.
 
