@@ -53,9 +53,13 @@ def main() -> None:
         "## 8. Implementation status (this repo)",
         "",
         f"Generated from `apl_commissions_etl_spark/registry.py`: {n} registered",
-        f"queries, {n_oracle} with DuckDB oracles "
-        f"({n - n_oracle} rows-only by design: multimodal",
-        "decode stub). Every §2 operator id above maps to at least one query",
+        f"queries, {n_oracle} with DuckDB oracles"
+        + (
+            f" ({n - n_oracle} rows-only)."
+            if n > n_oracle
+            else " (every query oracle-checked)."
+        ),
+        "Every §2 operator id above maps to at least one query",
         "below — including all 8 calc stages and 3 outputs individually;",
         "`python scripts/check_oracle.py /root/testdata/sf0.01` verifies the",
         "full set against the oracle (row count + schema + exact values).",
