@@ -1664,6 +1664,104 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_duck_vocab_round(prev: str, rnd: int) -> str:
+    """CTEs for one vocab-scale merge round: frequency-weighted pair
+    counts over {prev}, argmax b{rnd}, merged vocab v{rnd} (keeps the
+    (word, n) key so token counts can be joined back to documents)."""
+    return f"""
+    p{rnd} AS (
+      SELECT u.a AS a, u.b AS b, n FROM (
+        SELECT n, unnest(list_transform(range(1, len(s)),
+                 i -> {{'a': s[i], 'b': s[i+1]}})) AS u
+        FROM (SELECT n, string_split(substr(w, 2, length(w) - 2), '][') AS s
+              FROM {prev}))),
+    b{rnd} AS (
+      SELECT a, b FROM p{rnd} GROUP BY a, b
+      ORDER BY CAST(SUM(n) AS BIGINT) DESC, a, b LIMIT 1),
+    v{rnd} AS (
+      SELECT word, n, replace(w,
+               '[' || (SELECT a FROM b{rnd}) || '][' || (SELECT b FROM b{rnd}) || ']',
+               '[' || (SELECT a FROM b{rnd}) || (SELECT b FROM b{rnd}) || ']') AS w
+      FROM {prev})"""
+
+
+@query(
+    "text_bpe_apply",
+    oracle=f"""
+    WITH dw AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id, unnest({_WORDS}) AS word FROM documents)
+      WHERE regexp_matches(word, '^[a-z0-9]+$')),
+    vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+              FROM dw GROUP BY word),
+    v0 AS (SELECT word, n, regexp_replace(word, '(.)', '[\\1]', 'g') AS w
+           FROM vocab),
+    {_bpe_duck_vocab_round('v0', 1)},
+    {_bpe_duck_vocab_round('v1', 2)},
+    tok AS (
+      SELECT word,
+             len(string_split(substr(w, 2, length(w) - 2), '][')) AS bt
+      FROM v2)
+    SELECT dw.doc_id,
+           CAST(SUM(length(dw.word)) AS BIGINT) AS n_tokens_char,
+           CAST(SUM(t.bt) AS BIGINT) AS n_tokens_bpe
+    FROM dw JOIN tok t USING (word)
+    GROUP BY dw.doc_id
+    """,
+    survey_ref="north-star: BPE merge APPLICATION — the learned merge "
+    "table (same deterministic vocab-scale training as "
+    "text_bpe_train) applied to tokenize every document: the "
+    "(word -> post-merge token count) map is vocab-sized, so "
+    "tokenizing the corpus is one broadcast join + per-doc "
+    "re-aggregation, never a per-document merge scan. Completes the "
+    "tokenizer loop (train -> encode) and yields the per-doc "
+    "char-vs-BPE token budget a packing/pricing stage consumes; at "
+    "100 TB the token map broadcasts (vocab ≪ corpus) and the only "
+    "fact-scale ops are the word explode and the doc_id re-agg",
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id", F.explode(ta.words("text")).alias("word")
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    w0 = vocab.select(
+        "word", "n", F.regexp_replace("word", "(.)", "[$1]").alias("w")
+    )
+
+    def merge_keep(df: DataFrame, best: DataFrame) -> DataFrame:
+        # _bpe_merge minus the column pruning: keep the word key so the
+        # final token map can join back to per-document words
+        return df.crossJoin(F.broadcast(best)).select(
+            "word",
+            "n",
+            F.replace(
+                F.col("w"),
+                F.concat(F.lit("["), F.col("a"), F.lit("]["),
+                         F.col("b"), F.lit("]")),
+                F.concat(F.lit("["), F.col("a"), F.col("b"), F.lit("]")),
+            ).alias("w"),
+        )
+
+    best1 = _bpe_best(_bpe_pairs(w0))
+    w1 = merge_keep(w0, best1).localCheckpoint(eager=False)
+    best2 = _bpe_best(_bpe_pairs(w1))
+    w2 = merge_keep(w1, best2)
+    tokmap = w2.select("word", F.size(_bpe_syms("w")).alias("bt"))
+    return (
+        words.join(F.broadcast(tokmap), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.length("word")).cast("long").alias("n_tokens_char"),
+            F.sum("bt").cast("long").alias("n_tokens_bpe"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PQ-ADC serving: asymmetric-distance top-k over the compressed codes
 # ---------------------------------------------------------------------------

@@ -298,6 +298,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "BPE merge training",
         (
             "text_bpe_train",
+            "text_bpe_apply",
             "multimodal_png_roundtrip",
             "ann_pq_codes",
             "ann_pq_adc_topk",

@@ -443,3 +443,19 @@ def test_embedding_lsh_prunes_on_true_near_dups(spark):
     ).count()
     n = 2 * n_base
     assert scored < n * (n - 1) / 2 * 0.10
+
+
+def test_bpe_apply_consistent_with_train(spark, sf_dir):
+    """The tokenizer loop closes: applying the learned merges to every
+    document must reproduce the training loop's round-2 corpus token
+    count exactly, and merging can only shrink token counts."""
+    from apl_commissions_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    train = {r["round"]: r for r in
+             qs["text_bpe_train"].spark_fn(spark, sf_dir).collect()}
+    applied = qs["text_bpe_apply"].spark_fn(spark, sf_dir).collect()
+    assert sum(r["n_tokens_bpe"] for r in applied) == train[2]["corpus_tokens"]
+    assert sum(r["n_tokens_char"] for r in applied) == train[0]["corpus_tokens"]
+    for r in applied:
+        assert 0 < r["n_tokens_bpe"] <= r["n_tokens_char"]
