@@ -134,6 +134,16 @@ AUDITS: list[tuple[str, list[str], list[str], str]] = [
         "Python anywhere in the training loop.",
     ),
     (
+        "text_bpe_apply",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "Tokenizing the corpus with the learned merges: the "
+        "(word -> post-merge token count) map is vocab-sized and "
+        "BROADCASTS into the word-exploded fact — a sort-merge join "
+        "here would shuffle the entire token stream; the only "
+        "exchanges are the vocab fold and the per-doc re-aggregation.",
+    ),
+    (
         "mode_cascade (finest routing aggregation)",
         ["BroadcastHashJoin"],
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
