@@ -162,15 +162,23 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # localCheckpoint: the cascade's shared frames are embedded in a
         # dozen queries; lineage truncation keeps their plans small
         # (AQE re-plans per action — see mode_cascade's rationale).
-        # repartition first: the cascade is broadcast-join-narrow, so a
-        # small fact file yields ONE partition end-to-end and every
-        # downstream aggregation's partial phase runs single-threaded;
-        # on a real cluster the fact arrives in thousands of splits and
-        # this spread is what the scan would have provided.
+        # Repartition the FACT (4 narrow columns) before the cascade,
+        # not the wide c3/c8 after it: the cascade is
+        # broadcast-join-narrow, so a small fact file yields ONE
+        # partition end-to-end and every downstream aggregation's
+        # partial phase runs single-threaded. Shuffling the fact costs
+        # a fraction of shuffling the joined frames (measured 9.5s →
+        # 4.5s per persist at sf0.1) and the spread survives the whole
+        # broadcast cascade, so persist needs no repartition of its
+        # own. On a real cluster the fact arrives in thousands of
+        # splits and this spread is what the scan would have provided.
         par = spark.sparkContext.defaultParallelism
+        stg = dict(_staging(spark, sf_dir))
+        stg["stg_premium_transactions"] = (
+            stg["stg_premium_transactions"].repartition(par)
+        )
         _STAGES_CACHE[key] = calc.run_calc(
-            _staging(spark, sf_dir),
-            persist=lambda df: df.repartition(par).localCheckpoint(),
+            stg, persist=lambda df: df.localCheckpoint()
         )
     return _STAGES_CACHE[key]
 

@@ -78,8 +78,21 @@ def warm_shared_caches(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     Spark equivalent, so per-query timings measure the QUERY, not
     population of shared state.  Returns seconds spent per cache
     family so callers can report the cost instead of hiding it.
+
+    The four independent cache families (calc cascade, builder
+    criteria → mode keys, LSH pairs → cluster labels, ANN constants)
+    run as CONCURRENT chains: Spark's scheduler interleaves their
+    jobs, so wall time is the longest chain, not the sum — exactly
+    what a multi-tenant service does at startup. Temp-view
+    registration (a catalog mutation guarded by a check-then-act
+    registry) happens serially up front so no chain races another
+    into ``createOrReplaceTempView`` and silently uncaches the other
+    chain's derived frames. Per-step numbers are each chain's own
+    busy time; concurrent steps overlap, so their sum exceeds the
+    wall clock.
     """
     import time
+    from concurrent.futures import ThreadPoolExecutor
 
     timings: dict[str, float] = {}
 
@@ -88,14 +101,35 @@ def warm_shared_caches(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
+    from .plans.builder_fixtures import register_builder_views
+    from .plans.fixtures import register_fixture_views
     from .queries import builder, builder_modes, calcdomain, llmdata
 
+    # serial catalog mutations first (cheap — views are lazy)
+    register_fixture_views(spark, sf_dir)
+    register_builder_views(spark, sf_dir)
+
     # eager localCheckpoints: touching each accessor materializes it
-    step("calc_staging_cascade", lambda: calcdomain._stages(spark, sf_dir))
-    step("builder_criteria", lambda: builder._criteria(spark, sf_dir))
-    step("mode_cascade_keys", lambda: builder_modes._cascade(spark, sf_dir))
-    step("lsh_pair_index", lambda: llmdata._lsh_pairs(spark, sf_dir))
-    step("dedup_cluster_labels",
-         lambda: llmdata._cluster_labels(spark, sf_dir))
-    step("ann_constants", lambda: llmdata._ann_constants(spark, sf_dir))
+    def chain_calc():
+        step("calc_staging_cascade",
+             lambda: calcdomain._stages(spark, sf_dir))
+
+    def chain_builder():
+        step("builder_criteria", lambda: builder._criteria(spark, sf_dir))
+        step("mode_cascade_keys",
+             lambda: builder_modes._cascade(spark, sf_dir))
+
+    def chain_dedup():
+        step("lsh_pair_index", lambda: llmdata._lsh_pairs(spark, sf_dir))
+        step("dedup_cluster_labels",
+             lambda: llmdata._cluster_labels(spark, sf_dir))
+
+    def chain_ann():
+        step("ann_constants", lambda: llmdata._ann_constants(spark, sf_dir))
+
+    chains = (chain_calc, chain_builder, chain_dedup, chain_ann)
+    with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+        futures = [pool.submit(c) for c in chains]
+        for f in futures:
+            f.result()  # re-raise any chain failure
     return timings
