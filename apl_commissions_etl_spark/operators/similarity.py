@@ -217,10 +217,18 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 4,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: probe only the nprobe cells whose centroids are
     nearest the query, brute-force inside them. The cell filter prunes
-    (1 - nprobe/n_centroids) of the scan before any vector math."""
+    (1 - nprobe/n_centroids) of the scan before any vector math.
+
+    ``index``: optional pre-built cell assignment (the output of
+    ``ivf_assign`` over the same emb/centroids, typically persisted).
+    An IVF index's inverted lists are built ONCE at index time and
+    reused by every query — per-query serving should pay only the
+    probe selection + pruned scan, not a fresh O(n x n_centroids)
+    assignment. At 100 TB the index is a table partitioned by cell."""
     spark = emb.sparkSession
     cent_df = spark.createDataFrame(
         [(cid, cv) for cid, cv in centroids], f"{id_col} long, cvec array<double>"
@@ -240,7 +248,10 @@ def cosine_topk_ivf(
     )
     probe = [r[0] for r in rows]
     qnorm = rows[0]["qn"]
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    assigned = (
+        index if index is not None
+        else ivf_assign(emb, centroids, id_col, vec_col)
+    )
     return cosine_topk_bruteforce(
         assigned.filter(F.col("cell").isin(probe)),
         query_vec,
