@@ -111,6 +111,19 @@ def warm_shared_caches(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
     # eager localCheckpoints: touching each accessor materializes it
     def chain_calc():
+        def warm_dims():
+            # the cascade's broadcast sides populate these caches one
+            # by one during planning; counting them concurrently first
+            # fills all ~11 dim caches in parallel jobs instead
+            stg = calcdomain._staging(spark, sf_dir)
+            dims = [
+                df for n, df in stg.items()
+                if n != "stg_premium_transactions"
+            ]
+            with ThreadPoolExecutor(max_workers=8) as dim_pool:
+                for _ in dim_pool.map(lambda d: d.count(), dims):
+                    pass
+        step("calc_staging_dims", warm_dims)
         step("calc_staging_cascade",
              lambda: calcdomain._stages(spark, sf_dir))
 
