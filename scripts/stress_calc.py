@@ -44,7 +44,7 @@ def main() -> None:
     base = staging["stg_premium_transactions"]
 
     rows = []
-    for k in (1, 4, 16):
+    for k in (1, 4, 16, 64):
         fact = base
         if k > 1:
             fact = base.withColumn("replica", F.explode(F.sequence(F.lit(1), F.lit(k)))).withColumn(
@@ -52,7 +52,13 @@ def main() -> None:
                 F.concat_ws("-", "PremiumTransactionId", F.col("replica").cast("string")),
             ).drop("replica")
         st = dict(staging)
-        st["stg_premium_transactions"] = fact
+        # same plan shape as calcdomain._stages: spread the narrow fact
+        # across the session's parallelism before the broadcast cascade
+        # (a single parquet split otherwise caps the whole run at the
+        # scan's partition count)
+        st["stg_premium_transactions"] = fact.repartition(
+            spark.sparkContext.defaultParallelism
+        )
         t0 = time.time()
         n = calc.run_calc(st)["gl"].count()
         dt = round(time.time() - t0, 2)
@@ -66,7 +72,7 @@ def main() -> None:
         "`stg_premium_transactions` replicated in-plan (unique ids per",
         "replica, dims unchanged — production shape per BASELINE.md: facts",
         "grow, dims stay group-scale). End-to-end GL derivation, cold plan,",
-        "sf0.1 base (600K premiums), local[32]:",
+        "sf0.1 base (600K premiums, 64x = 38M), local[32]:",
         "",
         "| facts | GL rows | seconds | time vs 1x | data vs 1x |",
         "|---|---|---|---|---|",
