@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..plans.audit import referential_checks
 from ..plans.fixtures import fixtures_cte_sql
-from ..queries.calcdomain import _staging
+from ..queries.calcdomain import _oracle as _calc_oracle, _staging, _stages
 from ..registry import query
 from ..sources.testdata import load_table
 
@@ -419,4 +419,83 @@ def audit_production_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(c)
     return out.select(
         "check_name", "n_issues", (F.col("n_issues") == 0).alias("passes")
+    )
+
+
+@query(
+    "audit_observed_gl",
+    oracle=_calc_oracle("""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(SUM(CASE WHEN EntryType = 'Original' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_original,
+           CAST(SUM(CASE WHEN EntryType = 'Assigned' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_assigned,
+           CAST(SUM(CAST(round(Amount * 100) AS BIGINT)) AS BIGINT)
+             AS amount_cents,
+           CAST(SUM(CASE WHEN BrokerId IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_broker_entries,
+           CAST(SUM(CASE WHEN Amount < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS negative_entries
+    FROM (
+      SELECT 'Original' AS EntryType, EntityId AS BrokerId,
+             CAST(RetainedCommission AS DOUBLE) AS Amount
+      FROM s8
+      UNION ALL
+      SELECT 'Assigned', RecipientBrokerId, CAST(AssignedCommission AS DOUBLE)
+      FROM s8
+      WHERE RecipientBrokerId IS NOT NULL AND AssignedCommission <> 0) gl"""),
+    survey_ref="beyond-reference audit surface: IN-FLIGHT data-quality "
+    "metrics via Dataset.observe/CollectMetrics — the reference audits "
+    "by re-scanning outputs with check-*.ts count queries; at 100 TB a "
+    "second audit scan of the GL journal is a second pass over the "
+    "output, while observed metrics accumulate on the executors DURING "
+    "the write for free (row counts, integer-cents control total, "
+    "null-key and negative-amount counts). The returned row is the "
+    "metric set a warehouse load would log next to the batch id; the "
+    "oracle recomputes the same aggregates from scratch, proving the "
+    "in-flight numbers equal a dedicated audit pass",
+)
+def audit_observed_gl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the GL journal (noop sink here; parquet/JDBC in
+    production) with quality metrics riding the SAME job, then emit
+    the observed metrics as the result row."""
+    from pyspark.sql import Observation
+
+    gl = _stages(spark, sf_dir)["gl"]
+    obs = Observation()
+    observed = gl.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum(F.when(F.col("EntryType") == "Original", 1).otherwise(0))
+        .cast("long")
+        .alias("n_original"),
+        F.sum(F.when(F.col("EntryType") == "Assigned", 1).otherwise(0))
+        .cast("long")
+        .alias("n_assigned"),
+        F.sum(F.round(F.col("Amount") * 100).cast("long")).alias(
+            "amount_cents"
+        ),
+        F.sum(F.when(F.col("BrokerId").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_broker_entries"),
+        F.sum(F.when(F.col("Amount") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("negative_entries"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_entries"],
+                m["n_original"],
+                m["n_assigned"],
+                m["amount_cents"],
+                m["null_broker_entries"],
+                m["negative_entries"],
+            )
+        ],
+        "n_entries bigint, n_original bigint, n_assigned bigint, "
+        "amount_cents bigint, null_broker_entries bigint, "
+        "negative_entries bigint",
     )
