@@ -59,7 +59,9 @@ def current_table(spark: SparkSession, target_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(target_dir, state["current"]))
 
 
-def idempotent_merge_sink(target_dir: str, keys: list[str]):
+def idempotent_merge_sink(
+    target_dir: str, keys: list[str], metrics=None
+):
     """Build a foreachBatch function maintaining a keyed table at
     ``target_dir`` with exactly-once upsert semantics (see module
     docstring). Use as::
@@ -69,7 +71,15 @@ def idempotent_merge_sink(target_dir: str, keys: list[str]):
              .outputMode("update")
              .option("checkpointLocation", ckpt)
              .start())
-    """
+
+    ``metrics``: optional callable ``() -> list[Column]`` of aggregate
+    expressions (a fresh list per batch — Column objects are not
+    reusable across plans). When given, the expressions ride each
+    version write via ``Dataset.observe`` (CollectMetrics — no second
+    scan, same mechanism as the batch path's ``audit_observed_gl``)
+    and the per-batch results are recorded in the sink state next to
+    the committed batch id: the metrics log IS part of the
+    exactly-once contract, so a replayed batch never double-logs."""
     os.makedirs(target_dir, exist_ok=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -82,6 +92,12 @@ def idempotent_merge_sink(target_dir: str, keys: list[str]):
             merged = batch_df.dropDuplicates(keys)
         else:
             merged = merge_upsert(target, batch_df, keys)
+        obs = None
+        if metrics is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            merged = merged.observe(obs, *metrics())
         version_dir = f"v{state['version'] + 1:06d}"
         merged.write.mode("overwrite").parquet(
             os.path.join(target_dir, version_dir)
@@ -89,6 +105,17 @@ def idempotent_merge_sink(target_dir: str, keys: list[str]):
         state["version"] += 1
         state["current"] = version_dir
         state["committed"].append(batch_id)
+        if obs is not None:
+            state.setdefault("metrics", {})[str(batch_id)] = {
+                k: (v.item() if hasattr(v, "item") else v)
+                for k, v in obs.get.items()
+            }
         _store_state(target_dir, state)
 
     return sink
+
+
+def sink_metrics(target_dir: str) -> dict:
+    """Per-batch observed metrics recorded by ``idempotent_merge_sink``
+    (batch_id -> {metric: value}); empty if none were requested."""
+    return _load_state(target_dir).get("metrics", {})

@@ -90,3 +90,57 @@ def test_merge_sink_skips_replayed_batch(spark, tmp_path):
     sink(b0, 1)
     assert _table(spark, target)[1] == (1, 1000)  # update, not duplicate row
     assert len(_table(spark, target)) == 2
+
+
+def test_merge_sink_observed_metrics_ride_each_version_write(
+    spark, tmp_path
+):
+    """Per-batch quality metrics recorded by the sink equal a direct
+    audit of the published table, and a replayed batch never
+    double-logs (the metrics log shares the exactly-once contract)."""
+    from apl_commissions_etl_spark.streaming.sinks import sink_metrics
+
+    target = str(tmp_path / "tbl")
+
+    def gates():
+        return [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("total_cents")).cast("long").alias("cents"),
+        ]
+
+    sink = idempotent_merge_sink(target, ["user_id"], metrics=gates)
+    b0 = (
+        _mk(spark, [(1, 10.0), (2, 4.0)])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+    sink(b0, 0)
+    sink(b0, 0)  # replay: must not double-log
+    m = sink_metrics(target)
+    assert set(m) == {"0"}
+    direct = current_table(spark, target).agg(
+        F.count(F.lit(1)), F.sum("total_cents").cast("long")
+    ).collect()[0]
+    assert m["0"]["n_rows"] == direct[0]
+    assert m["0"]["cents"] == direct[1]
+
+    b1 = (
+        _mk(spark, [(1, 1.0), (3, 7.0)], start=10)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+    sink(b1, 1)
+    m = sink_metrics(target)
+    assert set(m) == {"0", "1"}
+    # batch 1 merged 2 updated/inserted keys into the 2 existing ones
+    assert m["1"]["n_rows"] == 3
