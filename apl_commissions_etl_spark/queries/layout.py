@@ -150,3 +150,84 @@ def layout_zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("min_x") <= _PROBE_X_HI) & (F.col("max_x") >= _PROBE_X_LO)
         ).alias("probe_must_read"),
     )
+
+
+#: compaction planning constants: synthetic ingest manifest derived
+#: deterministically from orders (in production the manifest is the
+#: table format's file-level metadata — millions of rows at 100 TB,
+#: i.e. METADATA-scale; the plan below stays a window + groupBy over
+#: it, partition-parallel)
+_ROW_BYTES = 120          # fixed row-width proxy for file size
+_INGEST_FILES = 40        # small files per partition, the ingest smell
+_TARGET_BYTES = 64_000    # compaction target size at fixture scale
+
+
+@query(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) * 100
+                  + month(CAST(o_orderdate AS DATE)) AS INT) AS part,
+             CAST(o_orderkey % {_INGEST_FILES} AS INT) AS file_id,
+             CAST(COUNT(*) * {_ROW_BYTES} AS BIGINT) AS size_bytes
+      FROM orders
+      GROUP BY 1, 2),
+    binned AS (
+      SELECT part, file_id, size_bytes,
+             CAST(FLOOR((SUM(size_bytes) OVER (
+                    PARTITION BY part
+                    ORDER BY size_bytes DESC, file_id
+                    ROWS UNBOUNDED PRECEDING) - size_bytes)
+                  / {_TARGET_BYTES}) AS INT) AS group_id
+      FROM manifest)
+    SELECT part, group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(size_bytes) AS BIGINT) AS group_bytes,
+           CAST(COUNT(*) > 1 AS BOOLEAN) AS needs_compaction
+    FROM binned
+    GROUP BY part, group_id
+    """,
+    survey_ref="beyond-reference table-maintenance surface: small-file "
+    "COMPACTION planning — the other half of layout maintenance next "
+    "to layout_zorder_plan (Delta OPTIMIZE / Iceberg rewriteDataFiles "
+    "bin-packing). The ingest manifest (one row per file with its "
+    "partition and size) is metadata-scale even at 100 TB; the plan "
+    "is one window cumsum per partition (next-fit-decreasing into "
+    "target-size groups) + one groupBy, both partition-parallel, and "
+    "the produced groups are the work units a rewrite job executes. "
+    "Deterministic manifest derived from orders so the oracle "
+    "verifies the planner end-to-end",
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    manifest = (
+        o.groupBy(
+            (
+                F.year(F.col("o_orderdate").cast("date")) * 100
+                + F.month(F.col("o_orderdate").cast("date"))
+            )
+            .cast("int")
+            .alias("part"),
+            (F.col("o_orderkey") % _INGEST_FILES).cast("int").alias(
+                "file_id"
+            ),
+        )
+        .agg((F.count(F.lit(1)) * _ROW_BYTES).cast("long").alias("size_bytes"))
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy(F.desc("size_bytes"), "file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = manifest.withColumn(
+        "group_id",
+        F.floor(
+            (F.sum("size_bytes").over(w) - F.col("size_bytes"))
+            / _TARGET_BYTES
+        ).cast("int"),
+    )
+    return binned.groupBy("part", "group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("size_bytes").cast("long").alias("group_bytes"),
+        (F.count(F.lit(1)) > 1).alias("needs_compaction"),
+    )
