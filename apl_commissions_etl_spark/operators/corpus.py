@@ -77,22 +77,31 @@ def word_shingles(w: Column, n: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-document repetition profile: duplicate-word fraction,
     top-word frequency fraction, duplicate-3-gram fraction. The
     Gopher/MassiveText repetition rules are thresholds over exactly
     these ratios. All ratios are raw double divisions of exact integer
-    counts (bit-identical across engines; no rounding step)."""
+    counts (bit-identical across engines; no rounding step).
+
+    Entirely per-row array math — no explode, no shuffle — so callers
+    can pass ``keep`` columns to carry through and fuse further
+    projection-shaped signals onto the SAME scan instead of joining
+    separately-derived frames back on the id."""
     w = ta.words(text_col)
     d = df.select(
         F.col(id_col),
         w.alias("w"),
         F.size(w).alias("n_words"),
+        *keep,
     )
     sh = word_shingles(F.col("w"), F.col("n_words"))
     d = d.select(
         id_col,
         "n_words",
+        *keep,
         (
             F.lit(1.0)
             - F.size(F.array_distinct("w")).cast("double") / F.col("n_words")
@@ -106,6 +115,7 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return d.select(
         id_col,
         "n_words",
+        *keep,
         "dup_word_frac",
         "top_word_frac",
         F.when(

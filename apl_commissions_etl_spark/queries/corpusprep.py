@@ -705,10 +705,22 @@ rep AS (
 )
 def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    rep = corpus.repetition_metrics(d, "doc_id", "text").select(
+    # repetition, lang-id, and quality are ALL per-row projections (no
+    # explode, no shuffle): fuse them onto ONE scan via the repetition
+    # operator's keep-columns instead of deriving three frames from the
+    # same scan and joining them back on doc_id — only the perplexity
+    # signal (which genuinely needs the corpus-level vocabulary) joins
+    base = corpus.repetition_metrics(
+        d, "doc_id", "text", keep=("text", "lang")
+    ).select(
         "doc_id",
         ((F.col("dup_word_frac") <= 0.95) & (F.col("top_word_frac") <= 0.2))
         .alias("pass_repetition"),
+        (
+            (ta.lang_id("text") == F.col("lang"))
+            | (ta.lang_id("text") == "und")
+        ).alias("pass_lang"),
+        (ta.quality_score("text") >= 0.3).alias("pass_quality"),
     )
     w = d.select("doc_id", F.explode(ta.words("text")).alias("tok"))
     vocab = w.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
@@ -726,35 +738,18 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", (F.col("nll") < 6.5).alias("pass_perplexity"))
     )
-    lang = d.select(
+    return base.join(ppl, "doc_id").select(
         "doc_id",
+        "pass_repetition",
+        "pass_perplexity",
+        "pass_lang",
+        "pass_quality",
         (
-            (ta.lang_id("text") == F.col("lang"))
-            | (ta.lang_id("text") == "und")
-        ).alias("pass_lang"),
-    )
-    qual = d.select(
-        "doc_id", (ta.quality_score("text") >= 0.3).alias("pass_quality")
-    )
-    return (
-        d.select("doc_id")
-        .join(ppl, "doc_id")
-        .join(qual, "doc_id")
-        .join(lang, "doc_id")
-        .join(rep, "doc_id")
-        .select(
-            "doc_id",
-            "pass_repetition",
-            "pass_perplexity",
-            "pass_lang",
-            "pass_quality",
-            (
-                F.col("pass_repetition")
-                & F.col("pass_perplexity")
-                & F.col("pass_lang")
-                & F.col("pass_quality")
-            ).alias("keep"),
-        )
+            F.col("pass_repetition")
+            & F.col("pass_perplexity")
+            & F.col("pass_lang")
+            & F.col("pass_quality")
+        ).alias("keep"),
     )
 
 
