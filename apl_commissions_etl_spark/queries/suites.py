@@ -257,7 +257,8 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "diagnostic/validation family (sql/analysis/*, reference "
         "check-* scripts): referential-integrity orphan counts, "
         "resolution-chain validation, per-column profiles, "
-        "expectation checks, production-readiness report, "
+        "expectation checks, production-readiness report, in-flight "
+        "observed GL metrics (Dataset.observe), "
         "conformance grouping-sets + analysis, stratified sampling "
         "validation, equal-split lateral distribution",
         (
@@ -266,6 +267,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "audit_column_profile",
             "audit_expectations",
             "audit_production_readiness",
+            "audit_observed_gl",
             "conformance_grouping_sets",
             "conformance_analysis",
             "validate_sampling_report",
