@@ -499,3 +499,76 @@ def audit_observed_gl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "amount_cents bigint, null_broker_entries bigint, "
         "negative_entries bigint",
     )
+
+
+@query(
+    "audit_join_preflight",
+    oracle=f"""
+    WITH {fixtures_cte_sql()},
+    l AS (SELECT CertificateId AS k, COUNT(*) AS c
+          FROM stg_premium_transactions GROUP BY 1),
+    r AS (SELECT CertificateId AS k, COUNT(*) AS c
+          FROM stg_policies GROUP BY 1),
+    j AS (SELECT l.k, l.c AS lc, r.c AS rc FROM l JOIN r ON l.k = r.k)
+    SELECT CAST((SELECT SUM(c) FROM l) AS BIGINT) AS left_rows,
+           CAST((SELECT SUM(c) FROM r) AS BIGINT) AS right_rows,
+           CAST(COUNT(*) AS BIGINT) AS matched_keys,
+           CAST(SUM(lc * rc) AS BIGINT) AS est_output_rows,
+           CAST(MAX(lc) AS BIGINT) AS left_max_mult,
+           CAST(MAX(rc) AS BIGINT) AS right_max_mult,
+           CAST(MAX(lc * rc) AS BIGINT) AS hot_key_pairs,
+           round(CAST(SUM(lc * rc) AS DOUBLE)
+                 / (SELECT SUM(c) FROM l), 6) AS explosion_factor
+    FROM j
+    """,
+    survey_ref="beyond-reference audit surface: JOIN PRE-FLIGHT — the "
+    "fan-out estimate a 100 TB join should run before committing "
+    "cluster-hours. Per-side key multiplicities reduce each input to "
+    "key-scale; sum(lc*rc) over matched keys is the EXACT output "
+    "cardinality of the equi-join, max(lc*rc) the hottest key's share "
+    "(the AQE-skew-split / operators/skew.py salting trigger), and "
+    "explosion_factor the blow-up vs the left input. Two key-scale "
+    "aggregations + one key-scale join — never the join itself",
+)
+def audit_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _staging(spark, sf_dir)
+    l = s["stg_premium_transactions"].groupBy(
+        F.col("CertificateId").alias("k")
+    ).agg(F.count(F.lit(1)).alias("lc"))
+    r = s["stg_policies"].groupBy(F.col("CertificateId").alias("k")).agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    j = l.join(r, "k")
+    # side totals as broadcast 1-row frames, not driver-side counts:
+    # the whole pre-flight is ONE submitted plan with zero collect()s
+    lt = l.agg(F.sum("lc").cast("long").alias("left_rows"))
+    rt = r.agg(F.sum("rc").cast("long").alias("right_rows"))
+    return (
+        j.agg(
+            F.count(F.lit(1)).cast("long").alias("matched_keys"),
+            F.sum(F.col("lc") * F.col("rc")).cast("long").alias(
+                "est_output_rows"
+            ),
+            F.max("lc").cast("long").alias("left_max_mult"),
+            F.max("rc").cast("long").alias("right_max_mult"),
+            F.max(F.col("lc") * F.col("rc")).cast("long").alias(
+                "hot_key_pairs"
+            ),
+        )
+        .crossJoin(F.broadcast(lt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "left_rows",
+            "right_rows",
+            "matched_keys",
+            "est_output_rows",
+            "left_max_mult",
+            "right_max_mult",
+            "hot_key_pairs",
+            F.round(
+                F.col("est_output_rows").cast("double")
+                / F.col("left_rows"),
+                6,
+            ).alias("explosion_factor"),
+        )
+    )
