@@ -258,7 +258,8 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "check-* scripts): referential-integrity orphan counts, "
         "resolution-chain validation, per-column profiles, "
         "expectation checks, production-readiness report, in-flight "
-        "observed GL metrics (Dataset.observe), "
+        "observed GL metrics (Dataset.observe), join pre-flight "
+        "fan-out estimation, "
         "conformance grouping-sets + analysis, stratified sampling "
         "validation, equal-split lateral distribution",
         (
@@ -268,6 +269,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "audit_expectations",
             "audit_production_readiness",
             "audit_observed_gl",
+            "audit_join_preflight",
             "conformance_grouping_sets",
             "conformance_analysis",
             "validate_sampling_report",
