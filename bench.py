@@ -52,6 +52,9 @@ HEADLINE = [
     "win_sessionize",
     "dim_policies",
     "audit_referential_integrity",
+    "audit_observed_gl",
+    "audit_join_preflight",
+    "layout_compaction_plan",
 ]
 
 
