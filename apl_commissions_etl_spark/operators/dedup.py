@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .textanalysis import fingerprint_bow, normalize_text
 
@@ -442,3 +443,67 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by word-SET Jaccard >= threshold using
+    PREFIX FILTERING (the canonical set-similarity-join pruning,
+    PPJoin-family): tokens are globally ordered rarest-first (df asc,
+    token asc); a pair with Jaccard >= t must share a token inside
+    each document's first ``n - ceil(t*n) + 1`` tokens of that order,
+    so ONLY prefix tokens enter the candidate equi-join. Because the
+    prefix is the RAREST part of each document, hot tokens are pruned
+    from candidate generation by construction — a principled bound
+    where the shingle path needs an explicit df cap — and the
+    guarantee is lossless: no qualifying pair can be missed.
+    Candidates then verify EXACT Jaccard on the full token sets.
+
+    At 100 TB: token-df ranking is one key-scale aggregation, the
+    candidate space is sum over prefix tokens of df² (small by
+    construction), and every stage is an equi-join/groupBy — no
+    cartesian anywhere."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalize_text(text_col), " ")))
+        .alias("t"),
+    )
+    tdf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy(id_col)
+    ranked = (
+        toks.join(tdf, "t")
+        .withColumn(
+            "rn",
+            F.row_number().over(w_doc.orderBy("df", "t")),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select(id_col, "t")
+    cand = (
+        pref.select(F.col(id_col).alias("id_a"), "t")
+        .join(pref.select(F.col(id_col).alias("id_b"), "t"), "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = toks.groupBy(id_col).agg(F.collect_set("t").alias("ts"))
+    joined = cand.join(
+        sets.select(F.col(id_col).alias("id_a"), F.col("ts").alias("ts_a")),
+        "id_a",
+    ).join(
+        sets.select(F.col(id_col).alias("id_b"), F.col("ts").alias("ts_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(inter * F.lit(1.0) / union, 6).cast("double").alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

@@ -214,6 +214,50 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_WORDS}) AS t FROM documents),
+    tdf AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t),
+    ranked AS (
+      SELECT k.doc_id, k.t,
+             ROW_NUMBER() OVER (PARTITION BY k.doc_id
+                                ORDER BY d.df, k.t) AS rn,
+             COUNT(*) OVER (PARTITION BY k.doc_id) AS n
+      FROM tok k JOIN tdf d USING (t)),
+    pref AS (SELECT doc_id, t FROM ranked
+             WHERE rn <= n - CAST(CEIL(0.5 * n) AS BIGINT) + 1),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN tok x ON x.doc_id = c.id_a
+      JOIN tok y ON y.doc_id = c.id_b AND y.t = x.t
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           CAST(round(i.inter * 1.0 / (sx.n + sy.n - i.inter), 6) AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sx ON i.id_a = sx.doc_id
+    JOIN sizes sy ON i.id_b = sy.doc_id
+    WHERE i.inter * 1.0 / (sx.n + sy.n - i.inter) >= 0.5
+    """,
+    survey_ref="north-star: PREFIX-FILTERING set-similarity join "
+    "(PPJoin-family) — tokens globally ordered rarest-first, only "
+    "each doc's first n-ceil(t*n)+1 tokens enter the candidate "
+    "equi-join (a pair with Jaccard>=t MUST share a prefix token), "
+    "exact verify on full sets. Lossless pruning where the shingle "
+    "path needs a df cap: hot tokens are excluded from candidates by "
+    "construction because the prefix is the rare end of the order",
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return dedup.prefix_filter_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},

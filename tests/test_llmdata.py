@@ -459,3 +459,37 @@ def test_bpe_apply_consistent_with_train(spark, sf_dir):
     assert sum(r["n_tokens_char"] for r in applied) == train[0]["corpus_tokens"]
     for r in applied:
         assert 0 < r["n_tokens_bpe"] <= r["n_tokens_char"]
+
+
+def test_prefix_filter_finds_every_qualifying_pair(spark):
+    """Prefix filtering is LOSSLESS: compare against the all-pairs
+    word-set Jaccard on a small corpus with planted near-dups and a
+    boilerplate token shared by every doc (the hot-key case a df cap
+    would mishandle)."""
+    import itertools
+
+    from apl_commissions_etl_spark.operators import dedup
+
+    texts = {
+        1: "common alpha beta gamma delta epsilon",
+        2: "common alpha beta gamma delta zeta",
+        3: "common completely different words here now",
+        4: "common alpha beta gamma delta epsilon",   # exact dup of 1
+        5: "common unrelated text again something else",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    expected = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        if len(sa & sb) / len(sa | sb) >= 0.5:
+            expected.add((a, b))
+    assert got == expected
+    assert (1, 4) in got  # the exact dup survived
