@@ -198,12 +198,15 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
     ),
     "dedup_patterns_suite": (
         "north-star deduplication family: exact (hash-groupBy), n-gram "
-        "Jaccard (shingle equi-join, df-capped), MinHash+LSH (band "
-        "join + verify, bucket-capped), SimHash (md5-parity bits), "
-        "span-level chunk dedup, embedding sign-LSH near-dup",
+        "Jaccard (shingle equi-join, df-capped), prefix-filtering "
+        "set-similarity join (lossless PPJoin-family pruning), "
+        "MinHash+LSH (band join + verify, bucket-capped), SimHash "
+        "(md5-parity bits), span-level chunk dedup, embedding "
+        "sign-LSH near-dup",
         (
             "dedup_exact",
             "dedup_ngram_jaccard",
+            "dedup_prefix_filter_jaccard",
             "dedup_minhash_lsh",
             "dedup_simhash",
             "dedup_chunk_spans",
