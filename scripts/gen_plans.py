@@ -164,6 +164,24 @@ AUDITS: list[tuple[str, list[str], list[str], str]] = [
         "gaps-and-islands window pass per key — the LAG and the "
         "emission filter share a single (user, type) exchange.",
     ),
+    (
+        "dedup_prefix_filter_jaccard",
+        ["HashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"],
+        "Prefix-filtering set-similarity join: token-df ranking, the "
+        "prefix-token candidate equi-join, and the exact-verify joins "
+        "are ALL hash joins — no all-pairs comparison appears anywhere "
+        "in the plan, the lossless alternative to a df cap.",
+    ),
+    (
+        "audit_join_preflight",
+        ["HashAggregate"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "Join pre-flight: two key-scale multiplicity aggregations and "
+        "one key-scale join; the broadcast side-total frames appear as "
+        "single-row nested-loop joins (cost-free), and the fact-scale "
+        "join being estimated never executes.",
+    ),
 ]
 
 
