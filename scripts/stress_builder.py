@@ -47,7 +47,12 @@ def main() -> None:
 
     rows = []
     for k in (1, 4, 16):
-        certs = base
+        # same spread the engine applies (_certs_spread): the derived
+        # view is ONE partition locally, so the replicated explode and
+        # the whole-fact aggregations would otherwise run
+        # single-threaded — on a real cluster the scan provides this.
+        # Spread BEFORE the explode so replication itself parallelizes.
+        certs = base.repartition(spark.sparkContext.defaultParallelism)
         if k > 1:
             certs = (
                 base.withColumn(
