@@ -43,6 +43,14 @@ def main() -> None:
     staging = {name: spark.table(name) for name, _ in FIXTURE_VIEWS}
     base = staging["stg_premium_transactions"]
 
+    # throwaway pass: JVM JIT + codegen warm-up must not be billed to
+    # the 1x row (it distorts every ratio in the table)
+    warm = dict(staging)
+    warm["stg_premium_transactions"] = base.repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    calc.run_calc(warm)["gl"].count()
+
     rows = []
     for k in (1, 4, 16, 64):
         fact = base
@@ -112,7 +120,22 @@ def dedup_stress() -> None:
     from apl_commissions_etl_spark.sources.testdata import load_table
 
     spark = get_spark("stress-dedup")
-    base = load_table(spark, SF, "documents").select("doc_id", "text")
+    # spread before the explode, as the engine's _docs accessor does:
+    # the corpus arrives as one parquet split locally and the
+    # CPU-heavy shingle/minhash stages would otherwise start
+    # single-threaded
+    base = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    # throwaway pass: JVM JIT + codegen warm-up must not be billed to
+    # the 1x row (it distorts every ratio in the table)
+    dedup.minhash_lsh_pairs(
+        base, "doc_id", "text", max_bucket=20,
+        persist=lambda df: df.localCheckpoint(),
+    ).count()
 
     rows = []
     for k in (1, 4, 16):
