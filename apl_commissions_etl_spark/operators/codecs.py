@@ -223,8 +223,13 @@ def png_decode(blob: bytes) -> tuple[int, int, int, int, bytes]:
     pos = 8
     width = height = bit_depth = color_type = None
     idat = bytearray()
+    saw_iend = False
     while pos + 8 <= len(blob):
         (clen,) = struct.unpack_from(">I", blob, pos)
+        # bounds-check BEFORE slicing: a blob truncated mid-chunk must
+        # fail as ValueError (the documented contract), not struct.error
+        if pos + 12 + clen > len(blob):
+            raise ValueError("truncated PNG (chunk extends past blob end)")
         ctype = blob[pos + 4 : pos + 8]
         data = blob[pos + 8 : pos + 8 + clen]
         (crc,) = struct.unpack_from(">I", blob, pos + 8 + clen)
@@ -243,10 +248,13 @@ def png_decode(blob: bytes) -> tuple[int, int, int, int, bytes]:
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
+            saw_iend = True
             break
         pos += 12 + clen
     if width is None:
         raise ValueError("missing IHDR chunk")
+    if not saw_iend:
+        raise ValueError("truncated PNG (missing IEND chunk)")
     stream = zlib.decompress(bytes(idat))
     stride = width * _PNG_BPP
     if len(stream) != (stride + 1) * height:

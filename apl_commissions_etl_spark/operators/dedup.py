@@ -56,9 +56,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _pair_jaccard(shingles: DataFrame, id_col: str) -> DataFrame:
+def _pair_jaccard(
+    shingles: DataFrame, id_col: str, threshold: float | None = None
+) -> DataFrame:
     """All candidate pairs sharing >= 1 shingle with exact Jaccard.
-    The shingle equi-join IS the candidate generator -- no cartesian."""
+    The shingle equi-join IS the candidate generator -- no cartesian.
+
+    The threshold (when given) is applied to the UNROUNDED ratio; the
+    projected ``jaccard`` column is rounded to 6 dp for cross-engine
+    value stability. Filtering on the rounded value would admit pairs
+    whose true jaccard sits in [t - 5e-7, t) — wrong, and a mismatch
+    against any oracle that filters the raw ratio."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -70,21 +78,18 @@ def _pair_jaccard(shingles: DataFrame, id_col: str) -> DataFrame:
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter")
-                * F.lit(1.0)
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                6,
-            )
-            .cast("double")
-            .alias("jaccard"),
-        )
+    raw = (
+        F.col("inter")
+        * F.lit(1.0)
+        / (F.col("na") + F.col("nb") - F.col("inter"))
+    )
+    out = inter.join(na, "id_a").join(nb, "id_b")
+    if threshold is not None:
+        out = out.filter(raw >= threshold)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(raw, 6).cast("double").alias("jaccard"),
     )
 
 
@@ -123,7 +128,7 @@ def ngram_jaccard_pairs(
     and such pairs are boilerplate collisions, not near-duplicates."""
     sh = word_shingles(df, id_col, text_col, n)
     if max_df is None:
-        return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
+        return _pair_jaccard(sh, id_col, threshold)
     capped = sh.join(F.broadcast(frequent_shingles(sh, max_df)), "shingle", "left_anti")
     cand = (
         capped.select(F.col(id_col).alias("id_a"), "shingle")
@@ -138,11 +143,12 @@ def ngram_jaccard_pairs(
     ).join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return joined.select(
+    raw = inter * F.lit(1.0) / union
+    return joined.filter(raw >= threshold).select(
         "id_a",
         "id_b",
-        F.round(inter * F.lit(1.0) / union, 6).cast("double").alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+        F.round(raw, 6).cast("double").alias("jaccard"),
+    )
 
 
 def shingle_sets(shingles: DataFrame, id_col: str) -> DataFrame:
@@ -249,12 +255,10 @@ def minhash_lsh_pairs(
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        candidates.select(
-            "id_a", "id_b",
-            F.round(inter * F.lit(1.0) / union, 6).cast("double").alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    raw = inter * F.lit(1.0) / union
+    return candidates.filter(raw >= threshold).select(
+        "id_a", "id_b",
+        F.round(raw, 6).cast("double").alias("jaccard"),
     )
 
 
@@ -502,8 +506,9 @@ def prefix_filter_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     union = F.size("ts_a") + F.size("ts_b") - inter
-    return joined.select(
+    raw = inter * F.lit(1.0) / union
+    return joined.filter(raw >= threshold).select(
         "id_a",
         "id_b",
-        F.round(inter * F.lit(1.0) / union, 6).cast("double").alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+        F.round(raw, 6).cast("double").alias("jaccard"),
+    )

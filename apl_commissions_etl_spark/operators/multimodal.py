@@ -14,6 +14,7 @@ frame-sampling / audio-window stages where the container is opaque.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -34,13 +35,15 @@ DECODE_SCHEMA = T.StructType(
 )
 
 
-def _png_geometry(n_bytes: int) -> tuple[int, int]:
+def _png_geometry(n_stored: int) -> tuple[int, int]:
     """Deterministic container geometry for a packed payload: width
-    varies with the byte length (16..63 px) so decoded dimensions are
-    data-dependent, height is whatever fits. The DuckDB oracle
-    recomputes the same closed form from octet_length(text)."""
-    width = 16 + n_bytes % 48
-    height = max(1, -(-n_bytes // (3 * width)))
+    varies with the STORED byte length (16..63 px) so decoded
+    dimensions are data-dependent, height is whatever fits.
+    ``n_stored`` includes the 4-byte length prefix the packing layer
+    prepends (see ``attach_png_payload``); the DuckDB oracle
+    recomputes the same closed form from octet_length(text) + 4."""
+    width = 16 + n_stored % 48
+    height = max(1, -(-n_stored // (3 * width)))
     return width, height
 
 
@@ -60,7 +63,13 @@ def attach_png_payload(
     packed as the RGB pixel buffer of a deflate-compressed PNG
     (operators/codecs.py). Arrow-batched mapInPandas — the per-blob
     struct/zlib packing is the codec boundary Python is sanctioned
-    for."""
+    for.
+
+    The pixel buffer stores a 4-byte big-endian length prefix followed
+    by the payload, so decode recovers EXACTLY the original bytes —
+    including any trailing NULs — rather than relying on stripping the
+    zero padding (which would corrupt binary payloads that end in
+    NUL)."""
     from ..shipping import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
@@ -80,9 +89,10 @@ def attach_png_payload(
             out_id, out_pl = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 raw = str(text).encode("utf-8")
-                w, h = _png_geometry(len(raw))
+                stored = struct.pack(">I", len(raw)) + raw
+                w, h = _png_geometry(len(stored))
                 out_id.append(did)
-                out_pl.append(codecs.png_encode(raw, w, h))
+                out_pl.append(codecs.png_encode(stored, w, h))
             yield pd.DataFrame(
                 {
                     "doc_id": out_id,
@@ -113,7 +123,10 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     ("doc_id", "n_bytes", "content_hash", "width", "height")}
             for did, blob in zip(pdf[id_col], pdf["payload"]):
                 w, h, _depth, _ct, pixels = codecs.png_decode(bytes(blob))
-                payload = pixels.rstrip(b"\0")  # utf-8 never contains NUL
+                # 4-byte length prefix -> exact payload slice (correct
+                # even for payloads that legitimately end in NUL bytes)
+                (n,) = struct.unpack_from(">I", pixels, 0)
+                payload = pixels[4 : 4 + n]
                 rows["doc_id"].append(did)
                 rows["n_bytes"].append(len(payload))
                 rows["content_hash"].append(
@@ -307,14 +320,22 @@ def decode_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows["doc_id"].append(did)
                 rows["n_media_bytes"].append(len(b))
                 if b[:2] == b"BM":
+                    # BMP/WAV stand-ins pad with NULs and embed UTF-8
+                    # corpus text, which never contains NUL — the
+                    # rstrip is safe HERE by that precondition (the
+                    # PNG path carries an explicit length prefix and
+                    # needs no such assumption)
                     w, h, _bpp, payload = codecs.bmp_decode(b)
+                    payload = payload.rstrip(b"\0")
                     rows["media_type"].append("image/bmp")
                     rows["width"].append(w)
                     rows["height"].append(h)
                     rows["sample_rate"].append(None)
                     rows["n_frames"].append(None)
                 elif b[:8] == b"\x89PNG\r\n\x1a\n":
-                    w, h, _depth, _ct, payload = codecs.png_decode(b)
+                    w, h, _depth, _ct, pixels = codecs.png_decode(b)
+                    (n,) = struct.unpack_from(">I", pixels, 0)
+                    payload = pixels[4 : 4 + n]
                     rows["media_type"].append("image/png")
                     rows["width"].append(w)
                     rows["height"].append(h)
@@ -322,6 +343,7 @@ def decode_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     rows["n_frames"].append(None)
                 elif b[:4] == b"RIFF":
                     rate, ch, _bits, n_frames, payload = codecs.wav_decode(b)
+                    payload = payload.rstrip(b"\0")
                     rows["media_type"].append("audio/wav")
                     rows["width"].append(None)
                     rows["height"].append(None)
@@ -332,7 +354,7 @@ def decode_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "no external codec available for this container"
                     )
                 rows["payload_sha256"].append(
-                    hashlib.sha256(payload.rstrip(b"\0")).hexdigest()
+                    hashlib.sha256(payload).hexdigest()
                 )
             pdf_out = pd.DataFrame(rows)
             for c in ("n_media_bytes", "width", "height", "sample_rate",

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..caching import locked_get
 from ..operators.consolidate import consolidate_proposals
 from ..plans import builder
 from ..plans.builder_fixtures import builder_cte_sql, register_builder_views
@@ -113,25 +114,29 @@ def _per_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     certificate split with canonical tier string + hierarchy hash) —
     the single most expensive shared subplan across builder queries."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PER_SPLIT_CACHE:
-        # localCheckpoint, not cache(): every builder query embeds this
-        # frame several times; lineage truncation keeps their analyzed
-        # plans small (AQE re-plans per action, so plan size is a
-        # per-query driver cost, not a one-off)
-        _PER_SPLIT_CACHE[key] = builder.split_hierarchies(
+    # localCheckpoint, not cache(): every builder query embeds this
+    # frame several times; lineage truncation keeps their analyzed
+    # plans small (AQE re-plans per action, so plan size is a
+    # per-query driver cost, not a one-off)
+    return locked_get(
+        _PER_SPLIT_CACHE,
+        key,
+        lambda: builder.split_hierarchies(
             _certs_spread(spark, sf_dir)
-        ).localCheckpoint()
-    return _PER_SPLIT_CACHE[key]
+        ).localCheckpoint(),
+    )
 
 
 def _criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CRITERIA_CACHE:
-        _CRITERIA_CACHE[key] = builder.selection_criteria(
+    return locked_get(
+        _CRITERIA_CACHE,
+        key,
+        lambda: builder.selection_criteria(
             _certs_spread(spark, sf_dir),
             per_split=_per_split(spark, sf_dir),
-        ).localCheckpoint()
-    return _CRITERIA_CACHE[key]
+        ).localCheckpoint(),
+    )
 
 
 @query(

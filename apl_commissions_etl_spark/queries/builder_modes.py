@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import locked_get
 from ..plans import builder_modes as modes
 from ..registry import query
 from .builder import BUILDER_CTES, _certs, _criteria, _per_split, builder_cte_sql
@@ -148,13 +149,15 @@ _CASCADE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 def _cascade(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CASCADE_CACHE:
-        # localCheckpoint (not cache): truncates each stage's lineage so
-        # downstream plans stay LogicalRDD-leaf-sized — see mode_cascade
-        _CASCADE_CACHE[key] = modes.mode_cascade(
+    # localCheckpoint (not cache): truncates each stage's lineage so
+    # downstream plans stay LogicalRDD-leaf-sized — see mode_cascade
+    return locked_get(
+        _CASCADE_CACHE,
+        key,
+        lambda: modes.mode_cascade(
             _criteria(spark, sf_dir), persist=lambda df: df.localCheckpoint()
-        )
-    return _CASCADE_CACHE[key]
+        ),
+    )
 
 
 @query(

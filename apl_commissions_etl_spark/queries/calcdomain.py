@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import locked_get
 from ..plans import calc
 from ..plans.fixtures import FIXTURE_VIEWS, fixtures_cte_sql, register_fixture_views
 from ..registry import query
@@ -135,7 +136,8 @@ _STAGING_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 def _staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _STAGING_CACHE:
+
+    def build() -> dict[str, DataFrame]:
         register_fixture_views(spark, sf_dir)
         out: dict[str, DataFrame] = {}
         for name, _ in FIXTURE_VIEWS:
@@ -145,8 +147,9 @@ def _staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 # the premium fact stays a streaming parquet scan
                 df = df.cache()
             out[name] = df
-        _STAGING_CACHE[key] = out
-    return _STAGING_CACHE[key]
+        return out
+
+    return locked_get(_STAGING_CACHE, key, build)
 
 
 #: session-scoped cascade cache — run_calc's shared frames (c3, c8)
@@ -158,7 +161,8 @@ _STAGES_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _STAGES_CACHE:
+
+    def build() -> dict[str, DataFrame]:
         # localCheckpoint: the cascade's shared frames are embedded in a
         # dozen queries; lineage truncation keeps their plans small
         # (AQE re-plans per action — see mode_cascade's rationale).
@@ -177,10 +181,9 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         stg["stg_premium_transactions"] = (
             stg["stg_premium_transactions"].repartition(par)
         )
-        _STAGES_CACHE[key] = calc.run_calc(
-            stg, persist=lambda df: df.localCheckpoint()
-        )
-    return _STAGES_CACHE[key]
+        return calc.run_calc(stg, persist=lambda df: df.localCheckpoint())
+
+    return locked_get(_STAGES_CACHE, key, build)
 
 
 @query(

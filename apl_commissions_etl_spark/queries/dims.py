@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import locked_get
 from ..plans.dims_fixtures import dims_cte_sql, register_dim_views
 from ..registry import query
 
@@ -118,9 +119,7 @@ _FRAME_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 def _cached_frame(spark: SparkSession, sf_dir: str, name: str, build):
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    if key not in _FRAME_CACHE:
-        _FRAME_CACHE[key] = build().localCheckpoint()
-    return _FRAME_CACHE[key]
+    return locked_get(_FRAME_CACHE, key, lambda: build().localCheckpoint())
 
 
 def brokers_dim_cached(spark: SparkSession, sf_dir: str) -> DataFrame:

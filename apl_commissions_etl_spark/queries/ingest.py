@@ -20,6 +20,7 @@ import zipfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import locked_get
 from ..registry import query
 from ..sources.csv_ingest import read_raw_csv
 from ..sources.archive import read_zip_csvs
@@ -49,7 +50,8 @@ def _csv_stage(spark: SparkSession, sf_dir: str) -> str:
     """Write customer as 2 headered CSV part files (glob source S7)
     with dirty headers; once per (session, sf)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CSV_STAGE:
+
+    def build() -> str:
         path = _stage_dir(spark, sf_dir, "csv")
         c = load_table(spark, sf_dir, "customer").select(
             F.col("c_custkey").cast("string"),
@@ -62,8 +64,9 @@ def _csv_stage(spark: SparkSession, sf_dir: str) -> str:
         c.toDF(*_DIRTY_HEADERS).coalesce(2).write.mode("overwrite").option(
             "header", True
         ).csv(path)
-        _CSV_STAGE[key] = path
-    return _CSV_STAGE[key]
+        return path
+
+    return locked_get(_CSV_STAGE, key, build)
 
 
 def _zip_stage(spark: SparkSession, sf_dir: str) -> str:
@@ -72,7 +75,8 @@ def _zip_stage(spark: SparkSession, sf_dir: str) -> str:
     filter must exclude — if filtering regressed, the row multiset
     changes and the value hash catches it."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _ZIP_STAGE:
+
+    def build() -> str:
         csv_dir = _csv_stage(spark, sf_dir)
         zpath = _stage_dir(spark, sf_dir, "zip") + ".zip"
         parts = sorted(
@@ -85,8 +89,9 @@ def _zip_stage(spark: SparkSession, sf_dir: str) -> str:
                     os.path.join(csv_dir, p), f"CommissionsDetail_{i}.csv"
                 )
             zf.write(os.path.join(csv_dir, parts[0]), "Other_0.csv")
-        _ZIP_STAGE[key] = zpath
-    return _ZIP_STAGE[key]
+        return zpath
+
+    return locked_get(_ZIP_STAGE, key, build)
 
 
 def _typed(raw: DataFrame) -> DataFrame:
@@ -296,13 +301,15 @@ def _events_for_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jsonl_stage(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _JSONL_STAGE:
+
+    def build() -> str:
         path = _stage_dir(spark, sf_dir, "jsonl")
         _events_for_stage(spark, sf_dir).coalesce(2).write.mode(
             "overwrite"
         ).json(path)
-        _JSONL_STAGE[key] = path
-    return _JSONL_STAGE[key]
+        return path
+
+    return locked_get(_JSONL_STAGE, key, build)
 
 
 @query(
@@ -335,7 +342,8 @@ def ingest_jsonl_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _orc_stage(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _ORC_STAGE:
+
+    def build() -> str:
         path = _stage_dir(spark, sf_dir, "orc")
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey",
@@ -344,8 +352,9 @@ def _orc_stage(spark: SparkSession, sf_dir: str) -> str:
             F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
         ).coalesce(2).write.mode("overwrite").orc(path)
-        _ORC_STAGE[key] = path
-    return _ORC_STAGE[key]
+        return path
+
+    return locked_get(_ORC_STAGE, key, build)
 
 
 @query(
@@ -381,7 +390,8 @@ def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     on: the year filter becomes a PartitionFilter and non-matching
     directories are never opened."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PART_STAGE:
+
+    def build() -> str:
         path = _stage_dir(spark, sf_dir, "part")
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey",
@@ -390,8 +400,9 @@ def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             F.year(F.col("o_orderdate")).alias("o_year"),
         ).write.mode("overwrite").partitionBy("o_year").parquet(path)
-        _PART_STAGE[key] = path
-    return _PART_STAGE[key]
+        return path
+
+    return locked_get(_PART_STAGE, key, build)
 
 
 @query(
@@ -431,7 +442,8 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _log_stage(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _LOG_STAGE:
+
+    def build() -> str:
         path = _stage_dir(spark, sf_dir, "log")
         _events_for_stage(spark, sf_dir).select(
             F.concat(
@@ -446,8 +458,9 @@ def _log_stage(spark: SparkSession, sf_dir: str) -> str:
                 F.col("value_cents").cast("string"),
             ).alias("value")
         ).coalesce(2).write.mode("overwrite").text(path)
-        _LOG_STAGE[key] = path
-    return _LOG_STAGE[key]
+        return path
+
+    return locked_get(_LOG_STAGE, key, build)
 
 
 @query(

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import locked_get
 from ..operators import dedup, multimodal, similarity, textanalysis as ta
 from ..registry import query
 from ..sources.testdata import load_table
@@ -46,7 +47,10 @@ pairs AS (
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 jac AS (
+  -- jacr = unrounded ratio (threshold filters apply to THIS);
+  -- jaccard = 6-dp projection (output column only)
   SELECT p.id_a, p.id_b,
+         p.inter * 1.0 / (x.n + y.n - p.inter) AS jacr,
          CAST(round(p.inter * 1.0 / (x.n + y.n - p.inter), 6) AS DOUBLE) AS jaccard
   FROM pairs p
   JOIN sizes x ON p.id_a = x.doc_id
@@ -187,13 +191,15 @@ _LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _LSH_PAIRS_CACHE:
-        _LSH_PAIRS_CACHE[key] = dedup.minhash_lsh_pairs(
+    return locked_get(
+        _LSH_PAIRS_CACHE,
+        key,
+        lambda: dedup.minhash_lsh_pairs(
             _docs(spark, sf_dir), "doc_id", "text", n=3, num_hashes=8,
             bands=2, threshold=0.5, max_bucket=MAX_BAND_BUCKET,
             persist=lambda f: f.localCheckpoint(),
-        ).localCheckpoint()
-    return _LSH_PAIRS_CACHE[key]
+        ).localCheckpoint(),
+    )
 
 
 #: session-scoped cluster labels — shared by dedup_cluster_labels and
@@ -204,13 +210,15 @@ _CLUSTER_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CLUSTER_LABELS_CACHE:
-        _CLUSTER_LABELS_CACHE[key] = dedup.connected_components(
+    return locked_get(
+        _CLUSTER_LABELS_CACHE,
+        key,
+        lambda: dedup.connected_components(
             _lsh_pairs(spark, sf_dir).select("id_a", "id_b"),
             _docs(spark, sf_dir).select("doc_id"),
             "doc_id",
-        ).localCheckpoint()
-    return _CLUSTER_LABELS_CACHE[key]
+        ).localCheckpoint(),
+    )
 
 
 @query(
@@ -325,7 +333,7 @@ _LSH_PAIRS_SQL = f"""{_SHINGLES_CTE}, {_PAIR_JACCARD_SQL},
     lsh_pairs AS (
       SELECT c.id_a, c.id_b, j.jaccard
       FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-      WHERE j.jaccard >= 0.5)"""
+      WHERE j.jacr >= 0.5)"""
 
 
 @query(
@@ -530,7 +538,8 @@ _KMEANS_CENT_CACHE: dict[tuple[str, str], list] = {}
 
 def _ann_constants(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _ANN_CONST_CACHE:
+
+    def build():
         emb = load_table(spark, sf_dir, "embeddings")
         qvec = (
             emb.filter(F.col("vec_id") == 0)
@@ -539,17 +548,20 @@ def _ann_constants(spark: SparkSession, sf_dir: str):
             .collect()[0][0]
         )
         seeds = similarity.ivf_centroids(emb, n_centroids=16)
-        _ANN_CONST_CACHE[key] = (list(qvec), seeds)
-    return _ANN_CONST_CACHE[key]
+        return (list(qvec), seeds)
+
+    return locked_get(_ANN_CONST_CACHE, key, build)
 
 
 def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _KMEANS_CENT_CACHE:
+
+    def build():
         emb = load_table(spark, sf_dir, "embeddings")
         _, seeds = _ann_constants(spark, sf_dir)
-        _KMEANS_CENT_CACHE[key] = similarity.kmeans_refine(emb, seeds, iters=2)
-    return _KMEANS_CENT_CACHE[key]
+        return similarity.kmeans_refine(emb, seeds, iters=2)
+
+    return locked_get(_KMEANS_CENT_CACHE, key, build)
 
 
 #: session-scoped IVF inverted index: the cell assignment is built
@@ -561,13 +573,13 @@ _IVF_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_INDEX_CACHE:
+
+    def build() -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         _, seeds = _ann_constants(spark, sf_dir)
-        _IVF_INDEX_CACHE[key] = similarity.ivf_assign(
-            emb, seeds
-        ).localCheckpoint()
-    return _IVF_INDEX_CACHE[key]
+        return similarity.ivf_assign(emb, seeds).localCheckpoint()
+
+    return locked_get(_IVF_INDEX_CACHE, key, build)
 
 
 @query(
@@ -628,13 +640,15 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: DuckDB rendering of multimodal._png_geometry (width 16..63 from the
-#: byte length, height = whatever fits at 3 bytes/px) — the oracle
-#: recomputes the container dimensions the Spark side READS from the
-#: real PNG IHDR after inflate+unfilter.
+#: STORED byte length = payload + 4-byte length prefix, height =
+#: whatever fits at 3 bytes/px) — the oracle recomputes the container
+#: dimensions the Spark side READS from the real PNG IHDR after
+#: inflate+unfilter. nb = payload bytes, nbs = stored bytes (nb + 4).
 _PNG_GEOM_SQL = """
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS INT) AS nb,
-             CAST(16 + octet_length(encode(text)) % 48 AS INT) AS width
+             CAST(octet_length(encode(text)) + 4 AS INT) AS nbs,
+             CAST(16 + (octet_length(encode(text)) + 4) % 48 AS INT) AS width
       FROM documents"""
 
 
@@ -646,7 +660,7 @@ _PNG_GEOM_SQL = """
            nb AS n_bytes,
            sha256(text) AS content_hash,
            width,
-           CAST(greatest(1, CAST(ceil(nb / (3.0 * width)) AS INT)) AS INT)
+           CAST(greatest(1, CAST(ceil(nbs / (3.0 * width)) AS INT)) AS INT)
              AS height
     FROM g JOIN documents USING (doc_id)
     """,
@@ -672,7 +686,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS ({_PNG_GEOM_SQL}),
     d AS (
       SELECT doc_id, width,
-             CAST(greatest(1, CAST(ceil(nb / (3.0 * width)) AS INT)) AS INT)
+             CAST(greatest(1, CAST(ceil(nbs / (3.0 * width)) AS INT)) AS INT)
                AS height
       FROM g)
     SELECT doc_id, width, height,
@@ -1266,9 +1280,9 @@ def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            'image/png' AS media_type,
            width,
-           CAST(greatest(1, CAST(ceil(nb / (3.0 * width)) AS INT)) AS INT)
+           CAST(greatest(1, CAST(ceil(nbs / (3.0 * width)) AS INT)) AS INT)
              AS height,
-           CAST(width * greatest(1, CAST(ceil(nb / (3.0 * width)) AS INT)) * 3
+           CAST(width * greatest(1, CAST(ceil(nbs / (3.0 * width)) AS INT)) * 3
              AS INT) AS n_pixel_bytes,
            sha256(text) AS payload_sha256
     FROM g JOIN documents USING (doc_id)

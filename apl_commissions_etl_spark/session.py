@@ -84,10 +84,16 @@ def warm_shared_caches(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     run as CONCURRENT chains: Spark's scheduler interleaves their
     jobs, so wall time is the longest chain, not the sum — exactly
     what a multi-tenant service does at startup. Temp-view
-    registration (a catalog mutation guarded by a check-then-act
-    registry) happens serially up front so no chain races another
+    registration happens serially up front so no chain races another
     into ``createOrReplaceTempView`` and silently uncaches the other
-    chain's derived frames. Per-step numbers are each chain's own
+    chain's derived frames (the registration slot itself is
+    lock-atomic, see ``sources.testdata.needs_registration``).  Every
+    session cache the chains populate goes through
+    ``caching.locked_get`` — per-key double-checked locking — so even
+    a future accessor shared across chains, or a user query racing
+    warm-up from another thread, cannot double-build or leak an eager
+    localCheckpoint; the chains' disjointness is an optimization, not
+    a correctness requirement. Per-step numbers are each chain's own
     busy time; concurrent steps overlap, so their sum exceeds the
     wall clock.
     """

@@ -9,6 +9,7 @@ inputs; the domain pipeline has its own fixture builders in
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -62,16 +63,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 #: (measured: builder_mode_key_mappings 24s in a 120-query session vs
 #: 2s isolated).  Views are static per (session, sf_dir): register once.
 _VIEW_REGISTRY: dict[tuple[str, str], str] = {}
+_VIEW_REGISTRY_LOCK = threading.Lock()
 
 
 def needs_registration(spark: SparkSession, family: str, sf_dir: str) -> bool:
     """True exactly once per (session, family, sf_dir); switching sf_dir
-    re-registers (and correctly invalidates stale caches)."""
+    re-registers (and correctly invalidates stale caches).  The
+    get+set is atomic so concurrent warm-up chains can't both claim
+    the registration slot (the catalog mutations themselves still run
+    serially up front in ``session.warm_shared_caches``)."""
     key = (spark.sparkContext.applicationId, family)
-    if _VIEW_REGISTRY.get(key) == sf_dir:
-        return False
-    _VIEW_REGISTRY[key] = sf_dir
-    return True
+    with _VIEW_REGISTRY_LOCK:
+        if _VIEW_REGISTRY.get(key) == sf_dir:
+            return False
+        _VIEW_REGISTRY[key] = sf_dir
+        return True
 
 
 def register_base_tables(

@@ -1,0 +1,81 @@
+"""caching.locked_get: the per-key locked memoization every session
+cache accessor routes through (warm-up chains run concurrently, so
+double-build races must be structurally impossible)."""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from apl_commissions_etl_spark.caching import locked_get
+
+
+def test_single_build_under_contention():
+    cache: dict = {}
+    calls = []
+    barrier = threading.Barrier(8)
+
+    def build():
+        calls.append(1)
+        time.sleep(0.05)  # widen the race window
+        return "value"
+
+    def hit():
+        barrier.wait()
+        return locked_get(cache, ("app", "sf"), build)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(lambda _: hit(), range(8)))
+    assert results == ["value"] * 8
+    assert len(calls) == 1, "builder must run exactly once per key"
+
+
+def test_distinct_keys_build_concurrently():
+    cache: dict = {}
+    in_flight = []
+    peak = []
+    guard = threading.Lock()
+    barrier = threading.Barrier(4)
+
+    def build(k):
+        with guard:
+            in_flight.append(k)
+            peak.append(len(in_flight))
+        time.sleep(0.05)
+        with guard:
+            in_flight.remove(k)
+        return k
+
+    def hit(k):
+        barrier.wait()
+        return locked_get(cache, k, lambda: build(k))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(hit, range(4)))
+    assert sorted(results) == [0, 1, 2, 3]
+    # different keys must not serialize behind one another
+    assert max(peak) >= 2
+
+
+def test_hit_path_returns_cached_value():
+    cache = {("k",): 42}
+    assert locked_get(cache, ("k",), lambda: 0) == 42
+
+
+def test_failed_build_not_cached():
+    cache: dict = {}
+    attempts = []
+
+    def failing():
+        attempts.append(1)
+        raise RuntimeError("boom")
+
+    for _ in range(2):
+        try:
+            locked_get(cache, "k", failing)
+        except RuntimeError:
+            pass
+    assert len(attempts) == 2 and "k" not in cache
+    # a later successful build fills the slot
+    assert locked_get(cache, "k", lambda: "ok") == "ok"

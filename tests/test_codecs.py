@@ -203,6 +203,25 @@ def test_png_rejects_foreign_bytes():
         codecs.png_decode(b"GIF89a" + b"\0" * 60)
 
 
+def test_png_truncated_mid_chunk_is_value_error():
+    # truncation anywhere in the chunk list must surface as the
+    # documented ValueError, never struct.error from an OOB unpack
+    blob = codecs.png_encode(b"truncate me", 16, 1)
+    for cut in (len(blob) - 1, len(blob) - 13, 20, 9):
+        with pytest.raises(ValueError):
+            codecs.png_decode(blob[:cut])
+
+
+def test_png_missing_iend_rejected():
+    blob = codecs.png_encode(b"no iend", 16, 1)
+    # strip the 12-byte IEND chunk entirely (length+type+CRC, empty data)
+    assert blob.endswith(
+        b"\x00\x00\x00\x00IEND" + blob[-4:]
+    )
+    with pytest.raises(ValueError, match="IEND"):
+        codecs.png_decode(blob[:-12])
+
+
 def test_png_oversized_payload_rejected():
     with pytest.raises(ValueError):
         codecs.png_encode(b"x" * 100, 4, 4)  # capacity 48

@@ -90,8 +90,32 @@ def test_multimodal_decode_batching(spark, sf_dir):
         raw = texts[r.doc_id].encode("utf-8")
         assert r.n_bytes == len(raw)
         assert r.content_hash == hashlib.sha256(raw).hexdigest()
-        assert r.width == 16 + len(raw) % 48
-        assert r.height == max(1, -(-len(raw) // (3 * r.width)))
+        # geometry derives from the STORED length (payload + 4-byte
+        # length prefix) — mirrors multimodal._png_geometry
+        assert r.width == 16 + (len(raw) + 4) % 48
+        assert r.height == max(1, -(-(len(raw) + 4) // (3 * r.width)))
+
+
+def test_png_payload_ending_in_nul_roundtrips_exactly(spark, sf_dir):
+    """The length-prefixed pixel buffer must recover payloads that
+    legitimately END in NUL bytes — the case trailing-NUL stripping
+    silently corrupted."""
+    import hashlib
+
+    texts = ["ends in nul\x00\x00", "\x00", "plain", "a\x00b\x00"]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_features(
+            multimodal.attach_png_payload(d, "doc_id", "text"), "doc_id"
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        assert out[i].n_bytes == len(raw)
+        assert out[i].content_hash == hashlib.sha256(raw).hexdigest()
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
