@@ -57,11 +57,12 @@ def query(name: str, oracle: str | None = None, survey_ref: str = ""):
 #: LLM-data north-star operators.  Everything not listed keeps its
 #: module registration order after the prioritized head.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # previously driver-red, now fixed — must re-earn green first
-    "agg_conditional",
-    "agg_conformance_banding",
-    "agg_collect_accumulate",
-    # §2.4 aggregation family (A1-A12 via suite + dedicated reds above)
+    # §2.4 aggregation family (A1-A12; the three r2-era dedicated agg
+    # slots — agg_conditional / agg_conformance_banding /
+    # agg_collect_accumulate — were rotated out in r5 after two
+    # consecutive driver-green rounds: each is fingerprinted inside
+    # this suite, so the family stays driver-covered while their slots
+    # fund the audit/export families below)
     "agg_patterns_suite",
     # §2.2 projections/casts + §7.3 dims (P1-P3, P7, J12)
     "dim_brokers",
@@ -87,6 +88,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "calc_stage1_premium_context",
     "calc_stage2_proposals_resolved",
     "calc_stage3_splits_applied",
+    "calc_stage4_hierarchies_resolved",
     "calc_stage5_participants_expanded",
     "calc_stage6_rates_applied",
     "calc_stage7_commissions",
@@ -124,18 +126,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # production repair family (reference sql/fix/*.sql, sql/fixes/*.sql):
     # one fingerprinted suite row checks all 6 repair queries
     "fix_patterns_suite",
+    # diagnostics / verification family (reference sql/analysis +
+    # sql/verify + 99-audit-and-cleanup.sql): 9 fingerprinted subs incl.
+    # referential integrity, resolution chain, observed-GL, join
+    # pre-flight, sampling validation
+    "audit_patterns_suite",
+    # per-entity export scripts (reference sql/export/01..19-*.sql
+    # S9/S10 shapes beyond the export_merge_upsert slot): 7 subs
+    "export_entities_suite",
 )
 
 #: Rotation plan if driver slots free up (or the prefix grows): the
-#: next families to pin, in order, are currently driver-"local" only —
-#: each already passes the full local sweep + vanilla rehearsal.
-#:   1. audit_patterns_suite      (sql/analysis diagnostics + sampling
-#:                                 validation + conformance rollups)
-#:   2. export_entities_suite     (per-entity export scripts S9/S10
-#:                                 beyond the export_merge_upsert slot)
-#:   3. calc_stage4_hierarchies_resolved (covered today via stage5)
-#:   4. graph_pagerank / multimodal_png_roundtrip (beyond-§2 extras,
+#: next queries to pin are currently driver-"local" only — each
+#: already passes the full local sweep + vanilla rehearsal.
+#:   1. graph_pagerank / multimodal_png_roundtrip (beyond-§2 extras,
 #:                                 also fingerprinted in llmdata_extras)
+#:   2. agg_conditional (evicted r5; re-pin if the agg suite ever
+#:                                 needs a dedicated companion row)
 #: Keep this list in sync when adding families so the 50-slot prefix
 #: stays an intentional choice rather than registration-order accident.
 
