@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..operators import corpus, textanalysis as ta
 from ..registry import query
 from ..sources.testdata import load_table
-from .llmdata import _NORM, _SHINGLES_CTE, _WORDS, _docs
+from .llmdata import _NORM, _SHINGLES_CTE, _WORDS, _doc_signals, _docs
 
 # DuckDB-side mirrors of the shared text normalization -----------------------
 
@@ -706,21 +706,19 @@ rep AS (
 def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     # repetition, lang-id, and quality are ALL per-row projections (no
-    # explode, no shuffle): fuse them onto ONE scan via the repetition
-    # operator's keep-columns instead of deriving three frames from the
-    # same scan and joining them back on doc_id — only the perplexity
-    # signal (which genuinely needs the corpus-level vocabulary) joins
-    base = corpus.repetition_metrics(
-        d, "doc_id", "text", keep=("text", "lang")
-    ).select(
+    # explode, no shuffle), fused onto ONE scan in the session's
+    # shared signal frame (llmdata._doc_signals — also read by
+    # pipeline_pretrain_corpus); only the perplexity signal (which
+    # genuinely needs the corpus-level vocabulary) joins
+    base = _doc_signals(spark, sf_dir).select(
         "doc_id",
         ((F.col("dup_word_frac") <= 0.95) & (F.col("top_word_frac") <= 0.2))
         .alias("pass_repetition"),
         (
-            (ta.lang_id("text") == F.col("lang"))
-            | (ta.lang_id("text") == "und")
+            (F.col("detected_lang") == F.col("lang"))
+            | (F.col("detected_lang") == "und")
         ).alias("pass_lang"),
-        (ta.quality_score("text") >= 0.3).alias("pass_quality"),
+        (F.col("quality") >= 0.3).alias("pass_quality"),
     )
     w = d.select("doc_id", F.explode(ta.words("text")).alias("tok"))
     vocab = w.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))

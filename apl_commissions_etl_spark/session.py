@@ -146,6 +146,9 @@ def warm_shared_caches(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     def chain_ann():
         step("ann_constants", lambda: llmdata._ann_constants(spark, sf_dir))
         step("ivf_index", lambda: llmdata._ivf_index(spark, sf_dir))
+        # fused per-doc signal frame shared by the two corpus pipelines
+        # (this chain is the shortest; the doc scan is cheap)
+        step("doc_signals", lambda: llmdata._doc_signals(spark, sf_dir))
 
     chains = (chain_calc, chain_builder, chain_dedup, chain_ann)
     with ThreadPoolExecutor(max_workers=len(chains)) as pool:

@@ -23,6 +23,9 @@ HEADLINE = [
     "agg_pricing_summary",
     "agg_group_stats",
     "agg_entropy_routing",
+    # representative of the agg family rotated out of the driver prefix
+    # in r5 (driver-covered by agg_patterns_suite; perf-tracked here)
+    "agg_conditional",
     "calc_gl_entries",
     "calc_traceability",
     "builder_proposals",
