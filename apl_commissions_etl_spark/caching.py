@@ -23,9 +23,14 @@ from typing import TypeVar
 
 V = TypeVar("V")
 
-#: (id(cache), key) -> lock.  Guarded by _LOCKS_GUARD; the guard is
-#: held only for the dict lookup, never while a builder runs.
-_LOCKS: dict[tuple[int, Hashable], threading.Lock] = {}
+#: Sentinel key under which each cache dict carries its OWN per-key
+#: lock table.  Storing the locks on the cache itself (rather than a
+#: module-level table keyed by id(cache)) means lock state dies with
+#: its cache — no unbounded growth across test-local caches, and no
+#: id() recycling aliasing an unrelated cache's locks.  The sentinel
+#: is a private object() so it can never collide with (or be observed
+#: through) a real ``in`` / ``[]`` lookup on user keys.
+_LOCK_TABLE_KEY = object()
 _LOCKS_GUARD = threading.Lock()
 
 
@@ -39,7 +44,8 @@ def locked_get(cache: dict, key: Hashable, build: Callable[[], V]) -> V:
     except KeyError:
         pass
     with _LOCKS_GUARD:
-        lock = _LOCKS.setdefault((id(cache), key), threading.Lock())
+        locks = cache.setdefault(_LOCK_TABLE_KEY, {})
+        lock = locks.setdefault(key, threading.Lock())
     with lock:
         if key not in cache:
             cache[key] = build()

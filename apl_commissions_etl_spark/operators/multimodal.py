@@ -104,6 +104,23 @@ def attach_png_payload(
     return df.select(id_col, text_col).mapInPandas(batches, schema)
 
 
+def _prefixed_payload(pixels: bytes) -> bytes:
+    """Slice the 4-byte-length-prefixed embedded payload out of a
+    decoded pixel buffer, failing LOUDLY (like the rest of the codec
+    layer) on a prefix that overruns the buffer — a corrupt blob, or
+    one produced before the prefix format existed, must not silently
+    yield a truncated payload and a wrong content hash."""
+    if len(pixels) < 4:
+        raise ValueError("corrupt length prefix: buffer shorter than prefix")
+    (n,) = struct.unpack_from(">I", pixels, 0)
+    if 4 + n > len(pixels):
+        raise ValueError(
+            f"corrupt length prefix: {n} payload bytes declared, "
+            f"{len(pixels) - 4} available"
+        )
+    return pixels[4 : 4 + n]
+
+
 def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched REAL decode/feature-extract over a PNG binary
     column: chunk walk + CRC verify + inflate + unfilter per blob,
@@ -124,9 +141,9 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for did, blob in zip(pdf[id_col], pdf["payload"]):
                 w, h, _depth, _ct, pixels = codecs.png_decode(bytes(blob))
                 # 4-byte length prefix -> exact payload slice (correct
-                # even for payloads that legitimately end in NUL bytes)
-                (n,) = struct.unpack_from(">I", pixels, 0)
-                payload = pixels[4 : 4 + n]
+                # even for payloads that legitimately end in NUL bytes);
+                # raises on a prefix that overruns the buffer
+                payload = _prefixed_payload(pixels)
                 rows["doc_id"].append(did)
                 rows["n_bytes"].append(len(payload))
                 rows["content_hash"].append(
@@ -334,8 +351,7 @@ def decode_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     rows["n_frames"].append(None)
                 elif b[:8] == b"\x89PNG\r\n\x1a\n":
                     w, h, _depth, _ct, pixels = codecs.png_decode(b)
-                    (n,) = struct.unpack_from(">I", pixels, 0)
-                    payload = pixels[4 : 4 + n]
+                    payload = _prefixed_payload(pixels)
                     rows["media_type"].append("image/png")
                     rows["width"].append(w)
                     rows["height"].append(h)

@@ -46,18 +46,21 @@ from ..sources.testdata import load_table
 #: ``python scripts/gen_suites.py`` after changing a sub-query's schema).
 SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
     "agg_patterns_suite": (
-        "§2.4 A1/A2/A4/A5/A6/A7/A10/A12 aggregation family fingerprints "
+        "§2.4 A1-A12 aggregation family fingerprints "
         "(each sub-query maps to its own reference site; see the "
         "sub-queries' survey_refs) + the mergeable quantile sketch and "
         "partial-aggregate merge proof",
         (
             "agg_pricing_summary",
             "agg_group_stats",
+            "agg_conditional",
             "agg_having",
             "agg_string_agg_ordered",
             "agg_dedup_normalized_key",
             "agg_min_per_key_prefiltered",
+            "agg_conformance_banding",
             "agg_entropy_routing",
+            "agg_collect_accumulate",
             "agg_summary_union_counts",
             "agg_quantile_sketch",
         ),

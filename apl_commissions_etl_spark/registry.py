@@ -60,9 +60,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # §2.4 aggregation family (A1-A12; the three r2-era dedicated agg
     # slots — agg_conditional / agg_conformance_banding /
     # agg_collect_accumulate — were rotated out in r5 after two
-    # consecutive driver-green rounds: each is fingerprinted inside
-    # this suite, so the family stays driver-covered while their slots
-    # fund the audit/export families below)
+    # consecutive driver-green rounds and, as of r6, ARE fingerprinted
+    # as subs of this suite (suites.py SUITE_DEFS + regenerated
+    # suites_gen.py), so the family stays driver-covered while their
+    # slots fund the audit/export families below)
     "agg_patterns_suite",
     # §2.2 projections/casts + §7.3 dims (P1-P3, P7, J12)
     "dim_brokers",
@@ -141,8 +142,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: already passes the full local sweep + vanilla rehearsal.
 #:   1. graph_pagerank / multimodal_png_roundtrip (beyond-§2 extras,
 #:                                 also fingerprinted in llmdata_extras)
-#:   2. agg_conditional (evicted r5; re-pin if the agg suite ever
-#:                                 needs a dedicated companion row)
+#:   2. agg_conditional (evicted r5, fingerprinted in
+#:                                 agg_patterns_suite since r6; re-pin
+#:                                 only if a dedicated row is wanted)
 #: Keep this list in sync when adding families so the 50-slot prefix
 #: stays an intentional choice rather than registration-order accident.
 

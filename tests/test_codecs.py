@@ -239,3 +239,20 @@ def test_png_roundtrip_property(payload, width):
     assert (w, h, depth, ctype) == (width, height, 8, 2)
     assert decoded[: len(payload)] == payload
     assert set(decoded[len(payload):]) <= {0}
+
+
+def test_prefixed_payload_corrupt_length_rejected():
+    # the decode layer must fail LOUDLY on a length prefix that
+    # overruns the pixel buffer (corrupt blob or pre-prefix format),
+    # never silently return a truncated payload / wrong content hash
+    from apl_commissions_etl_spark.operators.multimodal import (
+        _prefixed_payload,
+    )
+    import struct
+
+    good = struct.pack(">I", 3) + b"abc" + b"\0\0"
+    assert _prefixed_payload(good) == b"abc"
+    with pytest.raises(ValueError, match="corrupt length prefix"):
+        _prefixed_payload(struct.pack(">I", 10) + b"abc")
+    with pytest.raises(ValueError, match="corrupt length prefix"):
+        _prefixed_payload(b"\0\0")  # shorter than the prefix itself

@@ -27,6 +27,7 @@ WARM_STEPS = {
     "dedup_cluster_labels",
     "ann_constants",
     "ivf_index",
+    "doc_signals",
 }
 
 
