@@ -312,6 +312,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "multimodal_png_roundtrip",
             "ann_pq_codes",
             "ann_pq_adc_topk",
+            "ann_topk_ivfpq",
             "layout_zorder_plan",
             "pipeline_rag_retrieval",
             "ann_topk_lsh",

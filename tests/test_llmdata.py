@@ -517,3 +517,52 @@ def test_prefix_filter_finds_every_qualifying_pair(spark):
             expected.add((a, b))
     assert got == expected
     assert (1, 4) in got  # the exact dup survived
+
+
+def test_ivfpq_rerank_exact_and_shortlist_sound(spark, sf_dir):
+    """The IVF-PQ read path's exact_dist column must equal the true
+    squared L2 (1e-9 grid) to the query for every returned id, the
+    rows must come from probed cells only, and the final ordering is
+    (exact, vec_id) — i.e. the PQ stage only shapes the SHORTLIST,
+    never the reported exact distances."""
+    from pyspark.sql import functions as F
+
+    from apl_commissions_etl_spark.queries import llmdata
+    from apl_commissions_etl_spark.registry import all_queries
+    from apl_commissions_etl_spark.sources.testdata import load_table
+
+    rows = all_queries()["ann_topk_ivfpq"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert [ (r.exact_dist, r.vec_id) for r in rows ] == sorted(
+        (r.exact_dist, r.vec_id) for r in rows
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec, _ = llmdata._ann_constants(spark, sf_dir)
+    truth = {
+        r.vec_id: r.d
+        for r in emb.select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(transform(embedding, x -> CAST(x AS "
+                "DOUBLE)), "
+                + llmdata.similarity._vec_sql([float(x) for x in qvec])
+                + ", (x, y) -> CAST(round((x - y) * (x - y) * 1e9) AS "
+                "BIGINT)), 0L, (acc, t) -> acc + t)"
+            ).alias("d"),
+        ).collect()
+    }
+    cells = {
+        r.vec_id: r.cell
+        for r in llmdata._ivf_index(spark, sf_dir)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    probed = {r.cell for r in rows}
+    assert len(probed) <= 4
+    for r in rows:
+        assert r.vec_id != 0
+        assert abs(r.exact_dist - truth[r.vec_id] / 1e9) < 1e-12
+        assert cells[r.vec_id] == r.cell
+        # ADC is an 8-lookup approximation, but on the same 1e-9 grid
+        # it must be non-negative and finite
+        assert r.adc_dist >= 0.0
