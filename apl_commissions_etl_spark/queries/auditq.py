@@ -463,8 +463,29 @@ def audit_observed_gl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gl = _stages(spark, sf_dir)["gl"]
     obs = Observation()
-    observed = gl.observe(
-        obs,
+    observed = gl.observe(obs, *gl_metric_cols())
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return _gl_metrics_row(spark, m)
+
+
+#: Observed-metric column order shared by the batch audit and the
+#: streaming parity query — every metric is an ADDITIVE sum/count, so
+#: per-micro-batch values accumulate to exactly the one-shot total.
+GL_METRIC_NAMES = (
+    "n_entries",
+    "n_original",
+    "n_assigned",
+    "amount_cents",
+    "null_broker_entries",
+    "negative_entries",
+)
+
+
+def gl_metric_cols() -> list:
+    """Fresh aggregate Columns for the GL quality metrics (Column
+    objects are single-plan; build a new list per observation)."""
+    return [
         F.count(F.lit(1)).alias("n_entries"),
         F.sum(F.when(F.col("EntryType") == "Original", 1).otherwise(0))
         .cast("long")
@@ -481,24 +502,102 @@ def audit_observed_gl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("Amount") < 0, 1).otherwise(0))
         .cast("long")
         .alias("negative_entries"),
-    )
-    observed.write.format("noop").mode("overwrite").save()
-    m = obs.get
+    ]
+
+
+def _gl_metrics_row(spark: SparkSession, m: dict) -> DataFrame:
     return spark.createDataFrame(
-        [
-            (
-                m["n_entries"],
-                m["n_original"],
-                m["n_assigned"],
-                m["amount_cents"],
-                m["null_broker_entries"],
-                m["negative_entries"],
-            )
-        ],
-        "n_entries bigint, n_original bigint, n_assigned bigint, "
-        "amount_cents bigint, null_broker_entries bigint, "
-        "negative_entries bigint",
+        [tuple(int(m[k] or 0) for k in GL_METRIC_NAMES)],
+        ", ".join(f"{k} bigint" for k in GL_METRIC_NAMES),
     )
+
+
+@query(
+    "stream_observed_gl_parity",
+    oracle=_calc_oracle("""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(SUM(CASE WHEN EntryType = 'Original' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_original,
+           CAST(SUM(CASE WHEN EntryType = 'Assigned' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_assigned,
+           CAST(SUM(CAST(round(Amount * 100) AS BIGINT)) AS BIGINT)
+             AS amount_cents,
+           CAST(SUM(CASE WHEN BrokerId IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_broker_entries,
+           CAST(SUM(CASE WHEN Amount < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS negative_entries
+    FROM (
+      SELECT 'Original' AS EntryType, EntityId AS BrokerId,
+             CAST(RetainedCommission AS DOUBLE) AS Amount
+      FROM s8
+      UNION ALL
+      SELECT 'Assigned', RecipientBrokerId, CAST(AssignedCommission AS DOUBLE)
+      FROM s8
+      WHERE RecipientBrokerId IS NOT NULL AND AssignedCommission <> 0) gl"""),
+    survey_ref="§2.10 streaming + beyond-reference audit surface: the "
+    "observe-PARITY proof — the GL journal is fed through Structured "
+    "Streaming (readStream, maxFilesPerTrigger=1) into the exactly-"
+    "once append sink (streaming/sinks.py idempotent_append_sink: "
+    "same replay guard + committed-batch state as the MERGE sink), "
+    "with the batch audit's OWN metric expressions riding every "
+    "micro-batch via Dataset.observe; the feed is split across a "
+    "checkpointed RESTART (second half of the files arrives after the "
+    "first run terminates, the checkpoint resumes without replaying "
+    "committed batches). Every metric is an additive sum/count, so "
+    "the accumulated per-batch metrics log equals the one-shot "
+    "audit_observed_gl row — the oracle recomputes the totals from "
+    "scratch, proving per-batch in-flight metrics + exactly-once "
+    "semantics compose to the dedicated audit pass. At 100 TB the "
+    "sink's per-batch part dirs are the append-only commit log of a "
+    "table format and the metrics ride writes that happen anyway",
+)
+def stream_observed_gl_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the GL journal as 4 files, stream them one per micro-batch
+    through the exactly-once append sink across a checkpointed restart
+    (2 files per run), then fold the sink's per-batch observed-metrics
+    log into one row."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.sinks import idempotent_append_sink, sink_metrics
+
+    gl = _stages(spark, sf_dir)["gl"]
+    tmp = tempfile.mkdtemp(prefix="gl_observe_parity_")
+    try:
+        src = f"{tmp}/src"
+        ckpt = f"{tmp}/ckpt"
+        target = f"{tmp}/journal"
+        # deterministic 4-way split; publish 2 files per run so the
+        # second run exercises checkpoint resume, not a fresh stream
+        gl.repartition(4).write.mode("overwrite").parquet(f"{tmp}/all")
+        parts = sorted(
+            f for f in os.listdir(f"{tmp}/all") if f.endswith(".parquet")
+        )
+        os.makedirs(src)
+        for wave in (parts[:2], parts[2:]):
+            for f in wave:
+                shutil.copy(f"{tmp}/all/{f}", f"{src}/{f}")
+            q = (
+                spark.readStream.schema(gl.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(
+                    idempotent_append_sink(target, metrics=gl_metric_cols)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        per_batch = sink_metrics(target)
+        totals = {
+            k: sum(int(b[k] or 0) for b in per_batch.values())
+            for k in GL_METRIC_NAMES
+        }
+        return _gl_metrics_row(spark, totals)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(

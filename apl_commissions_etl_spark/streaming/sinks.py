@@ -119,3 +119,63 @@ def sink_metrics(target_dir: str) -> dict:
     """Per-batch observed metrics recorded by ``idempotent_merge_sink``
     (batch_id -> {metric: value}); empty if none were requested."""
     return _load_state(target_dir).get("metrics", {})
+
+
+def idempotent_append_sink(target_dir: str, metrics=None):
+    """foreachBatch append sink with the SAME exactly-once contract as
+    ``idempotent_merge_sink`` (shared state file, replay guard, atomic
+    commit) for journal-style tables where every row is a new fact —
+    the GL entry feed, not a keyed dimension.
+
+    Each micro-batch writes its rows to an OWN part directory
+    (``b<batch_id>``) and then commits the batch id; a crash between
+    the write and the commit leaves an orphan directory that the
+    replayed batch simply overwrites — readers only ever see committed
+    parts, so the part-dir set IS an append-only commit log (what a
+    table format's transaction log does; no version rewrite, unlike
+    the merge sink, so a 100 TB journal appends O(batch) not O(table)).
+
+    ``metrics``: optional callable ``() -> list[Column]`` observed on
+    the BATCH rows (Dataset.observe rides the part write — no second
+    scan). Because each committed batch holds disjoint rows and
+    replays are skipped, additive metrics accumulated across the
+    recorded log equal a one-shot audit of the whole journal — the
+    parity that ``stream_observed_gl_parity`` proves against DuckDB.
+    Recorded under the committed batch id exactly once."""
+    os.makedirs(target_dir, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        state = _load_state(target_dir)
+        if batch_id in state["committed"]:
+            return  # replayed batch: already appended + logged, skip
+        to_write = batch_df
+        obs = None
+        if metrics is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            to_write = batch_df.observe(obs, *metrics())
+        part_dir = os.path.join(target_dir, f"b{batch_id:06d}")
+        to_write.write.mode("overwrite").parquet(part_dir)
+        state["committed"].append(batch_id)
+        if obs is not None:
+            state.setdefault("metrics", {})[str(batch_id)] = {
+                k: (v.item() if hasattr(v, "item") else v)
+                for k, v in obs.get.items()
+            }
+        _store_state(target_dir, state)
+
+    return sink
+
+
+def journal_table(spark: SparkSession, target_dir: str) -> DataFrame | None:
+    """Union of all COMMITTED part directories written by
+    ``idempotent_append_sink`` (orphans from crashed batches are
+    invisible), or None before the first commit."""
+    state = _load_state(target_dir)
+    if not state["committed"]:
+        return None
+    paths = [
+        os.path.join(target_dir, f"b{b:06d}") for b in state["committed"]
+    ]
+    return spark.read.parquet(*paths)

@@ -174,6 +174,19 @@ AUDITS: list[tuple[str, list[str], list[str], str]] = [
         "in the plan, the lossless alternative to a df cap.",
     ),
     (
+        "ann_topk_ivfpq",
+        ["TakeOrderedAndProject"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+         "BroadcastHashJoin", "Exchange"],
+        "The IVF-PQ read path: nprobe cell membership is a FILTER "
+        "directly on the inverted-index scan (it prunes ~3/4 of rows "
+        "before any distance math — tests/test_plans.py asserts the "
+        "filter sits below the ADC projection), ADC scoring is a "
+        "codegen projection of constant-folded table lookups, and "
+        "both the 20-candidate shortlist and the exact top-10 are "
+        "TakeOrdered — no join, no exchange, no Python anywhere.",
+    ),
+    (
         "audit_join_preflight",
         ["HashAggregate"],
         ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],

@@ -78,3 +78,32 @@ def test_dim_filter_prunes_before_join(spark, sf_dir):
     # and the premium>0 filter reached the fact scan subtree
     assert opt.count("strategy=broadcast") >= 3
     assert "l_extendedprice" in opt and "> 0.0" in opt
+
+
+def test_ivfpq_cell_filter_executes_before_adc_scoring(spark, sf_dir):
+    """The IVF-PQ read path's 100 TB contract: the nprobe cell filter
+    prunes the index scan BEFORE any PQ/ADC expression evaluates, the
+    shortlist is a TakeOrdered (no full sort / no exchange of scored
+    rows), and no join or Python appears anywhere."""
+    from apl_commissions_etl_spark.registry import all_queries
+
+    df = all_queries()["ann_topk_ivfpq"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("CartesianProduct", "BatchEvalPython", "SortMergeJoin",
+                "BroadcastHashJoin"):
+        assert bad not in plan
+    # printed top-down (leaves last): the ADC projection (element_at
+    # table lookups) must sit ABOVE the Filter line holding the cell
+    # IN-list, i.e. the filter runs first on the way up from the scan
+    lines = plan.splitlines()
+    adc_line = next(
+        i for i, ln in enumerate(lines) if "element_at" in ln
+    )
+    cell_filter_line = next(
+        i for i, ln in enumerate(lines)
+        if "Filter" in ln and "cell#" in ln and " IN " in ln
+    )
+    assert adc_line < cell_filter_line, (
+        "cell filter must be closer to the scan than the ADC scoring"
+    )

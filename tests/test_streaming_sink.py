@@ -144,3 +144,90 @@ def test_merge_sink_observed_metrics_ride_each_version_write(
     assert set(m) == {"0", "1"}
     # batch 1 merged 2 updated/inserted keys into the 2 existing ones
     assert m["1"]["n_rows"] == 3
+
+
+def test_append_sink_exactly_once_and_metric_log_parity(spark, tmp_path):
+    """The append sink's part-dir commit log: replays never double-
+    append or double-log, orphan dirs from a crash between write and
+    commit are invisible to readers, and the accumulated per-batch
+    observed metrics equal a one-shot audit of the journal."""
+    from apl_commissions_etl_spark.streaming.sinks import (
+        idempotent_append_sink,
+        journal_table,
+        sink_metrics,
+    )
+
+    target = str(tmp_path / "journal")
+
+    def gauges():
+        return [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        ]
+
+    sink = idempotent_append_sink(target, metrics=gauges)
+    b0 = _mk(spark, [(1, 10.5), (2, 2.25)])
+    b1 = _mk(spark, [(1, 1.0), (3, 7.0)], start=10)
+    sink(b0, 0)
+    sink(b0, 0)  # crash-before-checkpoint replay: must be a no-op
+    sink(b1, 1)
+    journal = journal_table(spark, target)
+    assert journal.count() == 4  # replay did not double-append
+    log = sink_metrics(target)
+    assert set(log) == {"0", "1"}  # replay did not double-log
+    total_n = sum(m["n"] for m in log.values())
+    total_cents = sum(m["cents"] for m in log.values())
+    audit = journal.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    ).collect()[0]
+    assert (total_n, total_cents) == (audit.n, audit.cents) == (4, 2075)
+
+
+def test_append_sink_restart_resumes_from_checkpoint(spark, tmp_path):
+    """A second availableNow run over a grown source resumes from the
+    checkpoint: only NEW files become batches, committed batch ids and
+    their metric rows survive untouched."""
+    from apl_commissions_etl_spark.streaming.sinks import (
+        idempotent_append_sink,
+        journal_table,
+        sink_metrics,
+    )
+
+    src, ckpt, target = (str(tmp_path / d) for d in ("ev", "ck", "journal"))
+
+    def gauges():
+        return [F.count(F.lit(1)).alias("n")]
+
+    def run():
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                idempotent_append_sink(target, metrics=gauges)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _mk(spark, [(1, 10.5), (2, 2.25)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    first_log = sink_metrics(target)
+    assert sum(m["n"] for m in first_log.values()) == 2
+
+    _mk(spark, [(3, 7.0)], start=10).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    log = sink_metrics(target)
+    # earlier batches were NOT replayed: their entries are unchanged
+    assert {k: m["n"] for k, m in first_log.items()}.items() <= {
+        k: m["n"] for k, m in log.items()
+    }.items()
+    assert sum(m["n"] for m in log.values()) == 3
+    assert journal_table(spark, target).count() == 3
