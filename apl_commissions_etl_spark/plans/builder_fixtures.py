@@ -53,7 +53,11 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from ..sources.testdata import load_table, needs_registration, register_base_tables
+from ..sources.testdata import (
+    load_table,
+    register_base_tables,
+    registered_once,
+)
 
 BUILDER_VIEWS: list[tuple[str, str]] = [
     (
@@ -167,7 +171,9 @@ def builder_cte_sql() -> str:
 
 def register_builder_views(spark: SparkSession, sf_dir: str) -> None:
     register_base_tables(spark, sf_dir, ("orders", "customer"))
-    if not needs_registration(spark, "builder", sf_dir):
-        return
-    for name, sql in BUILDER_VIEWS:
-        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+
+    def _register() -> None:
+        for name, sql in BUILDER_VIEWS:
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+
+    registered_once(spark, "builder", sf_dir, _register)

@@ -25,7 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from ..sources.testdata import load_table, needs_registration, register_base_tables
+from ..sources.testdata import (
+    load_table,
+    register_base_tables,
+    registered_once,
+)
 
 DIM_VIEWS: list[tuple[str, str]] = [
     (
@@ -369,7 +373,9 @@ def register_dim_views(spark: SparkSession, sf_dir: str) -> None:
         spark, sf_dir,
         ("supplier", "customer", "nation", "part", "orders", "lineitem"),
     )
-    if not needs_registration(spark, "dims", sf_dir):
-        return
-    for name, sql in DIM_VIEWS:
-        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+
+    def _register() -> None:
+        for name, sql in DIM_VIEWS:
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+
+    registered_once(spark, "dims", sf_dir, _register)

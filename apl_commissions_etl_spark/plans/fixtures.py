@@ -31,7 +31,11 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from ..sources.testdata import load_table, needs_registration, register_base_tables
+from ..sources.testdata import (
+    load_table,
+    register_base_tables,
+    registered_once,
+)
 
 #: (view_name, ANSI SQL) in dependency order. Runs unchanged on Spark
 #: and DuckDB (oracle side wraps them as CTEs).
@@ -210,9 +214,12 @@ def fixtures_cte_sql() -> str:
 
 def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the same fixtures as Spark temp views (base tables
-    registered first)."""
+    registered first). Safe to call from concurrent warm-up chains:
+    ``registered_once`` blocks racers until the views exist."""
     register_base_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
-    if not needs_registration(spark, "fixtures", sf_dir):
-        return
-    for name, sql in FIXTURE_VIEWS:
-        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+
+    def _register() -> None:
+        for name, sql in FIXTURE_VIEWS:
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+
+    registered_once(spark, "fixtures", sf_dir, _register)

@@ -83,11 +83,12 @@ def warm_shared_caches(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     criteria → mode keys, LSH pairs → cluster labels, ANN constants)
     run as CONCURRENT chains: Spark's scheduler interleaves their
     jobs, so wall time is the longest chain, not the sum — exactly
-    what a multi-tenant service does at startup. Temp-view
-    registration happens serially up front so no chain races another
-    into ``createOrReplaceTempView`` and silently uncaches the other
-    chain's derived frames (the registration slot itself is
-    lock-atomic, see ``sources.testdata.needs_registration``).  Every
+    what a multi-tenant service does at startup. Each chain registers
+    the temp-view families it needs through
+    ``sources.testdata.registered_once``, which blocks racing chains
+    until the claimer's CREATE VIEWs have completed — so no chain can
+    observe missing views or re-register (and silently uncache) a
+    family another chain already built on.  Every
     session cache the chains populate goes through
     ``caching.locked_get`` — per-key double-checked locking — so even
     a future accessor shared across chains, or a user query racing
@@ -111,12 +112,15 @@ def warm_shared_caches(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     from .plans.fixtures import register_fixture_views
     from .queries import builder, builder_modes, calcdomain, llmdata
 
-    # serial catalog mutations first (cheap — views are lazy)
-    register_fixture_views(spark, sf_dir)
-    register_builder_views(spark, sf_dir)
-
-    # eager localCheckpoints: touching each accessor materializes it
+    # eager localCheckpoints: touching each accessor materializes it.
+    # Each chain registers the view families IT needs (registered_once
+    # blocks racers until the claimer's CREATE VIEWs complete), so the
+    # dedup/ANN chains — which read documents/embeddings directly —
+    # start instantly instead of idling behind ~5s of serial
+    # registration + session first-touch costs.
     def chain_calc():
+        step("calc_views", lambda: register_fixture_views(spark, sf_dir))
+
         def warm_dims():
             # the cascade's broadcast sides populate these caches one
             # by one during planning; counting them concurrently first
@@ -134,6 +138,7 @@ def warm_shared_caches(spark: SparkSession, sf_dir: str) -> dict[str, float]:
              lambda: calcdomain._stages(spark, sf_dir))
 
     def chain_builder():
+        step("builder_views", lambda: register_builder_views(spark, sf_dir))
         step("builder_criteria", lambda: builder._criteria(spark, sf_dir))
         step("mode_cascade_keys",
              lambda: builder_modes._cascade(spark, sf_dir))

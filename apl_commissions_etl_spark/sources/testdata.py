@@ -70,14 +70,89 @@ def needs_registration(spark: SparkSession, family: str, sf_dir: str) -> bool:
     """True exactly once per (session, family, sf_dir); switching sf_dir
     re-registers (and correctly invalidates stale caches).  The
     get+set is atomic so concurrent warm-up chains can't both claim
-    the registration slot (the catalog mutations themselves still run
-    serially up front in ``session.warm_shared_caches``)."""
+    the registration slot.
+
+    NOTE claim-then-register is NOT safe under concurrency on its own:
+    a second chain told "already registered" could race ahead of the
+    claimer's in-flight CREATE VIEW.  Concurrent callers (the warm-up
+    chains) must go through ``registered_once``, which blocks waiters
+    until the claimer's registration body has COMPLETED."""
     key = (spark.sparkContext.applicationId, family)
     with _VIEW_REGISTRY_LOCK:
         if _VIEW_REGISTRY.get(key) == sf_dir:
             return False
         _VIEW_REGISTRY[key] = sf_dir
         return True
+
+
+#: (applicationId, family) -> (sf_dir, Event): the Event is set once
+#: that family's registration body for THAT sf_dir has finished (not
+#: merely been claimed). Keyed per family — not per (family, sf_dir) —
+#: so flipping a multi-SF session back to an earlier sf re-registers
+#: (the views point at the LATEST sf; a stale completed event must not
+#: short-circuit the re-registration).
+_REGISTERED_EVENTS: dict[tuple[str, str], tuple[str, threading.Event]] = {}
+
+
+def registered_once(
+    spark: SparkSession, family: str, sf_dir: str, register
+) -> None:
+    """Run ``register()`` exactly once per (session, family, sf_dir),
+    BLOCKING concurrent callers until it has completed — the safe form
+    of the needs_registration claim for warm-up chains that register
+    their own view families concurrently instead of serially up front.
+    A failed registration releases the claim so a later call retries;
+    a call with a NEW sf_dir re-registers (same invalidation contract
+    as ``needs_registration``)."""
+    key = (spark.sparkContext.applicationId, family)
+    while True:
+        with _VIEW_REGISTRY_LOCK:
+            entry = _REGISTERED_EVENTS.get(key)
+            if entry is not None and entry[0] != sf_dir:
+                if not entry[1].is_set():
+                    # another sf's registration is IN FLIGHT: wait for
+                    # it below, then contend for our own sf
+                    entry = (entry[0], entry[1])
+                    claimed = False
+                    ev = entry[1]
+                    stale = True
+                else:
+                    entry = None  # completed for another sf: supersede
+                    stale = False
+            else:
+                stale = False
+            if entry is None:
+                claimed = True
+                ev = threading.Event()
+                _REGISTERED_EVENTS[key] = (sf_dir, ev)
+            elif not stale:
+                claimed = False
+                ev = entry[1]
+        if not claimed:
+            ev.wait()
+            if stale:
+                continue  # other-sf registration done; claim ours now
+            with _VIEW_REGISTRY_LOCK:
+                cur = _REGISTERED_EVENTS.get(key)
+                if cur is not None and cur[1] is ev:
+                    return  # claimer succeeded for our sf
+            continue  # claimer failed (or sf moved on); retry
+        try:
+            if needs_registration(spark, family, sf_dir):
+                register()
+        except BaseException:
+            with _VIEW_REGISTRY_LOCK:
+                cur = _REGISTERED_EVENTS.get(key)
+                if cur is not None and cur[1] is ev:
+                    _REGISTERED_EVENTS.pop(key, None)
+                # release the needs_registration claim too
+                _VIEW_REGISTRY.pop(
+                    (spark.sparkContext.applicationId, family), None
+                )
+            ev.set()  # wake waiters; they will retry the claim
+            raise
+        ev.set()
+        return
 
 
 def register_base_tables(
@@ -87,8 +162,10 @@ def register_base_tables(
     (session, sf_dir) — several fixture families share these names, and
     a redundant replace would uncache everything built on them."""
     for t in tables:
-        if needs_registration(spark, f"base:{t}", sf_dir):
-            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        registered_once(
+            spark, f"base:{t}", sf_dir,
+            lambda t=t: load_table(spark, sf_dir, t).createOrReplaceTempView(t),
+        )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

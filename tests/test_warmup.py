@@ -19,6 +19,8 @@ from apl_commissions_etl_spark.session import warm_shared_caches
 from apl_commissions_etl_spark.sources.testdata import load_table
 
 WARM_STEPS = {
+    "calc_views",
+    "builder_views",
     "calc_staging_dims",
     "calc_staging_cascade",
     "builder_criteria",
