@@ -2135,3 +2135,232 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("exact_scaled").cast("double") / 1e9).alias("exact_dist"),
         )
     )
+
+
+def _pq_residual_books(spark: SparkSession, sf_dir: str):
+    """Residual-space PQ codebooks: ``books[s][k]`` is subvector ``s``
+    of the residual of seed vector ``16+k`` w.r.t. its ASSIGNED coarse
+    cell (seeds 0-15 are the coarse centroids themselves — their
+    residuals are zero, so the residual codebook seeds from the first
+    four non-centroid vectors). The seed assignments run through the
+    engine's own ``ivf_assign`` (a 4-row job) so cell choice matches
+    the index bit-for-bit; the residual subtraction is plain IEEE
+    double math, identical in Python, Spark, and DuckDB. Returns
+    (books, cell_vecs) where cell_vecs maps cid -> centroid list."""
+    _, cents = _ann_constants(spark, sf_dir)
+    cell_vecs = {cid: [float(x) for x in cv] for cid, cv in cents}
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        similarity.ivf_assign(
+            emb.filter(F.col("vec_id").between(16, 19)), cents
+        )
+        .select("vec_id", "embedding", "cell")
+        .orderBy("vec_id")
+        .collect()
+    )
+    books = []
+    for s in range(_PQ_SUBS):
+        row_books = []
+        for r in rows:  # k = vec_id - 16, in order
+            cv = cell_vecs[r.cell]
+            row_books.append(
+                [
+                    float(r.embedding[s * 8 + i]) - cv[s * 8 + i]
+                    for i in range(8)
+                ]
+            )
+        books.append(row_books)
+    return books, cell_vecs
+
+
+_IVFPQ_RESID_BOOK_DUCK = """
+      SELECT e.vec_id - 16 AS k, a.cid AS bcid, c.cvec AS bcvec,
+             e.embedding::DOUBLE[] AS bv
+      FROM embeddings e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      JOIN cent c ON c.cid = a.cid
+      WHERE e.vec_id BETWEEN 16 AND 19
+"""
+
+
+@query(
+    "ann_topk_ivfpq_residual",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 16),
+    qn AS (SELECT embedding::DOUBLE[] AS qe,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS qnorm
+           FROM embeddings WHERE vec_id = 0),
+    assigned AS ({_IVF_ASSIGN_DUCK}),
+    probe AS (
+      SELECT c.cid FROM cent c, qn
+      ORDER BY list_dot_product(c.cvec, qn.qe)
+                 / (sqrt(list_dot_product(c.cvec, c.cvec)) * qn.qnorm) DESC,
+               c.cid
+      LIMIT 4),
+    book AS ({_IVFPQ_RESID_BOOK_DUCK}),
+    cand0 AS (
+      SELECT e.vec_id, a.cid, c.cvec, e.embedding::DOUBLE[] AS v
+      FROM embeddings e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      JOIN cent c ON c.cid = a.cid
+      WHERE a.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0),
+    d AS (
+      SELECT x.vec_id, s.sub, b.k,
+             CAST(SUM(CAST(round(
+               ((x.v[s.sub * 8 + i.i] - x.cvec[s.sub * 8 + i.i])
+                - (b.bv[s.sub * 8 + i.i] - b.bcvec[s.sub * 8 + i.i]))
+               * ((x.v[s.sub * 8 + i.i] - x.cvec[s.sub * 8 + i.i])
+                  - (b.bv[s.sub * 8 + i.i] - b.bcvec[s.sub * 8 + i.i]))
+               * 1e9) AS BIGINT)) AS BIGINT) AS dist
+      FROM cand0 x
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+      CROSS JOIN book b
+      CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) i
+      GROUP BY x.vec_id, s.sub, b.k),
+    best AS (
+      SELECT vec_id, sub,
+             MIN(struct_pack(d := dist, k := k)).k AS code
+      FROM d GROUP BY vec_id, sub),
+    adc_table AS (
+      SELECT c.cid, s.sub, b.k,
+             CAST(SUM(CAST(round(
+               ((qn.qe[s.sub * 8 + i.i] - c.cvec[s.sub * 8 + i.i])
+                - (b.bv[s.sub * 8 + i.i] - b.bcvec[s.sub * 8 + i.i]))
+               * ((qn.qe[s.sub * 8 + i.i] - c.cvec[s.sub * 8 + i.i])
+                  - (b.bv[s.sub * 8 + i.i] - b.bcvec[s.sub * 8 + i.i]))
+               * 1e9) AS BIGINT)) AS BIGINT) AS entry
+      FROM cent c, qn
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+      CROSS JOIN book b
+      CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) i
+      WHERE c.cid IN (SELECT cid FROM probe)
+      GROUP BY c.cid, s.sub, b.k),
+    adc AS (
+      SELECT x.vec_id, x.cid, CAST(SUM(t.entry) AS BIGINT) AS adc_scaled
+      FROM (SELECT vec_id, cid FROM cand0) x
+      JOIN best bst ON bst.vec_id = x.vec_id
+      JOIN adc_table t
+        ON t.cid = x.cid AND t.sub = bst.sub AND t.k = bst.code
+      GROUP BY x.vec_id, x.cid),
+    shortlist AS (
+      SELECT vec_id, CAST(cid AS BIGINT) AS cell, adc_scaled FROM adc
+      ORDER BY adc_scaled, vec_id LIMIT 20),
+    exact AS ({_PQ_EXACT_DUCK})
+    SELECT s.vec_id, s.cell,
+           CAST(s.adc_scaled AS DOUBLE) / 1e9 AS adc_dist,
+           CAST(e.exact_scaled AS DOUBLE) / 1e9 AS exact_dist
+    FROM shortlist s JOIN exact e USING (vec_id)
+    ORDER BY e.exact_scaled, s.vec_id LIMIT 10
+    """,
+    survey_ref="north-star: RESIDUAL IVF-PQ — the production form of "
+    "the IVF-PQ read path: codes quantize each vector's residual to "
+    "its coarse centroid (residual energy is a fraction of the raw "
+    "vector's, so the same 8x4 codebook budget spends its resolution "
+    "where the vectors actually differ), and the query's ADC tables "
+    "are built per PROBED CELL from the cell-relative query residual. "
+    "Everything stays one plan: cell filter on the prebuilt inverted "
+    "index -> per-cell residual (a CASE over the 4 probed centroids, "
+    "constant-folded) -> code argmin against residual-codebook "
+    "literals -> per-cell ADC lookup -> top-20 shortlist -> exact "
+    "re-rank. Codebooks seed from the first four non-centroid "
+    "vectors' residuals, assigned through the engine's own ivf_assign "
+    "so the oracle's SQL derivation matches bit-for-bit; all "
+    "distances quantize to the 1e-9 integer grid",
+)
+def ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qvec, cents = _ann_constants(spark, sf_dir)
+    qvec = [float(x) for x in qvec]
+    books, cell_vecs = _pq_residual_books(spark, sf_dir)
+    qcol = F.lit(qvec).cast("array<double>")
+
+    cent_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "vec_id long, cvec array<double>"
+    )
+    probe = [
+        r[0]
+        for r in cent_df.select(
+            "vec_id", similarity.cosine(F.col("cvec"), qcol).alias("sim")
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(4)
+        .collect()
+    ]
+
+    cand0 = _ivf_index(spark, sf_dir).filter(
+        F.col("cell").isin(probe) & (F.col("vec_id") != 0)
+    )
+
+    # per-row residual subvector for sub s: x_sub - centroid_sub(cell),
+    # the centroid slice selected by a CASE over the probed cells only
+    def cent_slice_case(s: int) -> str:
+        whens = " ".join(
+            f"WHEN {c}L THEN {similarity._vec_sql(cell_vecs[c][s*8:s*8+8])}"
+            for c in probe
+        )
+        return f"(CASE cell {whens} END)"
+
+    def resid_sub(s: int) -> str:
+        x = f"slice(transform(embedding, x -> CAST(x AS DOUBLE)), {s*8+1}, 8)"
+        return f"zip_with({x}, {cent_slice_case(s)}, (x, y) -> x - y)"
+
+    def dist_to_book(s: int, k: int) -> str:
+        b = similarity._vec_sql(books[s][k])
+        return (
+            f"aggregate(zip_with({resid_sub(s)}, {b},"
+            " (x, y) -> CAST(round((x - y) * (x - y) * 1e9) AS BIGINT)),"
+            " 0L, (acc, t) -> acc + t)"
+        )
+
+    code_digits = []
+    for s in range(_PQ_SUBS):
+        entries = ",".join(
+            f"named_struct('d', {dist_to_book(s, k)}, 'c', {k})"
+            for k in range(_PQ_K)
+        )
+        code_digits.append(f"array_min(array({entries})).c")
+
+    # per-cell ADC tables: fully constant-folded literals — the query
+    # residual (q - centroid(cell)) against each residual-book entry
+    adc_terms = []
+    for s in range(_PQ_SUBS):
+        whens = []
+        for c in probe:
+            q_res = [
+                qvec[s * 8 + i] - cell_vecs[c][s * 8 + i] for i in range(8)
+            ]
+            table = ",".join(
+                _pq_lit_dist_sql(q_res, books[s][k]) for k in range(_PQ_K)
+            )
+            whens.append(f"WHEN {c}L THEN array({table})")
+        adc_terms.append(
+            f"element_at((CASE cell {' '.join(whens)} END), "
+            f"{code_digits[s]} + 1)"
+        )
+    adc = F.expr("(" + " + ".join(adc_terms) + ")")
+
+    cand = (
+        cand0.select(
+            "vec_id", F.col("cell"), "embedding", adc.alias("adc_scaled")
+        )
+        .orderBy("adc_scaled", "vec_id")
+        .limit(20)
+    )
+    exact = F.expr(
+        "aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), "
+        + similarity._vec_sql(qvec)
+        + ", (x, y) -> CAST(round((x - y) * (x - y) * 1e9) AS BIGINT)),"
+        " 0L, (acc, t) -> acc + t)"
+    )
+    return (
+        cand.withColumn("exact_scaled", exact)
+        .orderBy("exact_scaled", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "cell",
+            (F.col("adc_scaled").cast("double") / 1e9).alias("adc_dist"),
+            (F.col("exact_scaled").cast("double") / 1e9).alias("exact_dist"),
+        )
+    )

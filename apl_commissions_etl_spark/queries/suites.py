@@ -313,6 +313,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "ann_pq_codes",
             "ann_pq_adc_topk",
             "ann_topk_ivfpq",
+            "ann_topk_ivfpq_residual",
             "layout_zorder_plan",
             "pipeline_rag_retrieval",
             "ann_topk_lsh",

@@ -566,3 +566,28 @@ def test_ivfpq_rerank_exact_and_shortlist_sound(spark, sf_dir):
         # ADC is an 8-lookup approximation, but on the same 1e-9 grid
         # it must be non-negative and finite
         assert r.adc_dist >= 0.0
+
+
+def test_residual_pq_reduces_adc_error(spark, sf_dir):
+    """The residual codebook's whole point: quantizing residuals to
+    the coarse centroid spends the same 8x4 code budget on a far
+    smaller-energy signal, so the ADC approximation error must come
+    out well below the raw-vector PQ's on the same shortlist (measured
+    ~8x smaller at sf0.001). Also pins the structural contract shared
+    with ann_topk_ivfpq: exact re-rank ordering and probed-cell rows."""
+    from apl_commissions_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    raw = qs["ann_topk_ivfpq"].spark_fn(spark, sf_dir).collect()
+    res = qs["ann_topk_ivfpq_residual"].spark_fn(spark, sf_dir).collect()
+    assert len(res) == 10
+
+    def mean_err(rows):
+        return sum(abs(r.adc_dist - r.exact_dist) for r in rows) / len(rows)
+
+    assert mean_err(res) < mean_err(raw) / 2
+    assert [(r.exact_dist, r.vec_id) for r in res] == sorted(
+        (r.exact_dist, r.vec_id) for r in res
+    )
+    assert len({r.cell for r in res}) <= 4
+    assert all(r.vec_id != 0 for r in res)
