@@ -2364,3 +2364,82 @@ def ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("exact_scaled").cast("double") / 1e9).alias("exact_dist"),
         )
     )
+
+
+def _ann_recall_oracle() -> str:
+    """Composes the recall report's oracle from the ALREADY-REGISTERED
+    method oracles verbatim (each is itself hash-verified against the
+    engine), so the evaluation can never drift from the queries it
+    evaluates. DuckDB supports WITH inside derived tables, so each
+    method's full oracle nests as a subquery."""
+    from ..registry import REGISTRY
+
+    def sub(name: str) -> str:
+        return REGISTRY[name].oracle
+
+    return f"""
+    WITH exact AS (SELECT vec_id FROM ({sub('ann_topk_bruteforce')}) _bf),
+    m AS (
+      SELECT 'ivf' AS method, vec_id FROM ({sub('ann_topk_ivf')}) _1
+      UNION ALL
+      SELECT 'ivfpq', vec_id FROM ({sub('ann_topk_ivfpq')}) _2
+      UNION ALL
+      SELECT 'ivfpq_residual', vec_id
+      FROM ({sub('ann_topk_ivfpq_residual')}) _3
+      UNION ALL
+      SELECT 'lsh', vec_id FROM ({sub('ann_topk_lsh')}) _4)
+    SELECT m.method,
+           CAST(COUNT(*) AS INT) AS n_returned,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS INT) AS n_matched,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 10 AS recall_at_10
+    FROM m LEFT JOIN exact e ON e.vec_id = m.vec_id
+    GROUP BY m.method
+    """
+
+
+@query(
+    "ann_recall_report",
+    oracle=_ann_recall_oracle(),
+    survey_ref="north-star: ANN serving-quality evaluation — recall@10 "
+    "of every registered ANN method (sign-LSH, IVF-flat, IVF-PQ, "
+    "residual IVF-PQ) against the exact brute-force top-10, in ONE "
+    "plan: the four method results union with a method tag, left-join "
+    "the exact id set, and one hash aggregation emits "
+    "(n_returned, n_matched, recall@10) per method. This is the "
+    "harness a production retrieval deployment runs after every index "
+    "rebuild / nprobe change; at 100 TB the exact arm runs over a "
+    "sampled query set and the same plan shape holds. The oracle "
+    "composes the methods' own hash-verified oracle SQL verbatim, so "
+    "the evaluation cannot drift from what it evaluates",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    frames = [
+        fn(spark, sf_dir).select(F.lit(name).alias("method"), "vec_id")
+        for name, fn in (
+            ("ivf", ann_topk_ivf),
+            ("ivfpq", ann_topk_ivfpq),
+            ("ivfpq_residual", ann_topk_ivfpq_residual),
+            ("lsh", ann_topk_lsh),
+        )
+    ]
+    m = functools.reduce(DataFrame.unionByName, frames)
+    e = exact.withColumn("_hit", F.lit(1))
+    return (
+        m.join(e, "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_returned"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("int")
+            .alias("n_matched"),
+        )
+        .withColumn(
+            "recall_at_10",
+            F.col("n_matched").cast("double") / F.lit(10.0),
+        )
+    )

@@ -267,7 +267,11 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "observed GL metrics (Dataset.observe), join pre-flight "
         "fan-out estimation, "
         "conformance grouping-sets + analysis, stratified sampling "
-        "validation, equal-split lateral distribution",
+        "validation, equal-split lateral distribution. (The streaming "
+        "observe-parity proof stream_observed_gl_parity stays a "
+        "standalone oracle-checked entry: folding a live streaming run "
+        "into a driver-prefix suite would add a streaming engine + "
+        "restart to the gate session's heap for no verification gain)",
         (
             "audit_referential_integrity",
             "audit_resolution_chain",

@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_ivfpq",
+    "ann_topk_ivfpq_residual",
     "stream_session_window",
     "seq_asof_attribution",
     "win_sessionize",

@@ -75,9 +75,19 @@ def main():
     if vanilla:
         argv.remove("--vanilla")
     first_n = None
+    q_range = None
     for a in list(argv):
         if a.startswith("--first="):
             first_n = int(a.split("=", 1)[1])
+            argv.remove(a)
+        elif a.startswith("--range="):
+            # --range=a:b -> registry slots [a, b) — lets the full sweep
+            # shard across FRESH sessions (one long session accumulates
+            # broadcast/checkpoint/UI state and can exhaust the default
+            # 1g driver heap around slot ~250; the driver's own gate
+            # only ever runs the first 50, which fits)
+            lo, hi = a.split("=", 1)[1].split(":")
+            q_range = (int(lo), int(hi))
             argv.remove(a)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     filters = argv[1:]
@@ -105,6 +115,8 @@ def main():
     names = [n for n in qs if not filters or any(f in n for f in filters)]
     if first_n is not None:
         names = names[:first_n]
+    if q_range is not None:
+        names = names[q_range[0]:q_range[1]]
     n_pass = n_fail = n_noor = 0
     for name in names:
         q = qs[name]
