@@ -2443,3 +2443,110 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_matched").cast("double") / F.lit(10.0),
         )
     )
+
+
+@query(
+    "ann_topk_ivf_batch",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 16),
+    assigned AS ({_IVF_ASSIGN_DUCK}),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS qnorm
+          FROM embeddings WHERE vec_id < 3),
+    probe AS (
+      SELECT qid, cid, qv, qnorm FROM (
+        SELECT q.qid, c.cid, q.qv, q.qnorm,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 list_dot_product(c.cvec, q.qv)
+                   / (sqrt(list_dot_product(c.cvec, c.cvec)) * q.qnorm)
+                 DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c) WHERE rn <= 4),
+    cand AS (
+      SELECT p.qid, e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], p.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * p.qnorm) AS cos
+      FROM probe p
+      JOIN assigned a ON a.cid = p.cid
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE e.vec_id <> p.qid),
+    r AS (
+      SELECT qid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos DESC, vec_id) AS rn
+      FROM cand)
+    SELECT qid, CAST(rn AS INT) AS rank_n, vec_id,
+           CAST(cos AS DOUBLE) AS cosine
+    FROM r WHERE rn <= 10
+    """,
+    survey_ref="north-star: BATCH IVF serving — the whole query batch "
+    "flows through the inverted index in ONE plan with ZERO per-query "
+    "driver work (the single-query ann_topk_ivf* paths collect a probe "
+    "list per query; a retrieval service amortizes that across the "
+    "batch): the (query x centroid) probe ranking is a key-scale "
+    "cross of batch x 16 rows resolved by one window, probe cells "
+    "broadcast-join into the cell-partitioned index so each query "
+    "scans only its nprobe cells, and one per-qid window emits the "
+    "ranked top-10. At 100 TB the index is partitioned by cell, the "
+    "probe relation prunes partitions for the whole batch at once, "
+    "and batch size scales the broadcast side only",
+)
+def ann_topk_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = _ann_constants(spark, sf_dir)
+    cent_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid long, cvec array<double>"
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        similarity.norm(F.col("embedding")).alias("qnorm"),
+    )
+    probe_rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(
+            F.desc(
+                similarity.dot(F.col("cvec"), F.col("qv"))
+                / (similarity.norm(F.col("cvec")) * F.col("qnorm"))
+            ),
+            "cid",
+        )
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("rn", probe_rn)
+        .filter(F.col("rn") <= 4)
+        .select("qid", F.col("cid").alias("cell"), "qv", "qnorm")
+    )
+    index = _ivf_index(spark, sf_dir)
+    cand = (
+        index.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                similarity.dot(
+                    F.col("embedding").cast("array<double>"), F.col("qv")
+                )
+                / (similarity.norm(F.col("embedding")) * F.col("qnorm"))
+            ).alias("cos"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    )
+    return (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") <= 10)
+        .select(
+            "qid",
+            F.col("rn").cast("int").alias("rank_n"),
+            "vec_id",
+            F.col("cos").cast("double").alias("cosine"),
+        )
+    )

@@ -169,13 +169,67 @@ def idempotent_append_sink(target_dir: str, metrics=None):
 
 
 def journal_table(spark: SparkSession, target_dir: str) -> DataFrame | None:
-    """Union of all COMMITTED part directories written by
+    """Union of all COMMITTED parts written by
     ``idempotent_append_sink`` (orphans from crashed batches are
-    invisible), or None before the first commit."""
+    invisible), or None before the first commit. After a
+    ``compact_journal`` run the covered batches read from the single
+    compacted directory and only post-compaction batches remain as
+    per-batch part dirs."""
     state = _load_state(target_dir)
     if not state["committed"]:
         return None
-    paths = [
-        os.path.join(target_dir, f"b{b:06d}") for b in state["committed"]
+    comp = state.get("compacted")
+    covered = set(comp["covers"]) if comp else set()
+    paths = ([os.path.join(target_dir, comp["dir"])] if comp else []) + [
+        os.path.join(target_dir, f"b{b:06d}")
+        for b in state["committed"]
+        if b not in covered
     ]
     return spark.read.parquet(*paths)
+
+
+def compact_journal(spark: SparkSession, target_dir: str) -> int:
+    """Compact the append sink's committed part directories into ONE
+    parquet directory — the streaming small-files fix — while keeping
+    every exactly-once guarantee intact:
+
+    - committed batch ids STAY in the sink state, so a replayed batch
+      from before the compaction is still skipped;
+    - the per-batch observed-metrics log is untouched (it describes
+      batch DELTAS, which compaction does not change);
+    - the swap is one atomic state write: readers see either the old
+      part-dir set or the compacted dir, never a mix.
+
+    Old part dirs are removed after the swap; a crash in between
+    leaves orphan directories that no committed state references
+    (invisible to readers, reclaimable by any later janitor pass). At
+    100 TB this is the table format's compaction job: rewrite N small
+    files into target-sized ones and commit the new file list.
+    Returns the number of part directories folded in."""
+    import shutil
+
+    state = _load_state(target_dir)
+    if not state["committed"]:
+        return 0
+    comp = state.get("compacted")
+    covered = set(comp["covers"]) if comp else set()
+    fresh = [b for b in state["committed"] if b not in covered]
+    if not fresh and comp:
+        return 0  # nothing new since the last compaction
+    current = journal_table(spark, target_dir)
+    new_dir = f"c{state['version'] + 1:06d}"
+    current.write.mode("overwrite").parquet(
+        os.path.join(target_dir, new_dir)
+    )
+    old_dirs = ([comp["dir"]] if comp else []) + [
+        f"b{b:06d}" for b in fresh
+    ]
+    state["version"] += 1
+    state["compacted"] = {
+        "dir": new_dir,
+        "covers": list(state["committed"]),
+    }
+    _store_state(target_dir, state)  # atomic swap point
+    for d in old_dirs:
+        shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
+    return len(old_dirs)

@@ -187,6 +187,18 @@ AUDITS: list[tuple[str, list[str], list[str], str]] = [
         "TakeOrdered — no join, no exchange, no Python anywhere.",
     ),
     (
+        "ann_topk_ivf_batch",
+        ["BroadcastHashJoin", "WindowGroupLimit"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "Batch IVF serving with zero per-query driver work: the "
+        "(query x 16-centroid) probe ranking is a tiny broadcast "
+        "nested-loop cross resolved by one windowed top-4, the probe "
+        "relation broadcast-hash-joins into the cell-partitioned "
+        "inverted index (the index side never shuffles), and the "
+        "per-qid top-10 window runs as a WindowGroupLimit — partial "
+        "top-k on the map side before the qid exchange.",
+    ),
+    (
         "audit_join_preflight",
         ["HashAggregate"],
         ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],

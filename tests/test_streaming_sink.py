@@ -231,3 +231,56 @@ def test_append_sink_restart_resumes_from_checkpoint(spark, tmp_path):
     }.items()
     assert sum(m["n"] for m in log.values()) == 3
     assert journal_table(spark, target).count() == 3
+
+
+def test_journal_compaction_preserves_exactly_once(spark, tmp_path):
+    """compact_journal folds the per-batch part dirs into one parquet
+    dir without changing the table, without double-logging metrics,
+    and without forgetting committed batch ids (a replay from before
+    the compaction must still be skipped)."""
+    from apl_commissions_etl_spark.streaming.sinks import (
+        compact_journal,
+        idempotent_append_sink,
+        journal_table,
+        sink_metrics,
+    )
+
+    target = str(tmp_path / "journal")
+
+    def gauges():
+        return [F.count(F.lit(1)).alias("n")]
+
+    sink = idempotent_append_sink(target, metrics=gauges)
+    b0 = _mk(spark, [(1, 10.5), (2, 2.25)])
+    b1 = _mk(spark, [(3, 7.0)], start=10)
+    sink(b0, 0)
+    sink(b1, 1)
+    before = sorted(
+        (r.event_id, r.user_id)
+        for r in journal_table(spark, target).collect()
+    )
+    log_before = sink_metrics(target)
+
+    assert compact_journal(spark, target) == 2  # two part dirs folded
+    after = sorted(
+        (r.event_id, r.user_id)
+        for r in journal_table(spark, target).collect()
+    )
+    assert after == before
+    assert sink_metrics(target) == log_before
+
+    # replay from BEFORE the compaction: still exactly-once
+    sink(b0, 0)
+    assert sorted(
+        (r.event_id, r.user_id)
+        for r in journal_table(spark, target).collect()
+    ) == before
+
+    # a NEW batch lands as a fresh part dir and reads alongside the
+    # compacted dir; a second compaction folds (compacted + new)
+    sink(_mk(spark, [(4, 1.0)], start=20), 2)
+    assert journal_table(spark, target).count() == len(before) + 1
+    assert compact_journal(spark, target) == 2  # c-dir + 1 new b-dir
+    assert journal_table(spark, target).count() == len(before) + 1
+    # idempotent when nothing new arrived
+    assert compact_journal(spark, target) == 0
