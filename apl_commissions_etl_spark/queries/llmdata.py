@@ -2550,3 +2550,75 @@ def ann_topk_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos").cast("double").alias("cosine"),
         )
     )
+
+
+#: session-scoped path of the IVF index WRITTEN as a parquet table
+#: partitioned by cell — the on-disk form every docstring in the ANN
+#: family promises ("at 100 TB the index is a table partitioned by
+#: cell"). Written once per (session, sf); the directory lives for the
+#: session (the probe DataFrames read it lazily).
+_IVF_TABLE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivf_table_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def build() -> str:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ivf_table_") + "/index"
+        _ivf_index(spark, sf_dir).write.partitionBy("cell").parquet(path)
+        return path
+
+    return locked_get(_IVF_TABLE_CACHE, key, build)
+
+
+def _registered_oracle(name: str) -> str:
+    """The already-registered oracle SQL of ``name`` (the query must be
+    defined earlier in this module): layout-variant queries reuse their
+    logical twin's hash-verified oracle verbatim, proving the physical
+    layout change is result-invisible."""
+    from ..registry import REGISTRY
+
+    return REGISTRY[name].oracle
+
+
+@query(
+    "ann_topk_ivf_partitioned",
+    oracle=_registered_oracle("ann_topk_ivf"),
+    survey_ref="north-star: the IVF index AS A CELL-PARTITIONED TABLE "
+    "— materializes what the rest of the ANN family claims about "
+    "100 TB: the inverted index written with partitionBy(cell), and "
+    "the probe reading it back with the nprobe cell filter resolved "
+    "as PARTITION PRUNING (PushedFilters never even run: the scan "
+    "lists only nprobe/n_centroids of the directories — asserted on "
+    "the executed plan in tests/test_plans.py). Result is bit-equal "
+    "to ann_topk_ivf (same oracle), only the physical layout differs: "
+    "this is the operational form an indexing job publishes and a "
+    "serving tier reads",
+)
+def ann_topk_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qvec, cents = _ann_constants(spark, sf_dir)
+    qcol = F.lit([float(x) for x in qvec]).cast("array<double>")
+    cent_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "vec_id long, cvec array<double>"
+    )
+    rows = (
+        cent_df.select(
+            "vec_id",
+            similarity.cosine(F.col("cvec"), qcol).alias("sim"),
+            similarity.norm(qcol).alias("qn"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(4)
+        .collect()
+    )
+    probe = [r[0] for r in rows]
+    qnorm = rows[0]["qn"]
+    idx = spark.read.parquet(_ivf_table_path(spark, sf_dir))
+    # same semantics as ann_topk_ivf (query vector included if probed):
+    # the ONLY difference is the physical layout
+    pruned = idx.filter(F.col("cell").isin(probe))
+    return similarity.cosine_topk_bruteforce(
+        pruned, qcol, k=10, query_norm=qnorm
+    )

@@ -107,3 +107,37 @@ def test_ivfpq_cell_filter_executes_before_adc_scoring(spark, sf_dir):
     assert adc_line < cell_filter_line, (
         "cell filter must be closer to the scan than the ADC scoring"
     )
+
+
+def test_ivf_partitioned_table_probe_prunes_partitions(spark, sf_dir):
+    """The cell-partitioned index table delivers the 100 TB claim: the
+    nprobe filter resolves as PARTITION PRUNING on the scan — the probe
+    lists only the probed cells' directories (PartitionFilters set,
+    DataFilters empty: no per-row cell predicate even runs), and only
+    nprobe of the 16 cell partitions are read."""
+    from apl_commissions_etl_spark.registry import all_queries
+
+    df = all_queries()["ann_topk_ivf_partitioned"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    )
+    assert "PartitionFilters: [cell" in scan
+    assert "DataFilters: []" in scan
+    # the pruning IN-list holds <= nprobe of the 16 cells
+    import re
+
+    inlist = re.search(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)", scan)
+    assert inlist, f"expected an IN-list partition filter, got: {scan}"
+    assert 1 <= len(inlist.group(1).split(",")) <= 4
+    # and the table genuinely has more cells than nprobe to prune away
+    from apl_commissions_etl_spark.queries.llmdata import _ivf_table_path
+
+    all_cells = {
+        r.cell
+        for r in spark.read.parquet(_ivf_table_path(spark, sf_dir))
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert len(all_cells) > 4, "fixture must have more cells than nprobe"
