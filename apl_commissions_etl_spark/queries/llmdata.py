@@ -2137,6 +2137,9 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_RESID_BOOK_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def _pq_residual_books(spark: SparkSession, sf_dir: str):
     """Residual-space PQ codebooks: ``books[s][k]`` is subvector ``s``
     of the residual of seed vector ``16+k`` w.r.t. its ASSIGNED coarse
@@ -2146,7 +2149,14 @@ def _pq_residual_books(spark: SparkSession, sf_dir: str):
     engine's own ``ivf_assign`` (a 4-row job) so cell choice matches
     the index bit-for-bit; the residual subtraction is plain IEEE
     double math, identical in Python, Spark, and DuckDB. Returns
-    (books, cell_vecs) where cell_vecs maps cid -> centroid list."""
+    (books, cell_vecs) where cell_vecs maps cid -> centroid list.
+    Session-cached: codebooks are index-time artifacts, a serving call
+    must not re-collect them (same contract as _ann_constants)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    try:
+        return _PQ_RESID_BOOK_CACHE[key]
+    except KeyError:
+        pass
     _, cents = _ann_constants(spark, sf_dir)
     cell_vecs = {cid: [float(x) for x in cv] for cid, cv in cents}
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2170,7 +2180,9 @@ def _pq_residual_books(spark: SparkSession, sf_dir: str):
                 ]
             )
         books.append(row_books)
-    return books, cell_vecs
+    return locked_get(
+        _PQ_RESID_BOOK_CACHE, key, lambda: (books, cell_vecs)
+    )
 
 
 _IVFPQ_RESID_BOOK_DUCK = """
@@ -2288,27 +2300,29 @@ def ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
 
-    cand0 = _ivf_index(spark, sf_dir).filter(
-        F.col("cell").isin(probe) & (F.col("vec_id") != 0)
+    # per-row residual computed ONCE as a projection column: one CASE
+    # over the 4 probed centroids (full 64-dim literals) instead of
+    # 8 subspaces x 4 codebook entries each inlining their own CASE —
+    # a 4x smaller expression tree, same arithmetic (zip_with subtracts
+    # elementwise either way), measured ~3x faster Catalyst analysis
+    cent_case = " ".join(
+        f"WHEN {c}L THEN {similarity._vec_sql(cell_vecs[c])}"
+        for c in probe
     )
-
-    # per-row residual subvector for sub s: x_sub - centroid_sub(cell),
-    # the centroid slice selected by a CASE over the probed cells only
-    def cent_slice_case(s: int) -> str:
-        whens = " ".join(
-            f"WHEN {c}L THEN {similarity._vec_sql(cell_vecs[c][s*8:s*8+8])}"
-            for c in probe
-        )
-        return f"(CASE cell {whens} END)"
-
-    def resid_sub(s: int) -> str:
-        x = f"slice(transform(embedding, x -> CAST(x AS DOUBLE)), {s*8+1}, 8)"
-        return f"zip_with({x}, {cent_slice_case(s)}, (x, y) -> x - y)"
+    resid = (
+        "zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), "
+        f"(CASE cell {cent_case} END), (x, y) -> x - y)"
+    )
+    cand0 = (
+        _ivf_index(spark, sf_dir)
+        .filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .withColumn("_resid", F.expr(resid))
+    )
 
     def dist_to_book(s: int, k: int) -> str:
         b = similarity._vec_sql(books[s][k])
         return (
-            f"aggregate(zip_with({resid_sub(s)}, {b},"
+            f"aggregate(zip_with(slice(_resid, {s*8+1}, 8), {b},"
             " (x, y) -> CAST(round((x - y) * (x - y) * 1e9) AS BIGINT)),"
             " 0L, (acc, t) -> acc + t)"
         )
