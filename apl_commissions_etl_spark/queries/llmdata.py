@@ -2153,36 +2153,34 @@ def _pq_residual_books(spark: SparkSession, sf_dir: str):
     Session-cached: codebooks are index-time artifacts, a serving call
     must not re-collect them (same contract as _ann_constants)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    try:
-        return _PQ_RESID_BOOK_CACHE[key]
-    except KeyError:
-        pass
-    _, cents = _ann_constants(spark, sf_dir)
-    cell_vecs = {cid: [float(x) for x in cv] for cid, cv in cents}
-    emb = load_table(spark, sf_dir, "embeddings")
-    rows = (
-        similarity.ivf_assign(
-            emb.filter(F.col("vec_id").between(16, 19)), cents
-        )
-        .select("vec_id", "embedding", "cell")
-        .orderBy("vec_id")
-        .collect()
-    )
-    books = []
-    for s in range(_PQ_SUBS):
-        row_books = []
-        for r in rows:  # k = vec_id - 16, in order
-            cv = cell_vecs[r.cell]
-            row_books.append(
-                [
-                    float(r.embedding[s * 8 + i]) - cv[s * 8 + i]
-                    for i in range(8)
-                ]
+
+    def build() -> tuple:
+        _, cents = _ann_constants(spark, sf_dir)
+        cell_vecs = {cid: [float(x) for x in cv] for cid, cv in cents}
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = (
+            similarity.ivf_assign(
+                emb.filter(F.col("vec_id").between(16, 19)), cents
             )
-        books.append(row_books)
-    return locked_get(
-        _PQ_RESID_BOOK_CACHE, key, lambda: (books, cell_vecs)
-    )
+            .select("vec_id", "embedding", "cell")
+            .orderBy("vec_id")
+            .collect()
+        )
+        books = []
+        for s in range(_PQ_SUBS):
+            row_books = []
+            for r in rows:  # k = vec_id - 16, in order
+                cv = cell_vecs[r.cell]
+                row_books.append(
+                    [
+                        float(r.embedding[s * 8 + i]) - cv[s * 8 + i]
+                        for i in range(8)
+                    ]
+                )
+            books.append(row_books)
+        return (books, cell_vecs)
+
+    return locked_get(_PQ_RESID_BOOK_CACHE, key, build)
 
 
 _IVFPQ_RESID_BOOK_DUCK = """
