@@ -123,7 +123,8 @@ BUILDER_VIEWS: list[tuple[str, str]] = [
                        AS PlanCode,
                      'S' || CAST(o_custkey % 50 AS VARCHAR(20)) AS SitusState,
                      o_custkey AS GroupKey
-              FROM orders) c
+              FROM (SELECT /*+ REPARTITION(32) */ * FROM orders)
+                   orders_spread) c
         CROSS JOIN (SELECT 1 AS SplitSeq UNION ALL SELECT 2) s
         CROSS JOIN (SELECT 1 AS BrokerSeq UNION ALL SELECT 2) t
         WHERE (s.SplitSeq = 1 OR c.GroupKey % 2 = 0)
