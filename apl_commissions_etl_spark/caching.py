@@ -23,13 +23,30 @@ from typing import TypeVar
 
 V = TypeVar("V")
 
-#: Sentinel key under which each cache dict carries its OWN per-key
-#: lock table.  Storing the locks on the cache itself (rather than a
-#: module-level table keyed by id(cache)) means lock state dies with
-#: its cache — no unbounded growth across test-local caches, and no
-#: id() recycling aliasing an unrelated cache's locks.  The sentinel
-#: is a private object() so it can never collide with (or be observed
-#: through) a real ``in`` / ``[]`` lookup on user keys.
+class SessionCache(dict):
+    """A plain dict whose per-key lock table rides as an instance
+    ATTRIBUTE, not an entry: the data plane stays pure, so iterating,
+    ``len()``-ing, clearing, or serializing the cache only ever sees
+    real (key, value) pairs.  Lock lifetime is still coupled to the
+    cache (the attribute dies with the instance) — the property the
+    earlier sentinel-key design bought, without its hidden entry.
+
+    All module-level query caches should be declared as
+    ``SessionCache()``; ``locked_get`` keeps a sentinel-key fallback
+    only so ad-hoc plain dicts (tests, scratch code) still work."""
+
+    __slots__ = ("_locks",)
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._locks: dict = {}
+
+
+#: Fallback sentinel key under which a PLAIN cache dict carries its
+#: lock table (see ``SessionCache``); never collides with user keys.
+#: Plain dicts passed to ``locked_get`` gain this hidden entry — code
+#: that iterates such a dict must skip it, which is exactly why the
+#: module caches use ``SessionCache`` instead.
 _LOCK_TABLE_KEY = object()
 _LOCKS_GUARD = threading.Lock()
 
@@ -44,7 +61,10 @@ def locked_get(cache: dict, key: Hashable, build: Callable[[], V]) -> V:
     except KeyError:
         pass
     with _LOCKS_GUARD:
-        locks = cache.setdefault(_LOCK_TABLE_KEY, {})
+        if isinstance(cache, SessionCache):
+            locks = cache._locks
+        else:
+            locks = cache.setdefault(_LOCK_TABLE_KEY, {})
         lock = locks.setdefault(key, threading.Lock())
     with lock:
         if key not in cache:

@@ -589,7 +589,15 @@ def stream_observed_gl_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                # Timed out with the query still live: starting the
+                # next wave against the same checkpoint (or reading
+                # sink_metrics mid-commit) would be silently wrong —
+                # fail loudly instead.
+                q.stop()
+                raise TimeoutError(
+                    "streaming wave did not finish within 300s"
+                )
         per_batch = sink_metrics(target)
         totals = {
             k: sum(int(b[k] or 0) for b in per_batch.values())

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..caching import locked_get
+from ..caching import SessionCache, locked_get
 from ..operators.consolidate import consolidate_proposals
 from ..plans import builder
 from ..plans.builder_fixtures import builder_cte_sql, register_builder_views
@@ -93,8 +93,8 @@ def _certs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: session-scoped caches — the reference materializes builder inputs
 #: once per run; re-deriving the whole-fact hash aggregations per query
 #: dominates steady-state latency otherwise
-_CRITERIA_CACHE: dict[tuple[str, str], DataFrame] = {}
-_PER_SPLIT_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CRITERIA_CACHE: dict[tuple[str, str], DataFrame] = SessionCache()
+_PER_SPLIT_CACHE: dict[tuple[str, str], DataFrame] = SessionCache()
 
 
 def _certs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:

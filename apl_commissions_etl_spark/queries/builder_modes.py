@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import locked_get
+from ..caching import SessionCache, locked_get
 from ..plans import builder_modes as modes
 from ..registry import query
 from .builder import BUILDER_CTES, _certs, _criteria, _per_split, builder_cte_sql
@@ -144,7 +144,7 @@ def _mode_proposal_sql(keys_cte: str, mode: str, notes: str) -> str:
 #: keys, mode keys) are group-scale aggregates that every mode query
 #: re-derives through the same 06b->06e chain — cache them once per
 #: (session, sf) exactly like the criteria cache they build on
-_CASCADE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_CASCADE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = SessionCache()
 
 
 def _cascade(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

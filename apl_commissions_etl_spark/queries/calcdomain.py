@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import locked_get
+from ..caching import SessionCache, locked_get
 from ..plans import calc
 from ..plans.fixtures import FIXTURE_VIEWS, fixtures_cte_sql, register_fixture_views
 from ..registry import query
@@ -131,7 +131,7 @@ def _oracle(final_select: str) -> str:
 #: tables once per run (TRUNCATE + INSERT...SELECT); the Spark
 #: equivalent is caching the small derived dims so each of the 8+
 #: broadcast sides doesn't re-derive its view chain per query.
-_STAGING_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_STAGING_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = SessionCache()
 
 
 def _staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -156,7 +156,7 @@ def _staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 #: are cached once per (session, sf) so the dozen registered calc
 #: queries don't each re-execute the 8-stage cascade (same pattern as
 #: the builder criteria cache; the reference materializes each stage)
-_STAGES_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_STAGES_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = SessionCache()
 
 
 def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caching import locked_get
+from ..caching import SessionCache, locked_get
 from ..plans.dims_fixtures import dims_cte_sql, register_dim_views
 from ..registry import query
 
@@ -114,7 +114,7 @@ def dim_brokers(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: materialized group-scale leaf instead of re-running the multi-source
 #: union + window dedup per view (measured: the 5 broker-attribute
 #: report views drop from ~35s to ~8s at sf0.01)
-_FRAME_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_FRAME_CACHE: dict[tuple[str, str, str], DataFrame] = SessionCache()
 
 
 def _cached_frame(spark: SparkSession, sf_dir: str, name: str, build):

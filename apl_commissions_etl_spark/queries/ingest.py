@@ -20,7 +20,7 @@ import zipfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import locked_get
+from ..caching import SessionCache, locked_get
 from ..registry import query
 from ..sources.csv_ingest import read_raw_csv
 from ..sources.archive import read_zip_csvs
@@ -34,8 +34,8 @@ _DIRTY_HEADERS = [
     "c mktsegment",
 ]
 
-_CSV_STAGE: dict[tuple[str, str], str] = {}
-_ZIP_STAGE: dict[tuple[str, str], str] = {}
+_CSV_STAGE: dict[tuple[str, str], str] = SessionCache()
+_ZIP_STAGE: dict[tuple[str, str], str] = SessionCache()
 
 
 def _stage_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
@@ -160,7 +160,7 @@ def ingest_zip_prefix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MAT_STAGE: dict[tuple[str, str], str] = {}
+_MAT_STAGE: dict[tuple[str, str], str] = SessionCache()
 
 
 def _materialize_stage(spark: SparkSession, sf_dir: str) -> str:
@@ -283,10 +283,10 @@ def pipeline_materialize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text-log parse path (§2.1 sources beyond CSV/ZIP/parquet)
 # ---------------------------------------------------------------------------
 
-_JSONL_STAGE: dict[tuple[str, str], str] = {}
-_ORC_STAGE: dict[tuple[str, str], str] = {}
-_PART_STAGE: dict[tuple[str, str], str] = {}
-_LOG_STAGE: dict[tuple[str, str], str] = {}
+_JSONL_STAGE: dict[tuple[str, str], str] = SessionCache()
+_ORC_STAGE: dict[tuple[str, str], str] = SessionCache()
+_PART_STAGE: dict[tuple[str, str], str] = SessionCache()
+_LOG_STAGE: dict[tuple[str, str], str] = SessionCache()
 
 
 def _events_for_stage(spark: SparkSession, sf_dir: str) -> DataFrame:

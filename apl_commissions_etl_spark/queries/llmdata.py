@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import locked_get
+from ..caching import SessionCache, locked_get
 from ..operators import corpus, dedup, multimodal, similarity, textanalysis as ta
 from ..registry import query
 from ..sources.testdata import load_table
@@ -186,7 +186,7 @@ MAX_BAND_BUCKET = 20
 #: dedup_cluster_labels share the full LSH pipeline, so the pair table
 #: (like the reference-style materialized signature tables) is built
 #: once per (session, sf) and lineage-truncated
-_LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = SessionCache()
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,7 +205,7 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: session-scoped cluster labels — shared by dedup_cluster_labels and
 #: the composed pretraining pipeline (the iterative CC loop runs once
 #: per session, like every other materialized shared frame)
-_CLUSTER_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CLUSTER_LABELS_CACHE: dict[tuple[str, str], DataFrame] = SessionCache()
 
 
 #: session-scoped fused per-document signal frame: repetition metrics,
@@ -216,7 +216,7 @@ _CLUSTER_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
 #: each recomputed the projections per run (the r4 verdict's last
 #: composite-steady hotspot). At 100 TB this is the signals table a
 #: curation service materializes once per corpus snapshot.
-_DOC_SIGNALS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DOC_SIGNALS_CACHE: dict[tuple[str, str], DataFrame] = SessionCache()
 
 
 def _doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,8 +557,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fixed overhead in a serving loop (the r01 verdict's "driver-side
 #: serial work" smell). Collected once, reused by all four ann_*
 #: queries.
-_ANN_CONST_CACHE: dict[tuple[str, str], tuple] = {}
-_KMEANS_CENT_CACHE: dict[tuple[str, str], list] = {}
+_ANN_CONST_CACHE: dict[tuple[str, str], tuple] = SessionCache()
+_KMEANS_CENT_CACHE: dict[tuple[str, str], list] = SessionCache()
 
 
 def _ann_constants(spark: SparkSession, sf_dir: str):
@@ -593,7 +593,7 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list:
 #: ONCE at index time (like every real IVF implementation) and every
 #: query pays only probe selection + the pruned scan. At 100 TB this
 #: is a table partitioned by cell, written by an indexing job.
-_IVF_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+_IVF_INDEX_CACHE: dict[tuple[str, str], DataFrame] = SessionCache()
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2137,7 +2137,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_RESID_BOOK_CACHE: dict[tuple[str, str], tuple] = {}
+_PQ_RESID_BOOK_CACHE: dict[tuple[str, str], tuple] = SessionCache()
 
 
 def _pq_residual_books(spark: SparkSession, sf_dir: str):
@@ -2569,16 +2569,24 @@ def ann_topk_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: family promises ("at 100 TB the index is a table partitioned by
 #: cell"). Written once per (session, sf); the directory lives for the
 #: session (the probe DataFrames read it lazily).
-_IVF_TABLE_CACHE: dict[tuple[str, str], str] = {}
+_IVF_TABLE_CACHE: dict[tuple[str, str], str] = SessionCache()
 
 
 def _ivf_table_path(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
 
     def build() -> str:
+        import atexit
+        import shutil
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="ivf_table_") + "/index"
+        root = tempfile.mkdtemp(prefix="ivf_table_")
+        # The directory must outlive the call (probe DataFrames read
+        # it lazily for the rest of the session) but not the process:
+        # without this, every (session, sf) pair leaks a parquet dir
+        # for the machine's tmp lifetime across repeated sweeps.
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = root + "/index"
         _ivf_index(spark, sf_dir).write.partitionBy("cell").parquet(path)
         return path
 

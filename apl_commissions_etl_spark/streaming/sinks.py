@@ -26,10 +26,30 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.export import merge_upsert
+
+#: Per-target-dir locks serializing every load-mutate-store window on
+#: ``_sink_state.json`` (sink commits AND compaction) within this
+#: process.  foreachBatch callbacks and ``compact_journal`` all run on
+#: the driver, so this is the real writer set; ACROSS processes the
+#: state file has a single-writer requirement (one driver owns a sink
+#: directory — the same contract a table format's transaction log
+#: enforces with its catalog).  ``compact_journal`` additionally
+#: re-loads and MERGES at its swap point, so even a cross-process
+#: racer loses no committed batch id.
+_STATE_LOCKS: dict[str, threading.Lock] = {}
+_STATE_LOCKS_GUARD = threading.Lock()
+
+
+def _state_lock(target_dir: str) -> threading.Lock:
+    with _STATE_LOCKS_GUARD:
+        return _STATE_LOCKS.setdefault(
+            os.path.abspath(target_dir), threading.Lock()
+        )
 
 
 def _state_path(target_dir: str) -> str:
@@ -83,34 +103,35 @@ def idempotent_merge_sink(
     os.makedirs(target_dir, exist_ok=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        state = _load_state(target_dir)
-        if batch_id in state["committed"]:
-            return  # replayed batch: already merged, skip
-        spark = batch_df.sparkSession
-        target = current_table(spark, target_dir)
-        if target is None:
-            merged = batch_df.dropDuplicates(keys)
-        else:
-            merged = merge_upsert(target, batch_df, keys)
-        obs = None
-        if metrics is not None:
-            from pyspark.sql import Observation
+        with _state_lock(target_dir):
+            state = _load_state(target_dir)
+            if batch_id in state["committed"]:
+                return  # replayed batch: already merged, skip
+            spark = batch_df.sparkSession
+            target = current_table(spark, target_dir)
+            if target is None:
+                merged = batch_df.dropDuplicates(keys)
+            else:
+                merged = merge_upsert(target, batch_df, keys)
+            obs = None
+            if metrics is not None:
+                from pyspark.sql import Observation
 
-            obs = Observation()
-            merged = merged.observe(obs, *metrics())
-        version_dir = f"v{state['version'] + 1:06d}"
-        merged.write.mode("overwrite").parquet(
-            os.path.join(target_dir, version_dir)
-        )
-        state["version"] += 1
-        state["current"] = version_dir
-        state["committed"].append(batch_id)
-        if obs is not None:
-            state.setdefault("metrics", {})[str(batch_id)] = {
-                k: (v.item() if hasattr(v, "item") else v)
-                for k, v in obs.get.items()
-            }
-        _store_state(target_dir, state)
+                obs = Observation()
+                merged = merged.observe(obs, *metrics())
+            version_dir = f"v{state['version'] + 1:06d}"
+            merged.write.mode("overwrite").parquet(
+                os.path.join(target_dir, version_dir)
+            )
+            state["version"] += 1
+            state["current"] = version_dir
+            state["committed"].append(batch_id)
+            if obs is not None:
+                state.setdefault("metrics", {})[str(batch_id)] = {
+                    k: (v.item() if hasattr(v, "item") else v)
+                    for k, v in obs.get.items()
+                }
+            _store_state(target_dir, state)
 
     return sink
 
@@ -145,25 +166,26 @@ def idempotent_append_sink(target_dir: str, metrics=None):
     os.makedirs(target_dir, exist_ok=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        state = _load_state(target_dir)
-        if batch_id in state["committed"]:
-            return  # replayed batch: already appended + logged, skip
-        to_write = batch_df
-        obs = None
-        if metrics is not None:
-            from pyspark.sql import Observation
+        with _state_lock(target_dir):
+            state = _load_state(target_dir)
+            if batch_id in state["committed"]:
+                return  # replayed batch: already appended + logged
+            to_write = batch_df
+            obs = None
+            if metrics is not None:
+                from pyspark.sql import Observation
 
-            obs = Observation()
-            to_write = batch_df.observe(obs, *metrics())
-        part_dir = os.path.join(target_dir, f"b{batch_id:06d}")
-        to_write.write.mode("overwrite").parquet(part_dir)
-        state["committed"].append(batch_id)
-        if obs is not None:
-            state.setdefault("metrics", {})[str(batch_id)] = {
-                k: (v.item() if hasattr(v, "item") else v)
-                for k, v in obs.get.items()
-            }
-        _store_state(target_dir, state)
+                obs = Observation()
+                to_write = batch_df.observe(obs, *metrics())
+            part_dir = os.path.join(target_dir, f"b{batch_id:06d}")
+            to_write.write.mode("overwrite").parquet(part_dir)
+            state["committed"].append(batch_id)
+            if obs is not None:
+                state.setdefault("metrics", {})[str(batch_id)] = {
+                    k: (v.item() if hasattr(v, "item") else v)
+                    for k, v in obs.get.items()
+                }
+            _store_state(target_dir, state)
 
     return sink
 
@@ -205,10 +227,18 @@ def compact_journal(spark: SparkSession, target_dir: str) -> int:
     (invisible to readers, reclaimable by any later janitor pass). At
     100 TB this is the table format's compaction job: rewrite N small
     files into target-sized ones and commit the new file list.
+
+    Safe to run WHILE the sink's stream is live: the compactor
+    snapshots the committed set under the per-target lock, rewrites
+    only that snapshot (never a batch that lands mid-rewrite), and at
+    the swap point re-loads the latest state and merges — a batch
+    committed during the rewrite keeps its id in ``committed`` and its
+    part dir stays live because ``covers`` lists only the snapshot.
     Returns the number of part directories folded in."""
     import shutil
 
-    state = _load_state(target_dir)
+    with _state_lock(target_dir):
+        state = _load_state(target_dir)  # consistent snapshot
     if not state["committed"]:
         return 0
     comp = state.get("compacted")
@@ -216,20 +246,29 @@ def compact_journal(spark: SparkSession, target_dir: str) -> int:
     fresh = [b for b in state["committed"] if b not in covered]
     if not fresh and comp:
         return 0  # nothing new since the last compaction
-    current = journal_table(spark, target_dir)
+    # Read exactly the snapshot's file set (NOT journal_table, which
+    # would re-load state and could pull in a mid-rewrite batch whose
+    # part dir must stay live).
+    old_dirs = ([comp["dir"]] if comp else []) + [
+        f"b{b:06d}" for b in fresh
+    ]
+    current = spark.read.parquet(
+        *[os.path.join(target_dir, d) for d in old_dirs]
+    )
     new_dir = f"c{state['version'] + 1:06d}"
     current.write.mode("overwrite").parquet(
         os.path.join(target_dir, new_dir)
     )
-    old_dirs = ([comp["dir"]] if comp else []) + [
-        f"b{b:06d}" for b in fresh
-    ]
-    state["version"] += 1
-    state["compacted"] = {
-        "dir": new_dir,
-        "covers": list(state["committed"]),
-    }
-    _store_state(target_dir, state)  # atomic swap point
+    with _state_lock(target_dir):
+        # Merge, don't overwrite: batches committed (and metrics
+        # logged) during the rewrite live in `latest`, not `state`.
+        latest = _load_state(target_dir)
+        latest["version"] = max(latest["version"], state["version"]) + 1
+        latest["compacted"] = {
+            "dir": new_dir,
+            "covers": list(state["committed"]),
+        }
+        _store_state(target_dir, latest)  # atomic swap point
     for d in old_dirs:
         shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
     return len(old_dirs)

@@ -79,3 +79,30 @@ def test_failed_build_not_cached():
     assert len(attempts) == 2 and "k" not in cache
     # a later successful build fills the slot
     assert locked_get(cache, "k", lambda: "ok") == "ok"
+
+
+def test_session_cache_data_plane_is_pure():
+    """SessionCache keeps its lock table OFF the data plane (r6
+    ADVICE: the sentinel-key design leaked a non-value entry into any
+    iteration/len/serialization of the cache)."""
+    import json
+
+    from apl_commissions_etl_spark.caching import SessionCache
+
+    cache = SessionCache()
+    assert locked_get(cache, "a", lambda: 1) == 1
+    assert locked_get(cache, "b", lambda: 2) == 2
+    assert locked_get(cache, "a", lambda: 99) == 1  # hit path
+    # iterate / len / serialize see ONLY real entries
+    assert sorted(cache) == ["a", "b"]
+    assert len(cache) == 2
+    assert dict(cache.items()) == {"a": 1, "b": 2}
+    assert json.loads(json.dumps(cache)) == {"a": 1, "b": 2}
+    cache.clear()
+    assert locked_get(cache, "a", lambda: 7) == 7  # locks survive clear
+
+
+def test_plain_dict_fallback_still_works():
+    cache = {}
+    assert locked_get(cache, "k", lambda: 5) == 5
+    assert locked_get(cache, "k", lambda: 9) == 5

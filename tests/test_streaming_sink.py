@@ -284,3 +284,59 @@ def test_journal_compaction_preserves_exactly_once(spark, tmp_path):
     assert journal_table(spark, target).count() == len(before) + 1
     # idempotent when nothing new arrived
     assert compact_journal(spark, target) == 0
+
+
+def test_compaction_merges_with_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A batch that commits WHILE compact_journal is rewriting must
+    survive the swap: its id stays in the committed set (so a replay
+    is still skipped), its part dir stays live (covers lists only the
+    snapshot), and the journal reads its rows (r6 ADVICE: the old
+    load-mutate-store overwrote the state and orphaned such a batch)."""
+    import threading
+
+    from apl_commissions_etl_spark.streaming import sinks
+    from apl_commissions_etl_spark.streaming.sinks import (
+        compact_journal,
+        idempotent_append_sink,
+        journal_table,
+    )
+
+    target = str(tmp_path / "journal")
+    sink = idempotent_append_sink(target)
+    sink(_mk(spark, [(1, 10.5), (2, 2.25)]), 0)
+    sink(_mk(spark, [(3, 7.0)], start=10), 1)
+
+    # Inject the racer at the compactor's SECOND lock acquisition —
+    # the swap point, after the rewrite read its snapshot.
+    real = threading.Lock()
+    state = {"n": 0}
+
+    class HookLock:
+        def __enter__(self):
+            real.acquire()
+            state["n"] += 1
+            if state["n"] == 2:  # swap point
+                real.release()  # let the racing sink take the lock
+                sink(_mk(spark, [(4, 1.0)], start=20), 2)
+                real.acquire()
+
+        def __exit__(self, *exc):
+            real.release()
+
+    monkeypatch.setattr(sinks, "_state_lock", lambda td: HookLock())
+    assert compact_journal(spark, target) == 2  # only the snapshot
+
+    st = sinks._load_state(target)
+    assert st["committed"] == [0, 1, 2]  # racer's commit survived
+    assert set(st["compacted"]["covers"]) == {0, 1}  # not covered
+    rows = sorted(
+        r.event_id for r in journal_table(spark, target).collect()
+    )
+    assert rows == [0, 1, 10, 20]  # racer's rows visible
+
+    # replaying the racer's batch is still skipped
+    monkeypatch.undo()
+    sink(_mk(spark, [(4, 1.0)], start=20), 2)
+    assert journal_table(spark, target).count() == 4
