@@ -309,7 +309,8 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "roundtrip / frame sampling, repetition filter, contamination "
         "check, train/val/test split, PageRank, fused ML inference, "
         "product quantization, Z-order layout planning, RAG retrieval, "
-        "BPE merge training",
+        "BPE merge training, batch/partitioned IVF serving and the "
+        "four-method recall@10 report",
         (
             "text_bpe_train",
             "text_bpe_apply",
@@ -318,6 +319,9 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "ann_pq_adc_topk",
             "ann_topk_ivfpq",
             "ann_topk_ivfpq_residual",
+            "ann_topk_ivf_batch",
+            "ann_topk_ivf_partitioned",
+            "ann_recall_report",
             "layout_zorder_plan",
             "pipeline_rag_retrieval",
             "ann_topk_lsh",

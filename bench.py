@@ -156,6 +156,27 @@ def main() -> None:
             }
         )
     )
+    # The driver archives only the TAIL of stdout, and the big JSON
+    # above leads with the totals — two rounds running they were
+    # truncated out of the artifact (BENCH_r05/r06 `parsed: null`).
+    # Repeat the headline numbers as one compact FINAL line so any
+    # tail capture keeps them.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "steady_total": total,
+                "cold_total": round(sum(cold.values()), 3),
+                "shared_warm_total": warm_total,
+                "session_init": session_init,
+                "n_queries": len(timings),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
