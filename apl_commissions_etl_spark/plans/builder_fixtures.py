@@ -51,8 +51,9 @@ as the SURVEY §1.3 ArrayType convention.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
+from ..caching import SessionCache, locked_get
 from ..sources.testdata import (
     load_table,
     register_base_tables,
@@ -178,3 +179,28 @@ def register_builder_views(spark: SparkSession, sf_dir: str) -> None:
             spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
 
     registered_once(spark, "builder", sf_dir, _register)
+
+
+#: session-scoped checkpoint of the EXPANDED certificate fact.  Every
+#: builder-family query, the mode cascade, and the certificate dims
+#: start from ``input_certificate_info`` — a view whose CROSS-JOIN
+#:  expansion + string building costs ~2s per derivation at sf0.1.
+#: Deriving it once per (session, sf) and truncating lineage means the
+#: criteria chain, the mode cascade, and dim_policies all read the
+#: same materialized rows instead of re-expanding (the r6 verdict's
+#: "derived-view tax").  At 100 TB this IS the reference's staged
+#: input_certificate_info table (proposal-builder.ts:2047-2164 loads
+#: it from staging, not from the raw source, for the same reason).
+_CERT_INFO_CACHE: dict[tuple[str, str], DataFrame] = SessionCache()
+
+
+def cert_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``input_certificate_info`` fact as a session-cached eager
+    localCheckpoint (see ``_CERT_INFO_CACHE``)."""
+    register_builder_views(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return locked_get(
+        _CERT_INFO_CACHE,
+        key,
+        lambda: spark.table("input_certificate_info").localCheckpoint(),
+    )

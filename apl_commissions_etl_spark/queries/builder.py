@@ -17,7 +17,11 @@ from pyspark.sql.window import Window as W
 from ..caching import SessionCache, locked_get
 from ..operators.consolidate import consolidate_proposals
 from ..plans import builder
-from ..plans.builder_fixtures import builder_cte_sql, register_builder_views
+from ..plans.builder_fixtures import (
+    builder_cte_sql,
+    cert_info,
+    register_builder_views,
+)
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -86,8 +90,11 @@ def _oracle(final_select: str) -> str:
 
 
 def _certs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_builder_views(spark, sf_dir)
-    return spark.table("input_certificate_info")
+    # session-cached localCheckpoint of the expanded fact: the whole
+    # builder family, the mode cascade, and the certificate dims share
+    # ONE materialization (r6 verdict: sharing this expansion was the
+    # untried warm-path lever)
+    return cert_info(spark, sf_dir)
 
 
 #: session-scoped caches — the reference materializes builder inputs
@@ -115,6 +122,19 @@ def _certs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _certs(spark, sf_dir)
 
 
+def _certs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expansion VIEW itself, for one-shot warm-path builds that
+    fuse the expansion into their own aggregation job.  ``_per_split``
+    deliberately reads this instead of the ``cert_info`` checkpoint:
+    the checkpoint sits on the warm-up's critical path (views → cert →
+    per-split → criteria → mode cascade), and fusing the expansion
+    into the per-split aggregation is faster end-to-end than
+    materializing it first and aggregating the materialized rows.
+    Steady-path queries keep reading the checkpoint via ``_certs``."""
+    register_builder_views(spark, sf_dir)
+    return spark.table("input_certificate_info")
+
+
 def _per_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached ``split_hierarchies`` frame (one row per
     certificate split with canonical tier string + hierarchy hash) —
@@ -128,7 +148,7 @@ def _per_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PER_SPLIT_CACHE,
         key,
         lambda: builder.split_hierarchies(
-            _certs_spread(spark, sf_dir)
+            _certs_raw(spark, sf_dir)
         ).localCheckpoint(),
     )
 
@@ -139,7 +159,7 @@ def _criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CRITERIA_CACHE,
         key,
         lambda: builder.selection_criteria(
-            _certs_spread(spark, sf_dir),
+            _certs_raw(spark, sf_dir),
             per_split=_per_split(spark, sf_dir),
         ).localCheckpoint(),
     )

@@ -674,7 +674,11 @@ def dim_broker_banking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Products / product codes / plans (ref sql/transforms/03-products.sql)
 # ---------------------------------------------------------------------------
 
-from ..plans.builder_fixtures import builder_cte_sql, register_builder_views  # noqa: E402
+from ..plans.builder_fixtures import (
+    builder_cte_sql,
+    cert_info,
+    register_builder_views,
+)  # noqa: E402
 
 
 def _both_oracle(final_select: str) -> str:
@@ -731,7 +735,7 @@ def dim_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     code = F.trim("ProductCode")
 
     certs = (
-        spark.table("input_certificate_info")
+        cert_info(spark, sf_dir)
         .filter(code != "")
         .groupBy(code.alias("Id"))
         .agg(
@@ -833,7 +837,7 @@ def dim_product_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     _both_views(spark, sf_dir)
     cat, code = F.trim("ProductCategory"), F.trim("ProductCode")
     certs = (
-        spark.table("input_certificate_info")
+        cert_info(spark, sf_dir)
         .filter((cat != "") & (code != ""))
         .groupBy(cat.alias("ProductId"), code.alias("Code"))
         .agg(
@@ -914,7 +918,7 @@ def dim_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
     _both_views(spark, sf_dir)
     code, plan = F.trim("ProductCode"), F.trim("PlanCode")
     return (
-        spark.table("input_certificate_info")
+        cert_info(spark, sf_dir)
         .filter((code != "") & (plan != "") & (plan != "N/A"))
         .select(code.alias("ProductCode"), plan.alias("PlanCode"))
         .distinct()

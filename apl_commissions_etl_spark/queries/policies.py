@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.builder_fixtures import builder_cte_sql, register_builder_views
+from ..plans.builder_fixtures import (
+    builder_cte_sql,
+    cert_info,
+    register_builder_views,
+)
 from ..plans.dims_fixtures import dims_cte_sql, register_dim_views
 from ..registry import query
 
@@ -86,7 +90,7 @@ FAR_EXPIRY = "2027-01-01"
 )
 def dim_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_builder_views(spark, sf_dir)
-    i = spark.table("input_certificate_info")
+    i = cert_info(spark, sf_dir)
     active = i.filter((F.col("CertificateId") > 0) & (F.trim("RecStatus") == "A"))
     # min split seq per certificate as a window over the same partition
     # key the aggregation below shuffles on: ONE scan of the fact and

@@ -122,23 +122,45 @@ def warm_shared_caches(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         step("calc_views", lambda: register_fixture_views(spark, sf_dir))
 
         def warm_dims():
-            # the cascade's broadcast sides populate these caches one
-            # by one during planning; counting them concurrently first
-            # fills all ~11 dim caches in parallel jobs instead
+            # ONE union-of-counts job materializes every cached dim
+            # (scanning a cached child inside the union fills its
+            # cache): 11 scheduler round-trips become one, and the
+            # cascade below runs CONCURRENTLY — its broadcast sides hit
+            # the same caches, so whichever side touches a dim first
+            # computes it once for both
+            from pyspark.sql import functions as F
+
             stg = calcdomain._staging(spark, sf_dir)
             dims = [
-                df for n, df in stg.items()
+                df.select(F.count(F.lit(1)).alias("n"))
+                for n, df in stg.items()
                 if n != "stg_premium_transactions"
             ]
-            with ThreadPoolExecutor(max_workers=8) as dim_pool:
-                for _ in dim_pool.map(lambda d: d.count(), dims):
-                    pass
-        step("calc_staging_dims", warm_dims)
-        step("calc_staging_cascade",
-             lambda: calcdomain._stages(spark, sf_dir))
+            out = dims[0]
+            for d in dims[1:]:
+                out = out.unionAll(d)
+            out.collect()
+
+        def timed(name, fn):
+            return lambda: step(name, fn)
+
+        with ThreadPoolExecutor(max_workers=2) as calc_pool:
+            fs = [
+                calc_pool.submit(timed("calc_staging_dims", warm_dims)),
+                calc_pool.submit(
+                    timed(
+                        "calc_staging_cascade",
+                        lambda: calcdomain._stages(spark, sf_dir),
+                    )
+                ),
+            ]
+            for f in fs:
+                f.result()
 
     def chain_builder():
         step("builder_views", lambda: register_builder_views(spark, sf_dir))
+        # cert_info is prefetched by chain_ann (it has the most slack);
+        # locked_get makes this a blocking share, never a double build
         step("builder_criteria", lambda: builder._criteria(spark, sf_dir))
         step("mode_cascade_keys",
              lambda: builder_modes._cascade(spark, sf_dir))

@@ -76,9 +76,17 @@ def main() -> None:
     # (scans, cache builds), not engine boot. Reported as session_init.
     t0 = time.time()
     spark.range(1).count()
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).limit(
-        1
+    # exercise the machinery warm queries actually use — a shuffle, a
+    # broadcast join, whole-stage codegen, the vectorized parquet
+    # reader — so one-time JIT/class-loading lands here, not inside
+    # whichever warm chain's first job happens to trip it
+    from pyspark.sql import functions as F
+
+    probe = spark.range(100_000).withColumn("k", F.col("id") % 100)
+    probe.groupBy("k").count().join(
+        F.broadcast(spark.range(100).withColumnRenamed("id", "k")), "k"
     ).count()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     session_init = round(time.time() - t0, 3)
     print(f"[bench] session init {session_init:.3f}s",
           file=sys.stderr, flush=True)
