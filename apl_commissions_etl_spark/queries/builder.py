@@ -201,6 +201,64 @@ def builder_selection_criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "builder_incremental_criteria",
+    oracle=_oracle("""
+    SELECT GroupId, CertificateId, CertEffectiveDate, ProductCode, PlanCode,
+           SitusState, TotalSplitPercent, SplitCount, ConfigHash,
+           WritingBrokerId
+    FROM criteria"""),
+    survey_ref="north-star: INCREMENTAL builder — the daily-increment "
+    "production pattern applied to the proposal builder (the reference "
+    "rebuilds from the full certificate staging table every run, "
+    "proposal-builder.ts:2047-2164): a delta batch of certificate "
+    "split rows (brand-new certificates PLUS amendments adding splits "
+    "to existing ones) updates the criteria WITHOUT recomputing "
+    "unaffected certificates. The oracle is the FULL-rebuild criteria, "
+    "so the driver's value hash proves incremental == batch exactly. "
+    "At 100 TB the baseline is a table bucketed by CertificateId, the "
+    "affected-key fetch is a broadcast semi-join (delta-scale), and "
+    "only the touched certificates re-aggregate",
+)
+def builder_incremental_criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic delta slice: certificates with id % 10 == 3 are
+    brand-new (all their rows arrive in the batch); certificates with
+    id % 10 == 7 receive an AMENDMENT (their split-2 rows arrive late,
+    so their baseline criteria were computed from split 1 only and are
+    genuinely stale — the merge must replace, not append, them)."""
+    certs = _certs(spark, sf_dir)
+    is_batch = (
+        ((F.col("CertificateId") % 10 == 7) & (F.col("CertSplitSeq") == 2))
+        | (F.col("CertificateId") % 10 == 3)
+    )
+    old = certs.filter(~is_batch)
+    batch = certs.filter(is_batch)
+    # baseline: criteria over the pre-batch fact (stale for amended ids)
+    baseline = builder.selection_criteria(old)
+    # delta-scale working set: certificates the batch touches
+    affected = batch.select("CertificateId").distinct()
+    # keyed fetch of the touched certificates' existing rows (bucketed
+    # table at scale: this join is shuffle-free on the fact side),
+    # then ONE aggregation over (old rows of touched certs) + batch
+    touched = old.join(F.broadcast(affected), "CertificateId").select(
+        *old.columns
+    )
+    recomputed = builder.selection_criteria(
+        touched.unionByName(batch.select(*old.columns))
+    )
+    cols = [
+        "GroupId", "CertificateId", "CertEffectiveDate", "ProductCode",
+        "PlanCode", "SitusState", "TotalSplitPercent", "SplitCount",
+        "ConfigHash", "WritingBrokerId",
+    ]
+    merged = (
+        baseline.join(F.broadcast(affected), "CertificateId", "left_anti")
+        .select(*cols)
+        .unionByName(recomputed.select(*cols))
+    )
+    return merged
+
+
+@query(
     "builder_pha_routing",
     oracle=_oracle(f"""
     SELECT GroupId, CertificateId, CertEffectiveDate AS EffectiveDate,

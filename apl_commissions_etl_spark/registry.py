@@ -145,6 +145,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #:   2. agg_conditional (evicted r5, fingerprinted in
 #:                                 agg_patterns_suite since r6; re-pin
 #:                                 only if a dedicated row is wanted)
+#:   3. builder_incremental_criteria (r7 incremental-builder proof;
+#:                                 sweep-covered, oracle = full rebuild)
 #: Keep this list in sync when adding families so the 50-slot prefix
 #: stays an intentional choice rather than registration-order accident.
 

@@ -52,6 +52,9 @@ HEADLINE = [
     "ann_topk_ivf",
     "ann_topk_ivfpq",
     "ann_topk_ivfpq_residual",
+    "ann_topk_ivf_batch",
+    "ann_topk_ivf_partitioned",
+    "ann_recall_report",
     "stream_session_window",
     "seq_asof_attribution",
     "win_sessionize",

@@ -53,3 +53,50 @@ def test_incremental_merge_equals_full_recompute(spark, sf_dir):
         step1, partial_aggregate(rest, ["o_custkey"], SPECS), ["o_custkey"], SPECS
     )
     assert _rows(full) == _rows(step2)
+
+
+def test_builder_incremental_replaces_stale_amended_rows(spark, sf_dir):
+    """The incremental-builder merge must REPLACE the amended
+    certificates' baseline rows, not append to them: a cert whose
+    split-2 arrives in the batch had a genuinely stale baseline
+    criteria row (split 1 only), and the merged result must carry the
+    full-fact values with no duplicate (Group, Certificate) keys."""
+    from pyspark.sql import functions as F
+
+    from apl_commissions_etl_spark.plans import builder as b
+    from apl_commissions_etl_spark.queries.builder import (
+        _certs_raw,
+        builder_incremental_criteria,
+    )
+
+    merged = builder_incremental_criteria(spark, sf_dir)
+    full = b.selection_criteria(_certs_raw(spark, sf_dir))
+
+    # no duplicate keys in the merged frame
+    dup = (
+        merged.groupBy("GroupId", "CertificateId")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+    # at least one amended certificate exists whose baseline (split-1
+    # only) disagreed with the full-fact criteria — i.e. the merge had
+    # real replacement work to do, not just appends
+    amended = merged.filter(
+        (F.col("CertificateId") % 10 == 7) & (F.col("SplitCount") > 1)
+    )
+    assert amended.count() > 0
+
+    # and the merged values equal the full rebuild for those keys
+    cols = ["GroupId", "CertificateId", "TotalSplitPercent",
+            "SplitCount", "ConfigHash"]
+    m = {tuple(r) for r in amended.select(*cols).collect()}
+    f = {
+        tuple(r)
+        for r in full.filter(
+            (F.col("CertificateId") % 10 == 7) & (F.col("SplitCount") > 1)
+        ).select(*cols).collect()
+    }
+    assert m == f
