@@ -225,6 +225,20 @@ def builder_incremental_criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
     id % 10 == 7 receive an AMENDMENT (their split-2 rows arrive late,
     so their baseline criteria were computed from split 1 only and are
     genuinely stale — the merge must replace, not append, them)."""
+    merged, _, _ = _incremental_frames(spark, sf_dir)
+    return merged.select(
+        "GroupId", "CertificateId", "CertEffectiveDate", "ProductCode",
+        "PlanCode", "SitusState", "TotalSplitPercent", "SplitCount",
+        "ConfigHash", "WritingBrokerId",
+    )
+
+
+def _incremental_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(merged criteria with FULL columns, baseline criteria, batch
+    rows) for the incremental-builder family — see
+    ``builder_incremental_criteria`` for the delta-slice definition."""
     certs = _certs(spark, sf_dir)
     is_batch = (
         ((F.col("CertificateId") % 10 == 7) & (F.col("CertSplitSeq") == 2))
@@ -245,17 +259,155 @@ def builder_incremental_criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed = builder.selection_criteria(
         touched.unionByName(batch.select(*old.columns))
     )
+    merged = (
+        baseline.join(F.broadcast(affected), "CertificateId", "left_anti")
+        .select(*recomputed.columns)
+        .unionByName(recomputed)
+    )
+    return merged, baseline, batch
+
+
+@query(
+    "builder_incremental_proposals",
+    oracle=_oracle("""
+    SELECT ProposalId, GroupId, ConfigHash, EffectiveDateFrom, EffectiveDateTo,
+           PlanCodes, ProductCodes, CertificateCount, PrimaryBrokerId,
+           GroupName, SitusState
+    FROM proposals"""),
+    survey_ref="north-star: incremental maintenance PROPAGATED one level "
+    "up the builder DAG — the delta batch touches a set of GROUPS, and "
+    "only those groups' proposals re-aggregate (from the incrementally "
+    "merged criteria); untouched groups keep their baseline proposal "
+    "rows verbatim. Oracle = the full-rebuild proposals "
+    "(proposal-builder.ts:886-1011), so the value hash proves the "
+    "group-level delta propagation exact. At 100 TB this is the "
+    "materialized-view maintenance pattern: criteria and proposals are "
+    "bucketed tables and each increment rewrites only delta buckets",
+)
+def builder_incremental_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged, baseline, batch = _incremental_frames(spark, sf_dir)
+    touched_groups = batch.select("GroupId").distinct()
+    cols = [
+        "ProposalId", "GroupId", "ConfigHash", "EffectiveDateFrom",
+        "EffectiveDateTo", "PlanCodes", "ProductCodes", "CertificateCount",
+        "PrimaryBrokerId", "GroupName", "SitusState",
+    ]
+    baseline_props = builder.build_proposals(baseline).select(*cols)
+    recomputed_props = builder.build_proposals(
+        merged.join(F.broadcast(touched_groups), "GroupId").select(
+            *merged.columns
+        )
+    ).select(*cols)
+    return (
+        baseline_props.join(
+            F.broadcast(touched_groups), "GroupId", "left_anti"
+        )
+        .select(*cols)
+        .unionByName(recomputed_props)
+    )
+
+
+@query(
+    "stream_incremental_criteria_parity",
+    oracle=_oracle("""
+    SELECT GroupId, CertificateId, CertEffectiveDate, ProductCode, PlanCode,
+           SitusState, TotalSplitPercent, SplitCount, ConfigHash,
+           WritingBrokerId
+    FROM criteria"""),
+    survey_ref="north-star: the incremental builder AS A STREAM — "
+    "certificate amendments and new certificates arrive as micro-"
+    "batches (readStream, maxFilesPerTrigger=1, delta files hash-"
+    "partitioned by certificate so one cert never splits across "
+    "batches) and a foreachBatch handler recomputes criteria for the "
+    "touched certificates only, MERGE-upserting them into a maintained "
+    "keyed table via the exactly-once sink (streaming/sinks.py "
+    "idempotent_merge_sink: replay guard + atomic versioned publish), "
+    "across a checkpointed RESTART. The final maintained table is "
+    "hash-checked against the FULL-rebuild criteria, proving streamed "
+    "view maintenance == batch rebuild. At 100 TB this is the "
+    "streaming materialized-view pattern: the sink is the table "
+    "format's MERGE INTO and each micro-batch touches delta buckets",
+)
+def stream_incremental_criteria_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seed the maintained table with the baseline (pre-batch)
+    criteria, stream the delta slice in 4 per-certificate files (2 per
+    run, restart in between), then read the final published table."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.sinks import current_table, idempotent_merge_sink
+
+    certs = _certs(spark, sf_dir)
+    is_batch = (
+        ((F.col("CertificateId") % 10 == 7) & (F.col("CertSplitSeq") == 2))
+        | (F.col("CertificateId") % 10 == 3)
+    )
+    old = certs.filter(~is_batch)
+    batch = certs.filter(is_batch)
     cols = [
         "GroupId", "CertificateId", "CertEffectiveDate", "ProductCode",
         "PlanCode", "SitusState", "TotalSplitPercent", "SplitCount",
         "ConfigHash", "WritingBrokerId",
     ]
-    merged = (
-        baseline.join(F.broadcast(affected), "CertificateId", "left_anti")
-        .select(*cols)
-        .unionByName(recomputed.select(*cols))
-    )
-    return merged
+    tmp = tempfile.mkdtemp(prefix="incr_criteria_stream_")
+    try:
+        src = f"{tmp}/src"
+        ckpt = f"{tmp}/ckpt"
+        target = f"{tmp}/table"
+        keys = ["GroupId", "CertificateId"]
+        sink = idempotent_merge_sink(target, keys)
+        # seed: baseline criteria as a pre-stream manual batch (same
+        # exactly-once machinery, version v000001)
+        sink(builder.selection_criteria(old).select(*cols), -1)
+
+        def apply_increment(bdf: DataFrame, bid: int) -> None:
+            # per-micro-batch incremental recompute: fetch the touched
+            # certificates' existing rows (keyed broadcast semi-join
+            # against the static fact), one aggregation over
+            # (existing + batch), then exactly-once MERGE
+            affected = bdf.select("CertificateId").distinct()
+            existing = old.join(F.broadcast(affected), "CertificateId").select(
+                *old.columns
+            )
+            upd = builder.selection_criteria(
+                existing.unionByName(bdf.select(*old.columns))
+            ).select(*cols)
+            sink(upd, bid)
+
+        # 4 delta files, each holding WHOLE certificates
+        batch.repartition(4, "CertificateId").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/all")
+        parts = sorted(
+            f for f in os.listdir(f"{tmp}/all") if f.endswith(".parquet")
+        )
+        os.makedirs(src)
+        for wave in (parts[:2], parts[2:]):
+            for f in wave:
+                shutil.copy(f"{tmp}/all/{f}", f"{src}/{f}")
+            q = (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(apply_increment)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "incremental-criteria wave did not finish within 300s"
+                )
+        final = current_table(spark, target).select(*cols)
+        # materialize before the tmp dir (the published parquet) is
+        # removed — the returned frame must not read deleted files
+        return final.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(
