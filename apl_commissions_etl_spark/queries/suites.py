@@ -32,7 +32,6 @@ a whole family.
 
 from __future__ import annotations
 
-import functools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +39,13 @@ from pyspark.sql import functions as F
 from ..operators import textanalysis as ta
 from ..registry import REGISTRY, query
 from ..sources.testdata import load_table
+
+#: shared result schema of every generated fingerprint sub-query
+#: (scripts/gen_suites.py emits exactly these 7 columns per sub)
+FINGERPRINT_SCHEMA = (
+    "pattern string, n_rows bigint, int_sum bigint, cents_sum bigint, "
+    "flag_sum bigint, str_min string, str_max string"
+)
 
 #: suite name -> (survey_ref, ordered sub-query names).  Fingerprint
 #: SQL for each sub lives in suites_gen.py (regenerate with
@@ -372,14 +378,30 @@ def _register_suites() -> None:
         def spark_fn(
             spark: SparkSession, sf_dir: str, _subs: tuple[str, ...] = subs
         ) -> DataFrame:
-            parts = []
+            # Execute the subs ONE AT A TIME and return the collected
+            # fingerprints as a literal frame, instead of one giant
+            # UNION ALL plan over every sub.  The values are identical
+            # (each sub's full plan still executes and aggregates to
+            # one fingerprint row); what changes is the session
+            # footprint: the external gate runs the 50-query prefix in
+            # a bare-default 1g-heap session, and a single plan
+            # embedding 25+ sub-queries both spikes planning memory
+            # and leaves a monster graph in the UI's retained
+            # executions — cumulative heap was the gate's only failure
+            # mode (see driver-gate notes in registry.py).  Per-sub
+            # actions keep each retained graph small and release each
+            # sub's temp view as soon as its row is in hand.
+            rows = []
             for s in _subs:
                 view = f"suite_src_{s}"
                 REGISTRY[s].spark_fn(spark, sf_dir).createOrReplaceTempView(view)
-                parts.append(
-                    spark.sql(suites_gen.CHECKSUMS[s]["spark"].format(src=view))
+                rows.extend(
+                    spark.sql(
+                        suites_gen.CHECKSUMS[s]["spark"].format(src=view)
+                    ).collect()
                 )
-            return functools.reduce(lambda a, b: a.unionAll(b), parts)
+                spark.catalog.dropTempView(view)
+            return spark.createDataFrame(rows, FINGERPRINT_SCHEMA)
 
         spark_fn.__name__ = suite_name
         spark_fn.__doc__ = (
