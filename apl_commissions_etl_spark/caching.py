@@ -70,3 +70,17 @@ def locked_get(cache: dict, key: Hashable, build: Callable[[], V]) -> V:
         if key not in cache:
             cache[key] = build()
     return cache[key]
+
+
+def session_ckpt(df):
+    """Eager localCheckpoint at SERIALIZED memory+disk storage — the
+    level every session-scoped shared frame should use.  The default
+    level keeps deserialized row objects on the heap; in the external
+    gate's bare-default 1g-heap session the dozen shared frames plus
+    per-query state left only a ~2-query margin at the 50-slot prefix.
+    Serialized blocks are 3-5x smaller for these wide string-heavy
+    frames and spill to disk under pressure, trading a small
+    per-read deserialization cost for session survival."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)

@@ -53,7 +53,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..caching import SessionCache, locked_get
+from ..caching import SessionCache, locked_get, session_ckpt
 from ..sources.testdata import (
     load_table,
     register_base_tables,
@@ -202,5 +202,5 @@ def cert_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return locked_get(
         _CERT_INFO_CACHE,
         key,
-        lambda: spark.table("input_certificate_info").localCheckpoint(),
+        lambda: session_ckpt(spark.table("input_certificate_info")),
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..caching import SessionCache, locked_get
+from ..caching import SessionCache, locked_get, session_ckpt
 from ..operators.consolidate import consolidate_proposals
 from ..plans import builder
 from ..plans.builder_fixtures import (
@@ -147,9 +147,9 @@ def _per_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return locked_get(
         _PER_SPLIT_CACHE,
         key,
-        lambda: builder.split_hierarchies(
-            _certs_raw(spark, sf_dir)
-        ).localCheckpoint(),
+        lambda: session_ckpt(
+            builder.split_hierarchies(_certs_raw(spark, sf_dir))
+        ),
     )
 
 
@@ -158,10 +158,12 @@ def _criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
     return locked_get(
         _CRITERIA_CACHE,
         key,
-        lambda: builder.selection_criteria(
-            _certs_raw(spark, sf_dir),
-            per_split=_per_split(spark, sf_dir),
-        ).localCheckpoint(),
+        lambda: session_ckpt(
+            builder.selection_criteria(
+                _certs_raw(spark, sf_dir),
+                per_split=_per_split(spark, sf_dir),
+            )
+        ),
     )
 
 

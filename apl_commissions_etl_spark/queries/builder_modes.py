@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import SessionCache, locked_get
+from ..caching import SessionCache, locked_get, session_ckpt
 from ..plans import builder_modes as modes
 from ..registry import query
 from .builder import BUILDER_CTES, _certs, _criteria, _per_split, builder_cte_sql
@@ -155,7 +155,7 @@ def _cascade(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         _CASCADE_CACHE,
         key,
         lambda: modes.mode_cascade(
-            _criteria(spark, sf_dir), persist=lambda df: df.localCheckpoint()
+            _criteria(spark, sf_dir), persist=session_ckpt
         ),
     )
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import SessionCache, locked_get
+from ..caching import SessionCache, locked_get, session_ckpt
 from ..plans import calc
 from ..plans.fixtures import FIXTURE_VIEWS, fixtures_cte_sql, register_fixture_views
 from ..registry import query
@@ -181,7 +181,7 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         stg["stg_premium_transactions"] = (
             stg["stg_premium_transactions"].repartition(par)
         )
-        return calc.run_calc(stg, persist=lambda df: df.localCheckpoint())
+        return calc.run_calc(stg, persist=session_ckpt)
 
     return locked_get(_STAGES_CACHE, key, build)
 

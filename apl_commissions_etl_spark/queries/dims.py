@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caching import SessionCache, locked_get
+from ..caching import SessionCache, locked_get, session_ckpt
 from ..plans.dims_fixtures import dims_cte_sql, register_dim_views
 from ..registry import query
 
@@ -119,7 +119,7 @@ _FRAME_CACHE: dict[tuple[str, str, str], DataFrame] = SessionCache()
 
 def _cached_frame(spark: SparkSession, sf_dir: str, name: str, build):
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    return locked_get(_FRAME_CACHE, key, lambda: build().localCheckpoint())
+    return locked_get(_FRAME_CACHE, key, lambda: session_ckpt(build()))
 
 
 def brokers_dim_cached(spark: SparkSession, sf_dir: str) -> DataFrame:

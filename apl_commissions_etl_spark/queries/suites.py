@@ -327,6 +327,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "ann_topk_ivfpq_residual",
             "ann_topk_ivf_batch",
             "ann_topk_ivf_partitioned",
+            "ann_topk_ivfpq_partitioned",
             "ann_recall_report",
             "layout_zorder_plan",
             "pipeline_rag_retrieval",

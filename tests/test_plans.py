@@ -141,3 +141,34 @@ def test_ivf_partitioned_table_probe_prunes_partitions(spark, sf_dir):
         .collect()
     }
     assert len(all_cells) > 4, "fixture must have more cells than nprobe"
+
+
+def test_ivfpq_partitioned_codes_probe_prunes_and_fetches_keyed(
+    spark, sf_dir
+):
+    """The IVF-PQ CODES table completes the serving layout: the probe's
+    cell filter resolves as partition pruning on the codes scan (no
+    per-row cell predicate), the index scan reads ONLY vec_id + codes
+    (8 small ints — never a raw vector), and the exact re-rank reaches
+    the vector table through a broadcast of the 20-row shortlist."""
+    import re
+
+    from apl_commissions_etl_spark.registry import all_queries
+
+    df = all_queries()["ann_topk_ivfpq_partitioned"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    code_scan = next(s for s in scans if "code0" in s)
+    assert "PartitionFilters: [cell" in code_scan
+    # (DataFilters carries the vec_id != 0 predicate — only the CELL
+    # filter must resolve at partition level)
+    inlist = re.search(
+        r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)", code_scan
+    )
+    assert inlist, f"expected an IN-list partition filter, got: {code_scan}"
+    assert 1 <= len(inlist.group(1).split(",")) <= 4
+    # the codes scan must not read the raw vector column
+    assert "embedding" not in code_scan.split("ReadSchema")[-1]
+    # shortlist side broadcasts; the vector table never shuffles
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
