@@ -54,6 +54,7 @@ HEADLINE = [
     "ann_topk_ivfpq_residual",
     "ann_topk_ivf_batch",
     "ann_topk_ivf_partitioned",
+    "ann_topk_ivfpq_partitioned",
     "ann_recall_report",
     "stream_session_window",
     "seq_asof_attribution",
