@@ -272,3 +272,42 @@ def compact_journal(spark: SparkSession, target_dir: str) -> int:
     for d in old_dirs:
         shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
     return len(old_dirs)
+
+
+def vacuum_journal(target_dir: str) -> int:
+    """The janitor pass both sinks' crash stories promise: delete data
+    directories under ``target_dir`` that NO committed state references
+    — orphan ``b*`` part dirs from batches that crashed between write
+    and commit, superseded ``c*`` compactions whose removal itself
+    crashed, and superseded merge-sink ``v*`` versions.  Readers only
+    ever follow the state file, so orphans are invisible; vacuum just
+    reclaims their disk.  Runs under the per-target lock so a sink
+    cannot commit a directory between the liveness snapshot and the
+    deletes (a dir created after the snapshot is not deleted: only
+    dirs ALREADY present and unreferenced at snapshot time go).
+    Returns the number of directories removed.
+
+    At 100 TB this is the table format's VACUUM: the transaction log
+    (here the state file) defines liveness; everything else under the
+    table root is reclaimable garbage."""
+    import shutil
+
+    with _state_lock(target_dir):
+        state = _load_state(target_dir)
+        comp = state.get("compacted")
+        covered = set(comp["covers"]) if comp else set()
+        live = {f"b{b:06d}" for b in state["committed"] if b not in covered}
+        if comp:
+            live.add(comp["dir"])
+        if state.get("current"):
+            live.add(state["current"])
+        victims = [
+            d
+            for d in os.listdir(target_dir)
+            if os.path.isdir(os.path.join(target_dir, d))
+            and d[:1] in ("b", "c", "v")
+            and d not in live
+        ]
+        for d in victims:
+            shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
+    return len(victims)

@@ -340,3 +340,49 @@ def test_compaction_merges_with_concurrent_commit(
     monkeypatch.undo()
     sink(_mk(spark, [(4, 1.0)], start=20), 2)
     assert journal_table(spark, target).count() == 4
+
+
+def test_vacuum_reclaims_only_unreferenced_dirs(spark, tmp_path):
+    """vacuum_journal deletes orphan part dirs (crash between write and
+    commit), superseded compactions, and superseded merge versions —
+    and NOTHING the state references."""
+    import os
+
+    from apl_commissions_etl_spark.streaming.sinks import (
+        compact_journal,
+        idempotent_append_sink,
+        journal_table,
+        vacuum_journal,
+    )
+
+    target = str(tmp_path / "journal")
+    sink = idempotent_append_sink(target)
+    sink(_mk(spark, [(1, 10.5)]), 0)
+    sink(_mk(spark, [(2, 2.0)], start=10), 1)
+    before = sorted(
+        r.event_id for r in journal_table(spark, target).collect()
+    )
+
+    # orphan: a batch dir written but never committed (simulated crash)
+    _mk(spark, [(9, 9.9)], start=90).write.mode("overwrite").parquet(
+        os.path.join(target, "b000099")
+    )
+    # compaction leaves old dirs only if its removal crashed; simulate
+    # one stale compacted dir
+    _mk(spark, [(8, 8.8)], start=80).write.mode("overwrite").parquet(
+        os.path.join(target, "c000000")
+    )
+    removed = vacuum_journal(target)
+    assert removed == 2
+    assert sorted(
+        r.event_id for r in journal_table(spark, target).collect()
+    ) == before
+    assert not os.path.exists(os.path.join(target, "b000099"))
+
+    # after a real compaction, vacuum has nothing to do (compact
+    # already removed its inputs) and the compacted dir survives
+    assert compact_journal(spark, target) == 2
+    assert vacuum_journal(target) == 0
+    assert sorted(
+        r.event_id for r in journal_table(spark, target).collect()
+    ) == before
