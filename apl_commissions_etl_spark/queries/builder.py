@@ -155,16 +155,22 @@ def _per_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    return locked_get(
-        _CRITERIA_CACHE,
-        key,
-        lambda: session_ckpt(
+
+    def build() -> DataFrame:
+        # reuse the per-split checkpoint when some earlier query
+        # already built it; otherwise FUSE expansion + both
+        # aggregations into one job rather than forcing the per-split
+        # materialization first — the fused build is what the warm-up's
+        # critical path runs (per-split warms concurrently on the
+        # slack chain), and both forms produce identical values
+        ps = _PER_SPLIT_CACHE.get(key)
+        return session_ckpt(
             builder.selection_criteria(
-                _certs_raw(spark, sf_dir),
-                per_split=_per_split(spark, sf_dir),
+                _certs_raw(spark, sf_dir), per_split=ps
             )
-        ),
-    )
+        )
+
+    return locked_get(_CRITERIA_CACHE, key, build)
 
 
 @query(

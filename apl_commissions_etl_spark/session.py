@@ -176,8 +176,18 @@ def warm_shared_caches(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         # fused per-doc signal frame shared by the two corpus pipelines
         # (this chain is the shortest; the doc scan is cheap)
         step("doc_signals", lambda: llmdata._doc_signals(spark, sf_dir))
+        # per-split checkpoint warms on THIS chain's slack: the builder
+        # chain's criteria build is fused (no per-split dependency), so
+        # this runs concurrently with the mode cascade instead of on
+        # the critical path
+        step("builder_per_split", lambda: builder._per_split(spark, sf_dir))
 
-    chains = (chain_calc, chain_builder, chain_dedup, chain_ann)
+    # longest chain first: the scheduler is FIFO, so jobs submitted
+    # earlier win ties for task slots — giving the critical-path chain
+    # (builder: expansion → per-split → criteria → mode cascade, all
+    # serial) first claim shortens the wall, which is max(chain), at
+    # the expense of the chains with slack
+    chains = (chain_builder, chain_dedup, chain_calc, chain_ann)
     with ThreadPoolExecutor(max_workers=len(chains)) as pool:
         futures = [pool.submit(c) for c in chains]
         for f in futures:

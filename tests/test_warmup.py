@@ -30,6 +30,7 @@ WARM_STEPS = {
     "ann_constants",
     "ivf_index",
     "doc_signals",
+    "builder_per_split",
 }
 
 
