@@ -106,3 +106,58 @@ def test_plain_dict_fallback_still_works():
     cache = {}
     assert locked_get(cache, "k", lambda: 5) == 5
     assert locked_get(cache, "k", lambda: 9) == 5
+
+
+def test_session_ckpt_storage_level_adapts_to_heap():
+    """session_ckpt picks serialized blocks under small heaps (the 1g
+    gate session) and deserialized under big ones (48g bench/test
+    sessions) — pinned with a stub so the policy can't silently
+    regress."""
+    from pyspark.storagelevel import StorageLevel
+
+    from apl_commissions_etl_spark.caching import session_ckpt
+
+    captured = {}
+
+    class FakeRuntime:
+        def __init__(self, heap):
+            self._heap = heap
+
+        def maxMemory(self):
+            return self._heap
+
+    class FakeDF:
+        def __init__(self, heap):
+            rt = FakeRuntime(heap)
+
+            class R:
+                @staticmethod
+                def getRuntime():
+                    return rt
+
+            class Lang:
+                Runtime = R
+
+            class Java:
+                lang = Lang
+
+            class JVM:
+                java = Java
+
+            class SC:
+                _jvm = JVM()
+
+            class Session:
+                sparkContext = SC()
+
+            self.sparkSession = Session()
+
+        def localCheckpoint(self, eager=True, storageLevel=None):
+            captured["level"] = storageLevel
+            return self
+
+    session_ckpt(FakeDF(1 << 30))  # 1 GiB: the gate's bare default
+    assert captured["level"] == StorageLevel.MEMORY_AND_DISK  # serialized
+
+    session_ckpt(FakeDF(48 << 30))  # the 48g service session
+    assert captured["level"] == StorageLevel.MEMORY_AND_DISK_DESER
