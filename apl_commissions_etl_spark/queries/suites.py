@@ -339,6 +339,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "multimodal_decode",
             "multimodal_codec_roundtrip",
             "multimodal_frame_sample",
+            "multimodal_image_dedup_dhash",
             "corpus_repetition_filter",
             "corpus_contamination_ngram",
             "corpus_split_train_val_test",

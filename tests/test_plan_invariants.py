@@ -42,6 +42,7 @@ PANDAS_OK = {
     "multimodal_png_roundtrip",
     "multimodal_frame_sample",
     "multimodal_resize_plan",
+    "multimodal_image_dedup_dhash",
 }
 
 # a family suite UNIONs the plans of its sub-queries, so it inherits
