@@ -325,9 +325,20 @@ def connected_components(
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    # Iterate ONLY over edge-touched nodes: a node with no incident
+    # edge keeps label == self in every round, so shuffling the full
+    # corpus node list through each iteration (the naive form) is pure
+    # waste — at 100 TB the touched set is the duplicate fraction
+    # (typically ≪1% of documents) while `nodes` is the corpus. The
+    # untouched remainder is appended once at the end as singleton
+    # clusters; a ≥2-node cluster can only contain edge-touched nodes,
+    # so sizes computed on the touched subset are exact.
+    touched = (
+        und.select("src").distinct()
+        .withColumnRenamed("src", "node")
+        .localCheckpoint()
+    )
+    labels = touched.withColumn("label", F.col("node")).localCheckpoint()
     for _ in range(max_iter):
         flowed = und.join(
             labels.withColumnRenamed("node", "src"), "src"
@@ -348,11 +359,21 @@ def connected_components(
         if changed == 0:
             break
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes, "label").select(
+    clustered = labels.join(sizes, "label").select(
         F.col("node").alias(id_col),
         F.col("label").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
+    singletons = (
+        nodes.select(F.col(id_col))
+        .join(touched.withColumnRenamed("node", id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+        )
+    )
+    return clustered.unionByName(singletons)
 
 
 def embedding_lsh_pairs(

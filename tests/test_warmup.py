@@ -21,7 +21,6 @@ from apl_commissions_etl_spark.sources.testdata import load_table
 WARM_STEPS = {
     "calc_views",
     "builder_views",
-    "calc_staging_dims",
     "calc_staging_cascade",
     "builder_criteria",
     "mode_cascade_keys",
