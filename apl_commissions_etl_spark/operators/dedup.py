@@ -296,6 +296,80 @@ def simhash_signature(
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+def hamming_banded_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 20,
+) -> DataFrame:
+    """Near-duplicate SIGNATURE pairs within ``max_hamming`` bit flips,
+    by banded equality join — the SimHash-family scale path applied to
+    any fixed-width bit-string signature (SimHash, perceptual dHash).
+
+    Pigeonhole soundness: with ``bands`` equal-width bands, any pair
+    differing in at most ``bands - 1`` bits collides in at least one
+    band, so ``max_hamming <= bands - 1`` finds EVERY qualifying pair
+    (default 4x16-bit bands cover Hamming <= 3 exactly).
+
+    Input is a frame of DISTINCT signatures: identical signatures are
+    the exact-dedup case the cheaper hash-equality groupBy already
+    collapses, so the banded self-join runs at distinct-signature
+    scale, not corpus scale — the candidate space a 100 TB image
+    corpus can actually afford. ``max_bucket`` drops band keys shared
+    by more than that many DISTINCT signatures (degenerate strata:
+    all-black thumbnails, boilerplate headers), same guard as
+    ``minhash_lsh_pairs``.
+
+    Verification stays JVM-side: each 64-bit signature splits into two
+    32-bit halves parsed with ``conv(_, 2, 10)``, and the Hamming
+    distance is ``bit_count(a1 ^ b1) + bit_count(a2 ^ b2)`` — exact
+    integer math a SQL oracle re-derives per-character.
+
+    Returns (sig_a, sig_b, hamming)."""
+    bw = bits // bands
+    keyed = sigs.select(
+        F.col(sig_col).alias("sig"),
+        F.posexplode(
+            F.array(
+                *[F.substring(sig_col, b * bw + 1, bw) for b in range(bands)]
+            )
+        ).alias("band", "bkey"),
+    )
+    hot = (
+        keyed.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_bucket)
+        .select("band", "bkey")
+    )
+    ok = keyed.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+    cand = (
+        ok.select("band", "bkey", F.col("sig").alias("sig_a"))
+        .join(
+            ok.select("band", "bkey", F.col("sig").alias("sig_b")),
+            ["band", "bkey"],
+        )
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .select("sig_a", "sig_b")
+        .distinct()
+    )
+
+    def halves(c: str):
+        h1 = F.conv(F.substring(c, 1, bits // 2), 2, 10).cast("long")
+        h2 = F.conv(
+            F.substring(c, bits // 2 + 1, bits - bits // 2), 2, 10
+        ).cast("long")
+        return h1, h2
+
+    a1, a2 = halves("sig_a")
+    b1, b2 = halves("sig_b")
+    ham = (F.bit_count(a1.bitwiseXOR(b1)) + F.bit_count(a2.bitwiseXOR(b2)))
+    return cand.withColumn("hamming", ham.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

@@ -340,6 +340,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "multimodal_codec_roundtrip",
             "multimodal_frame_sample",
             "multimodal_image_dedup_dhash",
+            "multimodal_image_dedup_hamming",
             "corpus_repetition_filter",
             "corpus_contamination_ngram",
             "corpus_split_train_val_test",

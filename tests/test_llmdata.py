@@ -591,3 +591,97 @@ def test_residual_pq_reduces_adc_error(spark, sf_dir):
     )
     assert len({r.cell for r in res}) <= 4
     assert all(r.vec_id != 0 for r in res)
+
+
+def test_hamming_banded_pairs_exact_within_bound(spark):
+    """Pigeonhole guarantee: with 4x16-bit bands, EVERY signature pair
+    within Hamming<=3 is emitted with its exact distance; pairs beyond
+    the bound are excluded by the verification filter even when a band
+    collides."""
+    import itertools
+
+    base = "01" * 32
+
+    def flip(s, idxs):
+        cs = list(s)
+        for i in idxs:
+            cs[i] = "1" if cs[i] == "0" else "0"
+        return "".join(cs)
+
+    sigs = [
+        base,
+        flip(base, [0]),                 # 1 flip
+        flip(base, [1, 17, 33]),         # 3 flips, one per band
+        flip(base, [2, 18, 34, 50]),     # 4 flips spread over all bands
+        "1" * 64,
+    ]
+    df = spark.createDataFrame([(s,) for s in sigs], "dhash string")
+    got = {
+        tuple(sorted((r.sig_a, r.sig_b))): r.hamming
+        for r in dedup.hamming_banded_pairs(
+            df, "dhash", bits=64, bands=4, max_hamming=3, max_bucket=20
+        ).collect()
+    }
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    expect = {
+        tuple(sorted(p)): ham(*p)
+        for p in itertools.combinations(sigs, 2)
+        if ham(*p) <= 3
+    }
+    assert got == expect and len(expect) == 2
+
+
+def test_hamming_banded_pairs_hot_bucket_guard(spark):
+    """max_bucket drops band keys shared by more than that many
+    DISTINCT signatures: 21 signatures identical in bands 0-2 and
+    pairwise-distinct in band 3 produce zero pairs at max_bucket=20
+    (the only colliding bands are hot; band-3 buckets are singletons)
+    and reappear when the bound is lifted."""
+    base = "0" * 64
+
+    def flip_last(i):
+        cs = list(base)
+        cs[48 + i] = "1"
+        return "".join(cs)
+
+    sigs = [base] + [flip_last(i) for i in range(16)] + [
+        "0" * 48 + "11" + "0" * 14,
+        "0" * 48 + "011" + "0" * 13,
+        "0" * 48 + "0011" + "0" * 12,
+        "0" * 48 + "00011" + "0" * 11,
+    ]
+    assert len(sigs) == len(set(sigs)) == 21
+    df = spark.createDataFrame([(s,) for s in sigs], "dhash string")
+    bounded = dedup.hamming_banded_pairs(
+        df, "dhash", bits=64, bands=4, max_hamming=3, max_bucket=20
+    )
+    assert bounded.count() == 0
+    lifted = dedup.hamming_banded_pairs(
+        df, "dhash", bits=64, bands=4, max_hamming=3, max_bucket=50
+    )
+    assert lifted.count() > 0
+
+
+def test_image_dedup_hamming_transitive_labels(spark, sf_dir):
+    """The registered query's clusters are transitive over near-dup
+    hash links and every doc carries (min doc_id, component size);
+    docs sharing an identical dhash always share a cluster."""
+    from apl_commissions_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    rows = qs["multimodal_image_dedup_hamming"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.doc_id for m in members)
+        assert all(m.cluster_size == len(members) for m in members)
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r.dhash, set()).add(r.cluster_id)
+    assert all(len(v) == 1 for v in by_hash.values())

@@ -43,6 +43,7 @@ PANDAS_OK = {
     "multimodal_frame_sample",
     "multimodal_resize_plan",
     "multimodal_image_dedup_dhash",
+    "multimodal_image_dedup_hamming",
 }
 
 # a family suite UNIONs the plans of its sub-queries, so it inherits
