@@ -578,3 +578,155 @@ def calc_incremental_gl(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("max_id") == F.col("d_max_id"))
         ).alias("matches_direct"),
     )
+
+
+def _gl_incremental_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(stale_old fact, delta batch fact, affected premium keys) for
+    the keyed-MERGE incremental-GL family.
+
+    Deterministic delta slice mirroring the incremental-builder proof
+    (queries/builder.py _incremental_frames): certificates with
+    id % 10 == 3 are BRAND-NEW (all their premium rows arrive in the
+    batch; the baseline never saw them), certificates with
+    id % 10 == 7 receive an AMENDMENT — the baseline computed their GL
+    from a stale PremiumAmount (true + 7.00), so its rows are genuinely
+    wrong and the merge must REPLACE them, not append. Every cascade
+    stage is per-premium row-local, so recomputing exactly the
+    affected premiums and group-replacing their GL rows is provably
+    equal to the full rebuild — which is what the oracle checks."""
+    staging = dict(_staging(spark, sf_dir))
+    fact = staging["stg_premium_transactions"]
+    amt_type = dict(fact.dtypes)["PremiumAmount"]
+    is_new = F.col("CertificateId") % 10 == 3
+    is_amend = F.col("CertificateId") % 10 == 7
+    stale_old = fact.filter(~is_new).withColumn(
+        "PremiumAmount",
+        F.when(
+            is_amend,
+            (F.col("PremiumAmount") + F.lit("7.00").cast(amt_type)),
+        )
+        .otherwise(F.col("PremiumAmount"))
+        .cast(amt_type),
+    )
+    batch = fact.filter(is_new | is_amend)
+    affected = batch.select("PremiumTransactionId").distinct()
+    return stale_old, batch, affected
+
+
+def _gl_of(spark: SparkSession, sf_dir: str, fact: DataFrame) -> DataFrame:
+    staging = dict(_staging(spark, sf_dir))
+    par = spark.sparkContext.defaultParallelism
+    staging["stg_premium_transactions"] = fact.repartition(par)
+    return calc.run_calc(staging)["gl"]
+
+
+def _gl_full_rebuild_oracle() -> str:
+    from ..registry import REGISTRY
+
+    return REGISTRY["calc_gl_entries"].oracle
+
+
+@query(
+    "calc_incremental_gl_parity",
+    oracle=_gl_full_rebuild_oracle(),
+    survey_ref="north-star: incremental maintenance extended DOWN the "
+    "calc DAG — a premium-delta batch (new certificates + amendments "
+    "that invalidate the baseline's amounts) flows through the 8-stage "
+    "cascade and group-replaces the affected premiums' GL rows, the "
+    "production alternative to the reference's truncate-and-reload "
+    "(sql/calc/run-calculation.sql:35-45). Oracle = the FULL-rebuild "
+    "GL (calc_gl_entries' oracle verbatim), so the driver's value hash "
+    "proves incremental == rebuild exactly. At 100 TB the baseline GL "
+    "is a table bucketed by premium id, the delete arm is an anti-join "
+    "against the delta-scale affected-key broadcast, and only the "
+    "touched premiums re-run the cascade",
+)
+def calc_incremental_gl_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stale_old, batch, affected = _gl_incremental_frames(spark, sf_dir)
+    baseline = _gl_of(spark, sf_dir, stale_old)
+    recomputed = _gl_of(spark, sf_dir, batch)
+    return (
+        baseline.join(F.broadcast(affected), "PremiumTransactionId", "left_anti")
+        .select(*baseline.columns)
+        .unionByName(recomputed)
+    )
+
+
+@query(
+    "stream_incremental_gl_parity",
+    oracle=_gl_full_rebuild_oracle(),
+    survey_ref="north-star: the incremental GL AS A STREAM — premium "
+    "deltas (new certificates + amount amendments) arrive as micro-"
+    "batches (readStream, maxFilesPerTrigger=1) across a checkpointed "
+    "RESTART; a foreachBatch handler runs the 8-stage cascade on each "
+    "micro-batch only and GROUP-REPLACES the affected premiums' GL "
+    "rows through the exactly-once replace sink (streaming/sinks.py "
+    "idempotent_replace_sink: replay guard + atomic versioned publish "
+    "+ delete-arm anti-join against the batch's premium keys, the "
+    "MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE shape). The "
+    "final maintained table hash-checks against the FULL-rebuild GL, "
+    "proving streamed maintenance == batch rebuild",
+)
+def stream_incremental_gl_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seed the maintained table with the STALE baseline GL (amended
+    premiums at wrong amounts), stream the delta in 4 per-premium
+    files (2 per run, restart in between), read the final table."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.sinks import current_table, idempotent_replace_sink
+
+    stale_old, batch, _ = _gl_incremental_frames(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="incr_gl_stream_")
+    try:
+        src = f"{tmp}/src"
+        ckpt = f"{tmp}/ckpt"
+        target = f"{tmp}/table"
+        sink = idempotent_replace_sink(target, ["PremiumTransactionId"])
+        # seed: the stale baseline as a pre-stream manual batch
+        sink(_gl_of(spark, sf_dir, stale_old), -1)
+
+        def apply_increment(bdf: DataFrame, bid: int) -> None:
+            # the deletion set comes from the INPUT delta's keys: a
+            # premium whose recompute emits zero GL rows must still
+            # have its stale rows deleted
+            affected = bdf.select("PremiumTransactionId").distinct()
+            sink(_gl_of(spark, sf_dir, bdf), bid, affected=affected)
+
+        batch.repartition(4, "PremiumTransactionId").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/all")
+        parts = sorted(
+            f for f in os.listdir(f"{tmp}/all") if f.endswith(".parquet")
+        )
+        os.makedirs(src)
+        for wave in (parts[:2], parts[2:]):
+            for f in wave:
+                shutil.copy(f"{tmp}/all/{f}", f"{src}/{f}")
+            q = (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(apply_increment)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "incremental-GL wave did not finish within 300s"
+                )
+        final = current_table(spark, target).select(
+            "GlEntryId", "PremiumTransactionId", "BrokerId",
+            "EntryType", "Amount",
+        )
+        # materialize before the published parquet is removed
+        return final.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -136,6 +136,66 @@ def idempotent_merge_sink(
     return sink
 
 
+def idempotent_replace_sink(target_dir: str, group_keys: list[str]):
+    """Build a foreachBatch function maintaining a keyed table with
+    GROUP-REPLACE semantics and the same exactly-once machinery as
+    ``idempotent_merge_sink`` (replay guard, atomic versioned publish).
+
+    Where the merge sink upserts by a UNIQUE key, this sink replaces
+    whole key GROUPS: every target row whose ``group_keys`` appear in
+    the batch is deleted, then the batch rows insert. That is the
+    correct maintenance primitive for outputs with a 1:N grain under
+    their natural key — e.g. GL entries per premium transaction, where
+    an amendment can SHRINK a premium's entry set (an Assigned entry
+    rounding to zero) and an upsert-by-entry-id would leave the stale
+    survivors behind. Table formats spell it MERGE INTO ... WHEN NOT
+    MATCHED BY SOURCE AND key IN (affected) THEN DELETE, or
+    ``replaceWhere`` / dynamic-partition overwrite when the group key
+    is the partition key — which is exactly the 100 TB shape: the
+    delete arm is an anti-join of the target against a delta-scale
+    broadcast key set, so the target never shuffles.
+
+    The returned sink accepts an optional ``affected`` key frame for
+    batches whose recomputed rows may be EMPTY for some touched group
+    (nothing survives the cascade): the deletion set must then come
+    from the input delta's keys, not from the output rows."""
+    os.makedirs(target_dir, exist_ok=True)
+
+    def sink(
+        batch_df: DataFrame, batch_id: int, affected: DataFrame | None = None
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        with _state_lock(target_dir):
+            state = _load_state(target_dir)
+            if batch_id in state["committed"]:
+                return  # replayed batch: already applied, skip
+            spark = batch_df.sparkSession
+            target = current_table(spark, target_dir)
+            keys = (
+                affected if affected is not None
+                else batch_df.select(*group_keys)
+            ).dropDuplicates(group_keys)
+            if target is None:
+                merged = batch_df
+            else:
+                merged = target.join(
+                    F.broadcast(keys), group_keys, "left_anti"
+                ).select(*target.columns).unionByName(
+                    batch_df.select(*target.columns)
+                )
+            version_dir = f"v{state['version'] + 1:06d}"
+            merged.write.mode("overwrite").parquet(
+                os.path.join(target_dir, version_dir)
+            )
+            state["version"] += 1
+            state["current"] = version_dir
+            state["committed"].append(batch_id)
+            _store_state(target_dir, state)
+
+    return sink
+
+
 def sink_metrics(target_dir: str) -> dict:
     """Per-batch observed metrics recorded by ``idempotent_merge_sink``
     (batch_id -> {metric: value}); empty if none were requested."""

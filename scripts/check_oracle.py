@@ -84,8 +84,17 @@ def main():
             # --range=a:b -> registry slots [a, b) — lets the full sweep
             # shard across FRESH sessions (one long session accumulates
             # broadcast/checkpoint/UI state and can exhaust the default
-            # 1g driver heap around slot ~250; the driver's own gate
-            # only ever runs the first 50, which fits)
+            # 1g driver heap; the driver's own gate only ever runs the
+            # first 50 at sf0.01, which fits — rehearsed 70/70).
+            # Session budget per FRESH vanilla 1g session, by SF:
+            #   sf0.01: <=45 queries per shard (r6/r7 calibration)
+            #   sf0.1:  <=3-5 HEAVY queries (incremental/streaming-
+            #           parity/partitioned-index writes) per session —
+            #           an r7 judge batch of 5 such queries killed the
+            #           JVM mid-session while each passed in a fresh
+            #           one; session death surfaces as "[Errno 111]
+            #           Connection refused" on every LATER query, which
+            #           must not be misread as query failures
             lo, hi = a.split("=", 1)[1].split(":")
             q_range = (int(lo), int(hi))
             argv.remove(a)

@@ -386,3 +386,45 @@ def test_vacuum_reclaims_only_unreferenced_dirs(spark, tmp_path):
     assert sorted(
         r.event_id for r in journal_table(spark, target).collect()
     ) == before
+
+
+def test_replace_sink_group_replace_and_shrink(spark, tmp_path):
+    """Group-replace semantics: a batch touching a group key deletes
+    EVERY target row of that group (including entries the recompute no
+    longer emits) and inserts the batch rows; untouched groups persist
+    verbatim; the replay guard still holds."""
+    from apl_commissions_etl_spark.streaming.sinks import (
+        current_table,
+        idempotent_replace_sink,
+    )
+
+    target = str(tmp_path / "tbl")
+    sink = idempotent_replace_sink(target, ["pid"])
+    schema = "pid long, entry string, amount long"
+    seed = spark.createDataFrame(
+        [(1, "O", 100), (1, "A", 40), (2, "O", 50), (3, "O", 9)], schema
+    )
+    sink(seed, -1)
+
+    # group 1 shrinks to a single entry with a new amount; group 2 is
+    # explicitly affected but recomputes to ZERO rows (the affected
+    # frame, not the batch rows, must drive the deletion)
+    b0 = spark.createDataFrame([(1, "O", 110)], schema)
+    affected = spark.createDataFrame([(1,), (2,)], "pid long")
+    sink(b0, 0, affected=affected)
+
+    def table():
+        return {
+            (r.pid, r.entry): r.amount
+            for r in current_table(spark, target).collect()
+        }
+
+    assert table() == {(1, "O"): 110, (3, "O"): 9}
+
+    # replayed batch id: no effect
+    sink(spark.createDataFrame([(1, "O", 999)], schema), 0, affected=affected)
+    assert table() == {(1, "O"): 110, (3, "O"): 9}
+
+    # default deletion set = batch rows' own keys
+    sink(spark.createDataFrame([(3, "O", 11), (3, "A", 2)], schema), 1)
+    assert table() == {(1, "O"): 110, (3, "O"): 11, (3, "A"): 2}
