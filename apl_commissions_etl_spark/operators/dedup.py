@@ -432,6 +432,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # A truncated propagation would SILENTLY return wrong labels
+        # (each node gets its min within max_iter hops, not its
+        # component min) — fail loudly instead. Near-duplicate graphs
+        # converge in a handful of rounds; a graph that doesn't has a
+        # diameter this algorithm is the wrong tool for.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds (graph diameter exceeds the bound); use "
+            "connected_components_star (O(log n) rounds) for "
+            "long-chain graphs"
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     clustered = labels.join(sizes, "label").select(
         F.col("node").alias(id_col),
@@ -441,6 +453,110 @@ def connected_components(
     singletons = (
         nodes.select(F.col(id_col))
         .join(touched.withColumnRenamed("node", id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+        )
+    )
+    return clustered.unionByName(singletons)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the O(log n)-round drop-in upgrade over
+    ``connected_components``' min-label propagation, whose round count
+    is the graph DIAMETER. Near-duplicate graphs have tiny diameters,
+    so propagation wins there; this variant is for adversarial shapes
+    (long chains: CDC lineage graphs, citation threads) where diameter
+    ~ n and propagation would run n rounds.
+
+    Per round, each operation is one groupBy over the edge list:
+    large-star points every neighbor LARGER than u at u's minimum
+    neighborhood element; small-star (on edges oriented large→small,
+    which large-star's output already is) points every smaller
+    neighbor — and u itself — at the minimum. The edge set converges
+    to per-component stars rooted at the component minimum; both
+    operations only ever shrink the potential, and the fixpoint test
+    is an exact set comparison of consecutive edge sets (two
+    anti-join counts over checkpointed, edge-scale frames).
+
+    Output contract is identical to ``connected_components``:
+    (id_col, cluster_id = component minimum, cluster_size), singletons
+    included."""
+    E = (
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # LARGE-STAR: gather full (bidirectional) neighborhoods
+        und = E.unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # SMALL-STAR: large-star's edges are already oriented u > v
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        gone = E.join(small, ["u", "v"], "left_anti").count()
+        new = small.join(E, ["u", "v"], "left_anti").count()
+        E = small
+        if gone == 0 and new == 0:
+            break
+    else:
+        # same loud-failure contract as connected_components: a
+        # non-fixpoint edge set is not a star forest and the label
+        # read-off below would be wrong
+        raise RuntimeError(
+            f"connected_components_star did not reach its fixpoint in "
+            f"{max_iter} rounds"
+        )
+    # fixpoint stars: (child u -> root v); roots label themselves
+    labels = (
+        E.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .unionByName(
+            E.select(F.col("v").alias("node"), F.col("v").alias("label"))
+        )
+        .distinct()
+    )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    clustered = labels.join(sizes, "label").select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+    singletons = (
+        nodes.select(F.col(id_col))
+        .join(
+            labels.withColumnRenamed("node", id_col).select(id_col),
+            id_col,
+            "left_anti",
+        )
         .select(
             F.col(id_col),
             F.col(id_col).alias("cluster_id"),

@@ -406,6 +406,34 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_labels(spark, sf_dir)
 
 
+def _cluster_labels_oracle() -> str:
+    from ..registry import REGISTRY
+
+    return REGISTRY["dedup_cluster_labels"].oracle
+
+
+@query(
+    "dedup_cluster_labels_star",
+    oracle=_cluster_labels_oracle(),
+    survey_ref="north-star: connected components by alternating "
+    "large-star/small-star rounds (Kiveris et al., SoCC 2014) over "
+    "the same MinHash-LSH pair graph — the O(log n)-round variant for "
+    "adversarial diameters (long chains) where min-label propagation "
+    "would run diameter-many rounds. Oracle = dedup_cluster_labels' "
+    "recursive-CTE transitive closure verbatim, so the driver's value "
+    "hash proves both algorithms produce identical components, "
+    "labels, and sizes",
+)
+def dedup_cluster_labels_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as dedup_cluster_labels, star-contraction
+    algorithm (see operators/dedup.py connected_components_star)."""
+    return dedup.connected_components_star(
+        _lsh_pairs(spark, sf_dir).select("id_a", "id_b"),
+        _docs(spark, sf_dir).select("doc_id"),
+        "doc_id",
+    )
+
+
 @query(
     "text_chunk_overlap",
     oracle=f"""

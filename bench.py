@@ -46,6 +46,8 @@ HEADLINE = [
     "text_chunk_overlap",
     "corpus_ngram_topk",
     "multimodal_codec_roundtrip",
+    "multimodal_image_dedup_dhash",
+    "multimodal_image_dedup_hamming",
     "pipeline_pretrain_corpus",
     "pipeline_quality_gate",
     "ann_topk_bruteforce",

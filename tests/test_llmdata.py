@@ -685,3 +685,40 @@ def test_image_dedup_hamming_transitive_labels(spark, sf_dir):
     for r in rows:
         by_hash.setdefault(r.dhash, set()).add(r.cluster_id)
     assert all(len(v) == 1 for v in by_hash.values())
+
+
+def test_star_cc_matches_propagation_and_beats_diameter(spark):
+    """large-star/small-star converges on a 64-diameter path within 8
+    alternating rounds (min-label propagation needs 63) and produces
+    the identical (label, size) contract, singletons included."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)] + [(70, 71)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(1, 65)) + [70, 71, 99]], "doc_id long"
+    )
+    star = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup.connected_components_star(
+            edges, nodes, "doc_id", max_iter=8
+        ).collect()
+    }
+    assert all(star[i] == (1, 64) for i in range(1, 65))
+    assert star[70] == star[71] == (70, 2)
+    assert star[99] == (99, 1)
+    prop = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup.connected_components(
+            edges, nodes, "doc_id", max_iter=100
+        ).collect()
+    }
+    assert star == prop
+    # propagation REFUSES to return truncated (silently wrong) labels
+    # when the diameter exceeds its round bound
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(
+            edges, nodes, "doc_id", max_iter=10
+        ).collect()
