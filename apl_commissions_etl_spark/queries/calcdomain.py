@@ -730,3 +730,46 @@ def stream_incremental_gl_parity(
         return final.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _trace_full_rebuild_oracle() -> str:
+    from ..registry import REGISTRY
+
+    return REGISTRY["calc_traceability_full"].oracle
+
+
+@query(
+    "calc_incremental_trace_parity",
+    oracle=_trace_full_rebuild_oracle(),
+    survey_ref="north-star: incremental maintenance at the ROLLUP grain "
+    "— the same premium-delta batch as calc_incremental_gl_parity "
+    "maintained through the per-premium traceability aggregation "
+    "(run-calculation.sql:470-561 is rebuilt whole by the reference "
+    "every run): the rollup groups by PremiumTransactionId, so a "
+    "delta premium only ever touches its own rollup row and the "
+    "maintenance is recompute-the-batch + group-replace — completing "
+    "the family across all three grains (key-level criteria/proposals "
+    "in the builder, explode-grain GL, rollup-grain traceability). "
+    "Oracle = the FULL-rebuild traceability verbatim, so the value "
+    "hash proves incremental == rebuild exactly",
+)
+def calc_incremental_trace_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stale_old, batch, affected = _gl_incremental_frames(spark, sf_dir)
+
+    def trace_of(fact: DataFrame) -> DataFrame:
+        staging = dict(_staging(spark, sf_dir))
+        par = spark.sparkContext.defaultParallelism
+        staging["stg_premium_transactions"] = fact.repartition(par)
+        return calc.run_calc(staging)["trace_full"]
+
+    baseline = trace_of(stale_old)
+    recomputed = trace_of(batch)
+    return (
+        baseline.join(
+            F.broadcast(affected), "PremiumTransactionId", "left_anti"
+        )
+        .select(*baseline.columns)
+        .unionByName(recomputed)
+    )
