@@ -582,37 +582,55 @@ def calc_incremental_gl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _gl_incremental_frames(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(stale_old fact, delta batch fact, affected premium keys) for
-    the keyed-MERGE incremental-GL family.
+) -> tuple[DataFrame, DataFrame]:
+    """(delta batch fact, affected premium keys) for the keyed-MERGE
+    incremental family.
 
     Deterministic delta slice mirroring the incremental-builder proof
     (queries/builder.py _incremental_frames): certificates with
     id % 10 == 3 are BRAND-NEW (all their premium rows arrive in the
-    batch; the baseline never saw them), certificates with
-    id % 10 == 7 receive an AMENDMENT — the baseline computed their GL
-    from a stale PremiumAmount (true + 7.00), so its rows are genuinely
-    wrong and the merge must REPLACE them, not append. Every cascade
-    stage is per-premium row-local, so recomputing exactly the
-    affected premiums and group-replacing their GL rows is provably
-    equal to the full rebuild — which is what the oracle checks."""
+    batch) and certificates with id % 10 == 7 receive an AMENDMENT
+    (their baseline rows are stale). Every cascade stage is
+    per-premium row-local, so recomputing exactly the affected
+    premiums and group-replacing their output rows is provably equal
+    to the full rebuild — which is what the oracle checks."""
     staging = dict(_staging(spark, sf_dir))
     fact = staging["stg_premium_transactions"]
-    amt_type = dict(fact.dtypes)["PremiumAmount"]
     is_new = F.col("CertificateId") % 10 == 3
     is_amend = F.col("CertificateId") % 10 == 7
-    stale_old = fact.filter(~is_new).withColumn(
-        "PremiumAmount",
-        F.when(
-            is_amend,
-            (F.col("PremiumAmount") + F.lit("7.00").cast(amt_type)),
-        )
-        .otherwise(F.col("PremiumAmount"))
-        .cast(amt_type),
-    )
     batch = fact.filter(is_new | is_amend)
     affected = batch.select("PremiumTransactionId").distinct()
-    return stale_old, batch, affected
+    return batch, affected
+
+
+def _corrupted_baseline(
+    full: DataFrame, affected: DataFrame, money_col: str
+) -> DataFrame:
+    """Stored-baseline stand-in for the incremental parity proofs: the
+    full output with every AFFECTED premium's rows corrupted in place
+    (``money_col`` + 1.0 — provably value-different garbage).
+
+    In production the baseline is a STORED table read back, never
+    recomputed — so the honest per-run cost of an increment is
+    baseline-read + delta cascade + merge, and this derivation (one
+    broadcast join + a projection over the session-cached full output)
+    is exactly that read. Whether an affected premium was previously
+    absent (brand-new certificate) or present with stale amounts is
+    immaterial to the merge being proven: either way its baseline rows
+    are wrong-or-missing and the group-replace must emit exactly the
+    recomputed rows. The corruption guarantees the value hash CANNOT
+    pass if the delete arm fails to remove a single affected row."""
+    mark = affected.withColumn("_aff", F.lit(1))
+    return (
+        full.join(F.broadcast(mark), "PremiumTransactionId", "left")
+        .withColumn(
+            money_col,
+            F.when(
+                F.col("_aff") == 1, F.col(money_col) + F.lit(1.0)
+            ).otherwise(F.col(money_col)),
+        )
+        .drop("_aff")
+    )
 
 
 def _gl_of(spark: SparkSession, sf_dir: str, fact: DataFrame) -> DataFrame:
@@ -644,8 +662,10 @@ def _gl_full_rebuild_oracle() -> str:
     "touched premiums re-run the cascade",
 )
 def calc_incremental_gl_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stale_old, batch, affected = _gl_incremental_frames(spark, sf_dir)
-    baseline = _gl_of(spark, sf_dir, stale_old)
+    batch, affected = _gl_incremental_frames(spark, sf_dir)
+    baseline = _corrupted_baseline(
+        _stages(spark, sf_dir)["gl"], affected, "Amount"
+    )
     recomputed = _gl_of(spark, sf_dir, batch)
     return (
         baseline.join(F.broadcast(affected), "PremiumTransactionId", "left_anti")
@@ -672,24 +692,31 @@ def calc_incremental_gl_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_incremental_gl_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Seed the maintained table with the STALE baseline GL (amended
-    premiums at wrong amounts), stream the delta in 4 per-premium
-    files (2 per run, restart in between), read the final table."""
+    """Seed the maintained table with the corrupted stored baseline
+    (every affected premium's rows value-wrong in place — see
+    _corrupted_baseline), stream the delta in 4 per-premium files
+    (2 per run, restart in between), read the final table."""
     import os
     import shutil
     import tempfile
 
     from ..streaming.sinks import current_table, idempotent_replace_sink
 
-    stale_old, batch, _ = _gl_incremental_frames(spark, sf_dir)
+    batch, affected_all = _gl_incremental_frames(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="incr_gl_stream_")
     try:
         src = f"{tmp}/src"
         ckpt = f"{tmp}/ckpt"
         target = f"{tmp}/table"
         sink = idempotent_replace_sink(target, ["PremiumTransactionId"])
-        # seed: the stale baseline as a pre-stream manual batch
-        sink(_gl_of(spark, sf_dir, stale_old), -1)
+        # seed: the corrupted stored baseline as a pre-stream manual
+        # batch — the stream must group-replace every affected row
+        sink(
+            _corrupted_baseline(
+                _stages(spark, sf_dir)["gl"], affected_all, "Amount"
+            ),
+            -1,
+        )
 
         def apply_increment(bdf: DataFrame, bid: int) -> None:
             # the deletion set comes from the INPUT delta's keys: a
@@ -756,7 +783,10 @@ def _trace_full_rebuild_oracle() -> str:
 def calc_incremental_trace_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    stale_old, batch, affected = _gl_incremental_frames(spark, sf_dir)
+    batch, affected = _gl_incremental_frames(spark, sf_dir)
+    baseline = _corrupted_baseline(
+        _stages(spark, sf_dir)["trace_full"], affected, "TotalCommission"
+    )
 
     def trace_of(fact: DataFrame) -> DataFrame:
         staging = dict(_staging(spark, sf_dir))
@@ -764,7 +794,6 @@ def calc_incremental_trace_parity(
         staging["stg_premium_transactions"] = fact.repartition(par)
         return calc.run_calc(staging)["trace_full"]
 
-    baseline = trace_of(stale_old)
     recomputed = trace_of(batch)
     return (
         baseline.join(
