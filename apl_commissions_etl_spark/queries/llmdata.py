@@ -3014,3 +3014,76 @@ def ann_topk_ivfpq_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("exact_scaled").cast("double") / 1e9).alias("exact_dist"),
         )
     )
+
+
+@query(
+    "ann_incremental_index_parity",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 16),
+    final AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 11 = 5
+                  THEN list_reverse(embedding::DOUBLE[])
+                  ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT f.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+                 list_dot_product(f.v, c.cvec)
+                   / (sqrt(list_dot_product(f.v, f.v))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                 c.cid) AS rn
+        FROM final f CROSS JOIN cent c) WHERE rn = 1)
+    SELECT a.vec_id, a.cid AS cell,
+           CAST(list_sum(list_transform(f.v,
+                x -> CAST(floor(x * 1000000) AS BIGINT))) AS BIGINT)
+             AS vec_fp
+    FROM assigned a JOIN final f USING (vec_id)
+    """,
+    survey_ref="north-star: incremental maintenance of the IVF index "
+    "itself — the serving-tier twin of calc_incremental_gl_parity. "
+    "Between centroid retrains a production index absorbs deltas with "
+    "FROZEN centroids: brand-new vectors (vec_id % 7 == 2) assign and "
+    "insert, and RE-EMBEDDED documents (vec_id % 11 == 5, vector "
+    "replaced by its reverse) can change cell, so on the "
+    "partitionBy(cell) table an upsert WITHIN a partition cannot "
+    "express the move — the maintenance is group-replace by vec_id "
+    "ACROSS partitions (delete-by-key everywhere, insert into the new "
+    "cell; MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE). The "
+    "stored base index is the session IVF index (stale for every "
+    "affected id by construction); only the delta re-runs assignment. "
+    "Oracle = the FULL-rebuild assignment over the final embedding "
+    "state with the frozen centroid snapshot, so the value hash "
+    "proves incremental index maintenance == rebuild exactly — "
+    "including every moved cell",
+)
+def ann_incremental_index_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, seeds = _ann_constants(spark, sf_dir)
+    is_new = F.col("vec_id") % 7 == 2
+    is_amend = F.col("vec_id") % 11 == 5
+    affected = emb.filter(is_new | is_amend).select("vec_id")
+    delta = emb.filter(is_new | is_amend).withColumn(
+        "embedding",
+        F.when(is_amend, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    vec_fp = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor(x * 1000000).cast("long"),
+    ).alias("vec_fp")
+    base = _ivf_index(spark, sf_dir).select("vec_id", "cell", vec_fp)
+    recomputed = similarity.ivf_assign(delta, seeds).select(
+        "vec_id", "cell", vec_fp
+    )
+    return (
+        base.join(F.broadcast(affected), "vec_id", "left_anti")
+        .select("vec_id", "cell", "vec_fp")
+        .unionByName(recomputed)
+    )

@@ -722,3 +722,24 @@ def test_star_cc_matches_propagation_and_beats_diameter(spark):
         dedup.connected_components(
             edges, nodes, "doc_id", max_iter=10
         ).collect()
+
+
+def test_incremental_index_parity_moves_cells(spark, sf_dir):
+    """The re-embedded delta must actually MOVE some vectors across
+    cells (otherwise the cross-partition group-replace path is
+    vacuous), and unaffected ids keep their stored assignment."""
+    from apl_commissions_etl_spark.queries import llmdata
+    from apl_commissions_etl_spark.registry import all_queries
+
+    merged = all_queries()["ann_incremental_index_parity"].spark_fn(
+        spark, sf_dir
+    )
+    base = llmdata._ivf_index(spark, sf_dir).select(
+        "vec_id", F.col("cell").alias("old_cell")
+    )
+    joined = merged.join(base, "vec_id")
+    moved = joined.filter(F.col("cell") != F.col("old_cell"))
+    assert moved.count() > 0
+    assert moved.filter(
+        ~((F.col("vec_id") % 11 == 5) | (F.col("vec_id") % 7 == 2))
+    ).count() == 0
