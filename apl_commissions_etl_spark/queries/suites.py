@@ -350,6 +350,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "ann_range_search",
             "ann_topk_batch",
             "ann_topk_ivf_kmeans",
+            "ann_incremental_index_parity",
         ),
     ),
 }
