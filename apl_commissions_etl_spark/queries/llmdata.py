@@ -481,10 +481,10 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.pii_scrub(d, "doc_id", "text")
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH toks AS (
+#: the 16-bit SimHash derivation as reusable oracle CTEs ending in
+#: ``sigs(doc_id, simhash)`` — shared by the signature query and the
+#: banded-hamming near-dup join so both oracles prove the SAME bits
+_SIMHASH_CTES_SQL = f"""toks AS (
       SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
     h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
     s AS (
@@ -494,18 +494,107 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s{i}"
             for i in range(16)
         )}
-      FROM h GROUP BY doc_id)
-    SELECT doc_id,
-           concat({", ".join(
-               f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(16)
-           )}) AS simhash
-    FROM s
+      FROM h GROUP BY doc_id),
+    sigs AS (
+      SELECT doc_id,
+             concat({", ".join(
+                 f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END"
+                 for i in range(16)
+             )}) AS simhash
+      FROM s)"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_CTES_SQL}
+    SELECT doc_id, simhash FROM sigs
     """,
     survey_ref="north-star: SimHash (md5-hex-parity bits, engine-independent)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return dedup.simhash_signature(d, "doc_id", "text", bits=16)
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH RECURSIVE {_SIMHASH_CTES_SQL},
+    hs AS (SELECT DISTINCT simhash FROM sigs),
+    hb AS (
+      SELECT simhash, b.band,
+             substr(simhash, CAST(b.band * 8 + 1 AS INT), 8) AS bkey
+      FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band) b),
+    ok AS (
+      SELECT band, bkey FROM hb
+      GROUP BY band, bkey HAVING COUNT(*) <= 20),
+    cand AS (
+      SELECT DISTINCT a.simhash AS ha, b.simhash AS hb2
+      FROM hb a
+      JOIN ok o ON a.band = o.band AND a.bkey = o.bkey
+      JOIN hb b ON b.band = a.band AND b.bkey = a.bkey
+              AND a.simhash < b.simhash),
+    hp AS (
+      SELECT ha, hb2 FROM cand
+      WHERE length(list_filter(range(1, 17),
+              i -> substr(ha, CAST(i AS INT), 1)
+                   <> substr(hb2, CAST(i AS INT), 1))) <= 1),
+    bidir AS (SELECT ha AS src, hb2 AS dst FROM hp
+              UNION ALL
+              SELECT hb2, ha FROM hp),
+    reach(node, r) AS (
+      SELECT simhash, simhash FROM hs
+      UNION
+      SELECT b.dst, r.r FROM reach r JOIN bidir b ON b.src = r.node),
+    hlab AS (SELECT node AS simhash, MIN(r) AS hroot
+             FROM reach GROUP BY node),
+    docs AS (SELECT g.doc_id, g.simhash, l.hroot
+             FROM sigs g JOIN hlab l ON g.simhash = l.simhash)
+    SELECT doc_id, simhash,
+           MIN(doc_id) OVER (PARTITION BY hroot) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY hroot) AS BIGINT)
+             AS cluster_size
+    FROM docs
+    """,
+    survey_ref="north-star: the SimHash near-dup JOIN (the classic "
+    "web-dedup shape: banded signature equality proposes, exact "
+    "Hamming verifies) — dedup_simhash emits the signatures; this "
+    "query clusters them: 2x8-bit bands (pigeonhole covers <=1 flip), "
+    "banded self-join over DISTINCT signatures, integer bit_count "
+    "Hamming verification, min-label components at signature level, "
+    "every document inheriting (min doc_id, component size). Same "
+    "operator (dedup.hamming_banded_pairs) as the perceptual-dhash "
+    "image dedup — one scale path for every fixed-width bit-string "
+    "signature family",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    sigs = dedup.simhash_signature(
+        _docs(spark, sf_dir), "doc_id", "text", bits=16
+    )
+    hs = sigs.select("simhash").distinct()
+    hp = dedup.hamming_banded_pairs(
+        hs, "simhash", bits=16, bands=2, max_hamming=1, max_bucket=20
+    )
+    hcc = dedup.connected_components(
+        hp.select(
+            F.col("sig_a").alias("id_a"), F.col("sig_b").alias("id_b")
+        ),
+        hs,
+        "simhash",
+    )
+    labeled = sigs.join(
+        hcc.select("simhash", F.col("cluster_id").alias("hroot")), "simhash"
+    )
+    w = Window.partitionBy("hroot")
+    return labeled.select(
+        "doc_id",
+        "simhash",
+        F.min("doc_id").over(w).alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    )
 
 
 @query(
