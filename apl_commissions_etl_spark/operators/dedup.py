@@ -310,8 +310,13 @@ def hamming_banded_pairs(
 
     Pigeonhole soundness: with ``bands`` equal-width bands, any pair
     differing in at most ``bands - 1`` bits collides in at least one
-    band, so ``max_hamming <= bands - 1`` finds EVERY qualifying pair
-    (default 4x16-bit bands cover Hamming <= 3 exactly).
+    band, so ``max_hamming <= bands - 1`` proposes every qualifying
+    pair (default 4x16-bit bands cover Hamming <= 3 exactly) — AMONG
+    signatures whose colliding bands survive the ``max_bucket``
+    filter. A qualifying pair whose ONLY shared bands are hot buckets
+    is dropped: completeness is exact only with the guard disabled
+    (``max_bucket`` >= the distinct-signature count), and callers'
+    oracles must mirror the guard for parity.
 
     Input is a frame of DISTINCT signatures: identical signatures are
     the exact-dedup case the cheaper hash-equality groupBy already
@@ -484,8 +489,9 @@ def connected_components_star(
     neighbor — and u itself — at the minimum. The edge set converges
     to per-component stars rooted at the component minimum; both
     operations only ever shrink the potential, and the fixpoint test
-    is an exact set comparison of consecutive edge sets (two
-    anti-join counts over checkpointed, edge-scale frames).
+    is an exact set comparison of consecutive edge sets (ONE
+    symmetric-difference job: full outer join on (u, v) counting rows
+    missing from either side, over checkpointed edge-scale frames).
 
     Output contract is identical to ``connected_components``:
     (id_col, cluster_id = component minimum, cluster_size), singletons
@@ -521,10 +527,16 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        gone = E.join(small, ["u", "v"], "left_anti").count()
-        new = small.join(E, ["u", "v"], "left_anti").count()
+        diff = (
+            E.withColumn("_old", F.lit(1))
+            .join(
+                small.withColumn("_new", F.lit(1)), ["u", "v"], "full_outer"
+            )
+            .filter(F.col("_old").isNull() | F.col("_new").isNull())
+            .count()
+        )
         E = small
-        if gone == 0 and new == 0:
+        if diff == 0:
             break
     else:
         # same loud-failure contract as connected_components: a

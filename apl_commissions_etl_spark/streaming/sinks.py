@@ -158,7 +158,15 @@ def idempotent_replace_sink(target_dir: str, group_keys: list[str]):
     The returned sink accepts an optional ``affected`` key frame for
     batches whose recomputed rows may be EMPTY for some touched group
     (nothing survives the cascade): the deletion set must then come
-    from the input delta's keys, not from the output rows."""
+    from the input delta's keys, not from the output rows.
+
+    CALLER CONTRACT — one batch per group: each micro-batch must carry
+    a touched group's COMPLETE recomputed row set. If a group's rows
+    are split across two batches, the second batch's delete arm
+    removes the first batch's rows and reinserts only its own —
+    silently losing data. Sources must therefore be partitioned (or
+    the foreachBatch input repartitioned) by ``group_keys`` before
+    reaching this sink, as ``stream_incremental_gl_parity`` does."""
     os.makedirs(target_dir, exist_ok=True)
 
     def sink(
