@@ -16,6 +16,12 @@ from ..plans import calc
 from ..plans.fixtures import FIXTURE_VIEWS, fixtures_cte_sql, register_fixture_views
 from ..registry import query
 
+# pipeline_incremental_parity's oracle embeds the builder full-rebuild
+# oracles verbatim at decoration time, so the builder queries must be
+# registered before this module's body runs (no cycle: builder does
+# not import calcdomain)
+from . import builder as _builder_queries  # noqa: F401
+
 # ---------------------------------------------------------------------------
 # Oracle stage CTEs (mirror plans/calc.py; money math uses the same
 # bounded-decimal casts so both engines compute identical exact values)
@@ -604,7 +610,10 @@ def _gl_incremental_frames(
 
 
 def _corrupted_baseline(
-    full: DataFrame, affected: DataFrame, money_col: str
+    full: DataFrame,
+    affected: DataFrame,
+    money_col: str,
+    key: str = "PremiumTransactionId",
 ) -> DataFrame:
     """Stored-baseline stand-in for the incremental parity proofs: the
     full output with every AFFECTED premium's rows corrupted in place
@@ -619,10 +628,15 @@ def _corrupted_baseline(
     immaterial to the merge being proven: either way its baseline rows
     are wrong-or-missing and the group-replace must emit exactly the
     recomputed rows. The corruption guarantees the value hash CANNOT
-    pass if the delete arm fails to remove a single affected row."""
+    pass if the delete arm fails to remove a single affected row.
+
+    ``key`` is the join column carried by ``affected`` — the premium id
+    for the explode/rollup grains, the derived trace-report id for the
+    broker-trace grain (which does not carry the premium id as a
+    column)."""
     mark = affected.withColumn("_aff", F.lit(1))
     return (
-        full.join(F.broadcast(mark), "PremiumTransactionId", "left")
+        full.join(F.broadcast(mark), key, "left")
         .withColumn(
             money_col,
             F.when(
@@ -662,14 +676,16 @@ def _gl_full_rebuild_oracle() -> str:
     "touched premiums re-run the cascade",
 )
 def calc_incremental_gl_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    full = _stages(spark, sf_dir)["gl"]
     batch, affected = _gl_incremental_frames(spark, sf_dir)
-    baseline = _corrupted_baseline(
-        _stages(spark, sf_dir)["gl"], affected, "Amount"
-    )
+    baseline = _corrupted_baseline(full, affected, "Amount")
     recomputed = _gl_of(spark, sf_dir, batch)
     return (
         baseline.join(F.broadcast(affected), "PremiumTransactionId", "left_anti")
-        .select(*baseline.columns)
+        # restore the canonical output order (the merge's joins move
+        # the key column first; fingerprint suites concatenate string
+        # columns in physical order, so order is part of the contract)
+        .select(*full.columns)
         .unionByName(recomputed)
     )
 
@@ -783,10 +799,9 @@ def _trace_full_rebuild_oracle() -> str:
 def calc_incremental_trace_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    full = _stages(spark, sf_dir)["trace_full"]
     batch, affected = _gl_incremental_frames(spark, sf_dir)
-    baseline = _corrupted_baseline(
-        _stages(spark, sf_dir)["trace_full"], affected, "TotalCommission"
-    )
+    baseline = _corrupted_baseline(full, affected, "TotalCommission")
 
     def trace_of(fact: DataFrame) -> DataFrame:
         staging = dict(_staging(spark, sf_dir))
@@ -799,6 +814,287 @@ def calc_incremental_trace_parity(
         baseline.join(
             F.broadcast(affected), "PremiumTransactionId", "left_anti"
         )
-        .select(*baseline.columns)
+        # canonical output order (see calc_incremental_gl_parity)
+        .select(*full.columns)
         .unionByName(recomputed)
+    )
+
+
+def _broker_trace_full_rebuild_oracle() -> str:
+    from ..registry import REGISTRY
+
+    return REGISTRY["calc_broker_trace"].oracle
+
+
+def _affected_trace_keys(affected: DataFrame) -> DataFrame:
+    """The affected premium keys in broker-trace grain: the trace
+    output carries the premium id only inside its prefixed report id
+    ('TRACE-' || PremiumTransactionId), so the delete arm joins on the
+    derived report key instead."""
+    return affected.select(
+        F.concat(F.lit("TRACE-"), F.col("PremiumTransactionId")).alias(
+            "CommissionTraceabilityReportId"
+        )
+    )
+
+
+@query(
+    "calc_incremental_broker_trace_parity",
+    oracle=_broker_trace_full_rebuild_oracle(),
+    survey_ref="north-star: incremental maintenance at the BROKER-TRACE "
+    "grain — the third and last calc output (1 row per GL entry with "
+    "tier/rate/assignment lineage, run-calculation.sql:575-605, rebuilt "
+    "whole by the reference every run). The same premium-delta batch as "
+    "calc_incremental_gl_parity flows the cascade once and group-"
+    "replaces the affected premiums' trace rows; the trace grain keys "
+    "on the derived report id ('TRACE-' || premium id) because the "
+    "output does not carry the premium id as a column — the realistic "
+    "MERGE key a production trace table would use. Oracle = the FULL-"
+    "rebuild broker trace verbatim, so the value hash proves "
+    "incremental == rebuild exactly, completing the family across all "
+    "three cascade outputs (explode-grain GL, rollup-grain "
+    "traceability, lineage-grain broker trace)",
+)
+def calc_incremental_broker_trace_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    full = _stages(spark, sf_dir)["broker_trace"]
+    batch, affected = _gl_incremental_frames(spark, sf_dir)
+    affected_trace = _affected_trace_keys(affected)
+    baseline = _corrupted_baseline(
+        full,
+        affected_trace,
+        "CommissionAmount",
+        key="CommissionTraceabilityReportId",
+    )
+
+    def bt_of(fact: DataFrame) -> DataFrame:
+        staging = dict(_staging(spark, sf_dir))
+        par = spark.sparkContext.defaultParallelism
+        staging["stg_premium_transactions"] = fact.repartition(par)
+        return calc.run_calc(staging)["broker_trace"]
+
+    recomputed = bt_of(batch)
+    return (
+        baseline.join(
+            F.broadcast(affected_trace),
+            "CommissionTraceabilityReportId",
+            "left_anti",
+        )
+        # canonical output order (see calc_incremental_gl_parity)
+        .select(*full.columns)
+        .unionByName(recomputed)
+    )
+
+
+def _pipeline_parity_oracle() -> str:
+    """Full-rebuild oracles of all five maintained outputs, verbatim,
+    each projected to the chained query's tag-union schema."""
+    from ..registry import REGISTRY
+
+    crit = REGISTRY["builder_selection_criteria"].oracle
+    props = REGISTRY["builder_incremental_proposals"].oracle
+    gl = REGISTRY["calc_gl_entries"].oracle
+    tr = REGISTRY["calc_traceability_full"].oracle
+    bt = REGISTRY["calc_broker_trace"].oracle
+    return f"""
+    WITH crit AS ({crit}),
+    props AS ({props}),
+    gl AS ({gl}),
+    tr AS ({tr}),
+    bt AS ({bt})
+    SELECT 'criteria' AS output,
+           'CR|' || GroupId || '|' || CAST(CertificateId AS VARCHAR) AS id,
+           ConfigHash || '|' || ProductCode || '|' || PlanCode || '|'
+             || SitusState || '|' || WritingBrokerId || '|'
+             || CAST(CertEffectiveDate AS VARCHAR) AS ref_id,
+           CAST(TotalSplitPercent AS BIGINT) * 1000
+             + CAST(SplitCount AS BIGINT) AS metric
+    FROM crit
+    UNION ALL
+    SELECT 'proposals',
+           'PR|' || ProposalId,
+           ConfigHash || '|' || PlanCodes || '|' || ProductCodes || '|'
+             || GroupName || '|' || SitusState || '|' || PrimaryBrokerId
+             || '|' || CAST(EffectiveDateFrom AS VARCHAR) || '|'
+             || COALESCE(CAST(EffectiveDateTo AS VARCHAR), '~'),
+           CAST(CertificateCount AS BIGINT)
+    FROM props
+    UNION ALL
+    SELECT 'gl',
+           'GL|' || GlEntryId,
+           PremiumTransactionId || '|' || EntryType || '|'
+             || COALESCE(CAST(BrokerId AS VARCHAR), '~'),
+           CAST(round(Amount * 100) AS BIGINT)
+    FROM gl
+    UNION ALL
+    SELECT 'trace',
+           'TR|' || Id,
+           COALESCE(ProposalId, '~') || '|' || COALESCE(GroupId, '~')
+             || '|' || COALESCE(ErrorMessages, '~') || '|'
+             || CAST(ParticipantCount AS VARCHAR) || '|'
+             || CAST(HasErrors AS VARCHAR),
+           CAST(round(TotalCommission * 100) AS BIGINT)
+    FROM tr
+    UNION ALL
+    SELECT 'broker_trace',
+           'BT|' || Id,
+           CommissionTraceabilityReportId || '|' || RateSource || '|'
+             || EntryType || '|' || CAST(BrokerId AS VARCHAR) || '|'
+             || CAST(TierLevel AS VARCHAR),
+           CAST(round(CommissionAmount * 100) AS BIGINT)
+    FROM bt
+    """
+
+
+@query(
+    "pipeline_incremental_parity",
+    oracle=_pipeline_parity_oracle(),
+    survey_ref="north-star: the CHAINED increment — ONE upstream delta "
+    "event set (certificates with id%10==3 arrive brand-new, "
+    "certificates with id%10==7 are amended; the builder and cascade "
+    "fixtures share the o_orderkey certificate universe and the same "
+    "delta strata) maintained through EVERY downstream output in one "
+    "pass: builder criteria -> builder proposals (group-level "
+    "propagation) AND the affected certificates' premium rows -> one "
+    "shared 8-stage delta cascade -> GL + traceability + broker trace, "
+    "each group-replaced into its corrupted stored baseline. The "
+    "reference rebuilds all of these together monolithically "
+    "(sql/calc/run-calculation.sql:35-45 truncates and reloads every "
+    "output; proposal-builder.ts:2047-2164 rebuilds from full "
+    "staging); this is the maintenance TRANSACTION a 100 TB pipeline "
+    "runs instead — one delta batch, five maintained tables, the "
+    "delta cascade computed once (lazy localCheckpoint shares c3/c8 "
+    "across the three calc projections). Oracle = the five FULL-"
+    "rebuild oracles verbatim, each projected to the same (output, "
+    "id, ref_id, metric) tag union, so one value hash proves every "
+    "maintained table equals its rebuild. Note the premium delta "
+    "cannot change builder outputs (the builder consumes certificate "
+    "staging, not premiums) — the chain covers exactly the outputs "
+    "the delta event reaches by dependency",
+)
+def pipeline_incremental_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans import builder as builder_plans
+    from .builder import _incremental_frames as _builder_frames
+
+    # --- builder arm: criteria merge + group-level proposal propagation
+    merged, baseline_crit, cert_batch = _builder_frames(spark, sf_dir)
+    touched_groups = cert_batch.select("GroupId").distinct()
+    pcols = [
+        "ProposalId", "GroupId", "ConfigHash", "EffectiveDateFrom",
+        "EffectiveDateTo", "PlanCodes", "ProductCodes", "CertificateCount",
+        "PrimaryBrokerId", "GroupName", "SitusState",
+    ]
+    baseline_props = builder_plans.build_proposals(baseline_crit).select(*pcols)
+    recomputed_props = builder_plans.build_proposals(
+        merged.join(F.broadcast(touched_groups), "GroupId").select(
+            *merged.columns
+        )
+    ).select(*pcols)
+    props = (
+        baseline_props.join(
+            F.broadcast(touched_groups), "GroupId", "left_anti"
+        )
+        .select(*pcols)
+        .unionByName(recomputed_props)
+    )
+
+    # --- calc arm: ONE shared delta cascade feeding all three outputs
+    batch, affected = _gl_incremental_frames(spark, sf_dir)
+    staging = dict(_staging(spark, sf_dir))
+    par = spark.sparkContext.defaultParallelism
+    staging["stg_premium_transactions"] = batch.repartition(par)
+    # lazy localCheckpoint: c3/c8 of the DELTA cascade materialize once
+    # on first use and are shared by the gl/trace/broker-trace arms —
+    # the single-pass maintenance transaction, not three cascade runs
+    delta = calc.run_calc(
+        staging, persist=lambda df: df.localCheckpoint(eager=False)
+    )
+    full = _stages(spark, sf_dir)
+    affected_trace = _affected_trace_keys(affected)
+
+    def merge(
+        baseline: DataFrame, keys: DataFrame, key: str, recomputed: DataFrame
+    ) -> DataFrame:
+        return (
+            baseline.join(F.broadcast(keys), key, "left_anti")
+            .select(*baseline.columns)
+            .unionByName(recomputed)
+        )
+
+    gl = merge(
+        _corrupted_baseline(full["gl"], affected, "Amount"),
+        affected, "PremiumTransactionId", delta["gl"],
+    )
+    tr = merge(
+        _corrupted_baseline(full["trace_full"], affected, "TotalCommission"),
+        affected, "PremiumTransactionId", delta["trace_full"],
+    )
+    bt = merge(
+        _corrupted_baseline(
+            full["broker_trace"], affected_trace, "CommissionAmount",
+            key="CommissionTraceabilityReportId",
+        ),
+        affected_trace, "CommissionTraceabilityReportId",
+        delta["broker_trace"],
+    )
+
+    # --- tag union: every maintained row with its identity + money
+    def tag(name, id_col, ref_col, metric_col):
+        return F.lit(name).alias("output"), id_col.alias("id"), \
+            ref_col.alias("ref_id"), metric_col.cast("long").alias("metric")
+
+    sep = F.lit("|")
+    crit_rows = merged.select(*tag(
+        "criteria",
+        F.concat(F.lit("CR|"), "GroupId", sep,
+                 F.col("CertificateId").cast("string")),
+        F.concat("ConfigHash", sep, "ProductCode", sep, "PlanCode", sep,
+                 "SitusState", sep, "WritingBrokerId", sep,
+                 F.col("CertEffectiveDate").cast("string")),
+        F.col("TotalSplitPercent").cast("long") * 1000
+        + F.col("SplitCount").cast("long"),
+    ))
+    prop_rows = props.select(*tag(
+        "proposals",
+        F.concat(F.lit("PR|"), "ProposalId"),
+        F.concat("ConfigHash", sep, "PlanCodes", sep, "ProductCodes", sep,
+                 "GroupName", sep, "SitusState", sep, "PrimaryBrokerId",
+                 sep, F.col("EffectiveDateFrom").cast("string"), sep,
+                 F.coalesce(F.col("EffectiveDateTo").cast("string"),
+                            F.lit("~"))),
+        F.col("CertificateCount"),
+    ))
+    gl_rows = gl.select(*tag(
+        "gl",
+        F.concat(F.lit("GL|"), "GlEntryId"),
+        F.concat("PremiumTransactionId", sep, "EntryType", sep,
+                 F.coalesce(F.col("BrokerId").cast("string"), F.lit("~"))),
+        F.round(F.col("Amount") * 100),
+    ))
+    tr_rows = tr.select(*tag(
+        "trace",
+        F.concat(F.lit("TR|"), "Id"),
+        F.concat(F.coalesce("ProposalId", F.lit("~")), sep,
+                 F.coalesce("GroupId", F.lit("~")), sep,
+                 F.coalesce("ErrorMessages", F.lit("~")), sep,
+                 F.col("ParticipantCount").cast("string"), sep,
+                 F.col("HasErrors").cast("string")),
+        F.round(F.col("TotalCommission") * 100),
+    ))
+    bt_rows = bt.select(*tag(
+        "broker_trace",
+        F.concat(F.lit("BT|"), "Id"),
+        F.concat("CommissionTraceabilityReportId", sep, "RateSource", sep,
+                 "EntryType", sep, F.col("BrokerId").cast("string"), sep,
+                 F.col("TierLevel").cast("string")),
+        F.round(F.col("CommissionAmount") * 100),
+    ))
+    return (
+        crit_rows.unionByName(prop_rows)
+        .unionByName(gl_rows)
+        .unionByName(tr_rows)
+        .unionByName(bt_rows)
     )

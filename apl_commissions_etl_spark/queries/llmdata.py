@@ -517,6 +517,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signature(d, "doc_id", "text", bits=16)
 
 
+#: session-scoped simhash-signature component labels for the banded-
+#: Hamming text near-dup — same pattern as _dhash_hamming_labels: the
+#: banded join + star-contraction rounds run once per (session, sf)
+#: ("the index is built once, queries probe it"), and the registered
+#: query's per-run cost is one broadcast join + one window.
+#: Star-contraction CC, NOT min-label propagation: a 16-bit SimHash
+#: space is densely populated at corpus scale, so the Hamming<=1
+#: signature graph forms long chains whose diameter grows with the
+#: corpus (propagation raised its non-convergence guard at sf0.1).
+#: Star contraction converges in O(log n) rounds regardless of
+#: diameter; label parity with propagation is oracle-proven by
+#: dedup_cluster_labels_star.
+_SIMHASH_HAMMING_CACHE: dict[tuple[str, str], DataFrame] = SessionCache()
+
+
+def _simhash_hamming_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def build() -> DataFrame:
+        hs = (
+            dedup.simhash_signature(
+                _docs(spark, sf_dir), "doc_id", "text", bits=16
+            )
+            .select("simhash")
+            .distinct()
+        )
+        hp = dedup.hamming_banded_pairs(
+            hs, "simhash", bits=16, bands=2, max_hamming=1, max_bucket=20
+        )
+        return session_ckpt(
+            dedup.connected_components_star(
+                hp.select(
+                    F.col("sig_a").alias("id_a"),
+                    F.col("sig_b").alias("id_b"),
+                ),
+                hs,
+                "simhash",
+            )
+        )
+
+    return locked_get(_SIMHASH_HAMMING_CACHE, key, build)
+
+
 @query(
     "dedup_simhash_hamming",
     oracle=f"""
@@ -574,26 +617,11 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.simhash_signature(
         _docs(spark, sf_dir), "doc_id", "text", bits=16
     )
-    hs = sigs.select("simhash").distinct()
-    hp = dedup.hamming_banded_pairs(
-        hs, "simhash", bits=16, bands=2, max_hamming=1, max_bucket=20
-    )
-    # Star-contraction CC, NOT min-label propagation: a 16-bit SimHash
-    # space is densely populated at corpus scale, so the Hamming<=1
-    # signature graph forms long chains whose diameter grows with the
-    # corpus (propagation raised its non-convergence guard at sf0.1).
-    # Star contraction converges in O(log n) rounds regardless of
-    # diameter; label parity with propagation is oracle-proven by
-    # dedup_cluster_labels_star.
-    hcc = dedup.connected_components_star(
-        hp.select(
-            F.col("sig_a").alias("id_a"), F.col("sig_b").alias("id_b")
-        ),
-        hs,
-        "simhash",
-    )
     labeled = sigs.join(
-        hcc.select("simhash", F.col("cluster_id").alias("hroot")), "simhash"
+        _simhash_hamming_labels(spark, sf_dir).select(
+            "simhash", F.col("cluster_id").alias("hroot")
+        ),
+        "simhash",
     )
     w = Window.partitionBy("hroot")
     return labeled.select(
@@ -3183,5 +3211,112 @@ def ann_incremental_index_parity(
     return (
         base.join(F.broadcast(affected), "vec_id", "left_anti")
         .select("vec_id", "cell", "vec_fp")
+        .unionByName(recomputed)
+    )
+
+
+@query(
+    "ann_incremental_pq_parity",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 16),
+    final AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 11 = 5
+                  THEN list_reverse(embedding::DOUBLE[])
+                  ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT f.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+                 list_dot_product(f.v, c.cvec)
+                   / (sqrt(list_dot_product(f.v, f.v))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                 c.cid) AS rn
+        FROM final f CROSS JOIN cent c) WHERE rn = 1),
+    d AS (
+      SELECT f.vec_id, s.sub, c.k,
+             CAST(SUM(CAST(round(
+               (f.v[s.sub * 8 + i.i]
+                - CAST(c.embedding[s.sub * 8 + i.i] AS DOUBLE))
+               * (f.v[s.sub * 8 + i.i]
+                  - CAST(c.embedding[s.sub * 8 + i.i] AS DOUBLE))
+               * 1e9) AS BIGINT)) AS BIGINT) AS dist
+      FROM final f
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+      CROSS JOIN (SELECT vec_id AS k, embedding FROM embeddings
+                  WHERE vec_id < 4) c
+      CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) i
+      GROUP BY f.vec_id, s.sub, c.k),
+    best AS (
+      SELECT vec_id, sub, MIN(struct_pack(d := dist, k := k)).k AS code
+      FROM d GROUP BY vec_id, sub),
+    codes AS (
+      SELECT vec_id, string_agg(CAST(code AS VARCHAR), '' ORDER BY sub)
+               AS pq_code
+      FROM best GROUP BY vec_id)
+    SELECT a.vec_id, a.cid AS cell, c.pq_code
+    FROM assigned a JOIN codes c USING (vec_id)
+    """,
+    survey_ref="north-star: incremental maintenance of the PRODUCTION "
+    "serving index — the cell-partitioned IVF-PQ CODES table "
+    "(ann_topk_ivfpq_partitioned's layout: vec_id + eight 2-bit codes, "
+    "no raw vectors). ann_incremental_index_parity proved the CELL "
+    "assignment maintainable; this proves the codes: between retrains "
+    "the index absorbs deltas with FROZEN centroids AND frozen "
+    "codebooks — brand-new vectors (vec_id % 7 == 2) re-encode and "
+    "insert, re-embedded documents (vec_id % 11 == 5, vector replaced "
+    "by its reverse) re-encode AND can change cell, so on the "
+    "partitionBy(cell) table the maintenance is group-replace by "
+    "vec_id ACROSS partitions (delete-by-key everywhere, insert into "
+    "the new cell). The stored baseline is the PUBLISHED codes table "
+    "read back (stale codes and cells for every affected id by "
+    "construction); only the delta re-runs assignment + encoding. "
+    "Oracle = the FULL-rebuild assignment + encoding over the final "
+    "embedding state with the frozen centroid/codebook snapshots, so "
+    "the value hash proves incremental codes maintenance == rebuild "
+    "exactly — including every moved cell and every re-encoded code",
+)
+def ann_incremental_pq_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, sf_dir)
+    _, seeds = _ann_constants(spark, sf_dir)
+    is_new = F.col("vec_id") % 7 == 2
+    is_amend = F.col("vec_id") % 11 == 5
+    affected = emb.filter(is_new | is_amend).select("vec_id")
+    delta = emb.filter(is_new | is_amend).withColumn(
+        "embedding",
+        F.when(is_amend, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    # stored baseline: READ the published cell-partitioned codes table
+    # (the same parquet directory ann_topk_ivfpq_partitioned probes)
+    base = spark.read.parquet(_ivfpq_table_path(spark, sf_dir)).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.concat(
+            *[F.col(f"code{s}").cast("string") for s in range(_PQ_SUBS)]
+        ).alias("pq_code"),
+    )
+    # delta: frozen-centroid cell assignment + frozen-codebook encoding
+    code_exprs = []
+    for s in range(_PQ_SUBS):
+        entries = ",".join(
+            f"named_struct('d', {_pq_spark_dist(s, books[s][k])}, 'c', {k})"
+            for k in range(_PQ_K)
+        )
+        code_exprs.append(f"CAST(array_min(array({entries})).c AS STRING)")
+    recomputed = similarity.ivf_assign(delta, seeds).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.expr("concat(" + ",".join(code_exprs) + ")").alias("pq_code"),
+    )
+    return (
+        base.join(F.broadcast(affected), "vec_id", "left_anti")
+        .select("vec_id", "cell", "pq_code")
         .unionByName(recomputed)
     )

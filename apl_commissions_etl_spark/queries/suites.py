@@ -93,7 +93,9 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "§2.2 P1-P3 (trim/safe-cast), P5 (NOT-NULL gate), P9 (invalid-"
         "group regex), P10 (exclusion list), P11 (heuristic predicates) "
         "+ §2.1 format round trips (JSONL, ORC, partitioned-parquet "
-        "pruning sink, text-log parse)",
+        "pruning sink, text-log parse, S5 ZIP extract + prefix "
+        "discovery — rotated out of its dedicated r1-era slot in r9 "
+        "after seven consecutive driver-green rounds)",
         (
             "prep_safe_cast",
             "prep_conformance_gate",
@@ -104,6 +106,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "ingest_orc_roundtrip",
             "sink_partitioned_prune",
             "ingest_log_parse",
+            "ingest_zip_prefix_summary",
         ),
     ),
     "join_patterns_suite": (
@@ -211,7 +214,9 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "set-similarity join (lossless PPJoin-family pruning), "
         "MinHash+LSH (band join + verify, bucket-capped), SimHash "
         "(md5-parity bits), span-level chunk dedup, embedding "
-        "sign-LSH near-dup",
+        "sign-LSH near-dup, banded-Hamming SimHash clustering "
+        "(star-contraction CC over the dense signature graph) and the "
+        "star-contraction label-parity proof itself",
         (
             "dedup_exact",
             "dedup_ngram_jaccard",
@@ -221,6 +226,8 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "dedup_chunk_spans",
             "dedup_incremental_batch",
             "dedup_embedding_lsh",
+            "dedup_simhash_hamming",
+            "dedup_cluster_labels_star",
         ),
     ),
     "corpus_patterns_suite": (
@@ -351,6 +358,32 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "ann_topk_batch",
             "ann_topk_ivf_kmeans",
             "ann_incremental_index_parity",
+        ),
+    ),
+    "incremental_parity_suite": (
+        "north-star incremental-maintenance family, every grain, each "
+        "sub PROVEN equal to its full rebuild by a verbatim full-"
+        "rebuild oracle: builder criteria (key grain) + proposals "
+        "(group propagation), the 8-stage cascade's three outputs "
+        "(explode-grain GL, rollup-grain traceability, lineage-grain "
+        "broker trace), the slice-union GL proof, the CHAINED single-"
+        "pass increment across all five maintained outputs, the "
+        "IVF-PQ codes serving index, and both STREAMED forms "
+        "(criteria and GL maintained across checkpointed restarts "
+        "through the exactly-once merge/replace sinks). "
+        "ann_incremental_index_parity stays fingerprinted in "
+        "llmdata_extras_suite",
+        (
+            "builder_incremental_criteria",
+            "builder_incremental_proposals",
+            "calc_incremental_gl",
+            "calc_incremental_gl_parity",
+            "calc_incremental_trace_parity",
+            "calc_incremental_broker_trace_parity",
+            "pipeline_incremental_parity",
+            "ann_incremental_pq_parity",
+            "stream_incremental_criteria_parity",
+            "stream_incremental_gl_parity",
         ),
     ),
 }

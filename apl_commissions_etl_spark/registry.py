@@ -80,9 +80,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # §2.5 windows / §2.6 ordering / §2.7 set ops
     "win_patterns_suite",
     "ord_setop_suite",
-    # §2.1 sources/sinks
+    # §2.1 sources/sinks (ingest_zip_prefix_summary rotated out in r9
+    # after seven consecutive driver-green rounds; it is fingerprinted
+    # as a prep_patterns_suite sub since r9, so S5 stays driver-covered
+    # while its slot funds the incremental-maintenance family below)
     "ingest_csv_typed",
-    "ingest_zip_prefix_summary",
     "export_merge_upsert",
     "pipeline_materialize_suite",
     # §2.9 calculation cascade + outputs
@@ -111,6 +113,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "builder_mode_split_configs",
     # §2.10 streaming
     "stream_patterns_suite",
+    # north-star incremental-maintenance family (every grain: builder
+    # criteria/proposals, GL, traceability, broker trace, the chained
+    # single-pass increment, IVF-PQ codes, both streamed forms) — each
+    # sub hash-proven equal to its verbatim full-rebuild oracle
+    "incremental_parity_suite",
     # LLM-data north-star operators (ann_topk_bruteforce rotated out in
     # r4: it is the labeled O(n*q) baseline and the ANN family stays
     # driver-covered by ann_topk_ivf + llmdata_extras_suite)
@@ -145,12 +152,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #:   2. agg_conditional (evicted r5, fingerprinted in
 #:                                 agg_patterns_suite since r6; re-pin
 #:                                 only if a dedicated row is wanted)
-#:   3. builder_incremental_criteria (r7 incremental-builder proof;
-#:                                 sweep-covered, oracle = full rebuild)
-#:   4. calc_incremental_gl_parity (r8 keyed-MERGE incremental GL;
-#:                                 sweep-covered, oracle = full rebuild;
-#:                                 stream_incremental_gl_parity is its
-#:                                 restart-surviving streamed twin)
+#:   3. ingest_zip_prefix_summary (evicted r9 — its slot funds
+#:                                 incremental_parity_suite — and
+#:                                 fingerprinted in prep_patterns_suite;
+#:                                 re-pin only if a dedicated row is
+#:                                 wanted)
+#: (The r7/r8 incremental-family candidates — builder_incremental_*,
+#: calc_incremental_*_parity, stream_incremental_* — were pinned in r9
+#: via incremental_parity_suite below.)
 #: Keep this list in sync when adding families so the 50-slot prefix
 #: stays an intentional choice rather than registration-order accident.
 #:

@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_cluster_labels",
     "dedup_incremental_batch",
+    "dedup_simhash_hamming",
     "text_bpe_train",
     "layout_zorder_plan",
     "pipeline_rag_retrieval",

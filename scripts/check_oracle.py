@@ -7,12 +7,26 @@ exact equality for non-floats, tight tolerance report for floats --
 the real driver hashes, so we flag ANY float mismatch loudly).
 
 Usage: python scripts/check_oracle.py [sf_dir] [name_filter...]
+
+``--scale-smoke``: the pre-sweep scale-regression gate (r8 verdict
+item 3 — dedup_simhash_hamming failed ONLY at sf0.1, which no routine
+check ran). Diffs the registry against the newest committed
+SWEEP_r*.log to find every query added since the last round and runs
+each at sf0.1 in its OWN fresh subprocess session with the configured
+(real, non-vanilla) driver heap — per the session-budget note in
+registry.py, sf0.1 calc-cascade queries die in a 1g vanilla heap for
+MEMORY reasons, so the vanilla mimicry stays an sf0.01 concern while
+this mode answers "does the new query RUN and match its oracle at 10x
+data". Extra names (or ``--all-names``) widen the set.
 """
 
 from __future__ import annotations
 
+import glob
 import math
 import os
+import re
+import subprocess
 import sys
 import time
 
@@ -69,11 +83,77 @@ def cells_equal(a, b):
     return a == b
 
 
+def _latest_sweep_names() -> set[str]:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    logs = sorted(glob.glob(os.path.join(repo, "SWEEP_r*.log")))
+    if not logs:
+        return set()
+    names: set[str] = set()
+    with open(logs[-1]) as fh:
+        for line in fh:
+            m = re.match(r"(?:PASS|FAIL|WARN|SKIP)\s+(\S+):", line)
+            if m:
+                names.add(m.group(1))
+    return names
+
+
+def scale_smoke(extra_filters: list[str]) -> None:
+    """Run every registry query NOT in the newest committed sweep log
+    (i.e. added since the last round), plus any ``extra_filters``
+    matches, at sf0.1 — one fresh subprocess session per query so a
+    heap death or non-convergence in one cannot shadow the next, and
+    so each query is timed against an honest cold session."""
+    from apl_commissions_etl_spark.registry import all_queries
+
+    swept = _latest_sweep_names()
+    names = [
+        n
+        for n in all_queries()
+        if n not in swept
+        or any(f in n for f in extra_filters)
+    ]
+    if not names:
+        print("scale-smoke: no queries newer than the last sweep")
+        return
+    script = os.path.abspath(__file__)
+    n_fail = 0
+    for n in names:
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, script, "--exact", "/root/testdata/sf0.1", n],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        verdict = "PASS" if r.returncode == 0 else "FAIL"
+        # surface the per-query lines from the child (PASS/FAIL/WARN)
+        for line in r.stdout.splitlines():
+            if re.match(r"(?:PASS|FAIL|WARN|SKIP)\s", line):
+                print(f"[scale-smoke] {line}")
+        if r.returncode != 0:
+            n_fail += 1
+            tail = "\n".join((r.stdout + r.stderr).splitlines()[-5:])
+            print(f"[scale-smoke] FAIL {n} (exit {r.returncode}):\n{tail}")
+        print(
+            f"[scale-smoke] {verdict} {n} total {time.time() - t0:.1f}s",
+            flush=True,
+        )
+    print(f"\nscale-smoke: {len(names) - n_fail}/{len(names)} pass at sf0.1")
+    sys.exit(1 if n_fail else 0)
+
+
 def main():
     argv = list(sys.argv[1:])
     vanilla = "--vanilla" in argv
     if vanilla:
         argv.remove("--vanilla")
+    if "--scale-smoke" in argv:
+        argv.remove("--scale-smoke")
+        scale_smoke(argv)
+        return
+    exact = "--exact" in argv
+    if exact:
+        argv.remove("--exact")
     first_n = None
     q_range = None
     for a in list(argv):
@@ -121,7 +201,10 @@ def main():
     else:
         spark = get_spark("check-oracle")
     qs = all_queries()
-    names = [n for n in qs if not filters or any(f in n for f in filters)]
+    if exact:
+        names = [n for n in qs if n in filters]
+    else:
+        names = [n for n in qs if not filters or any(f in n for f in filters)]
     if first_n is not None:
         names = names[:first_n]
     if q_range is not None:

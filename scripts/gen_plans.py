@@ -207,6 +207,49 @@ AUDITS: list[tuple[str, list[str], list[str], str]] = [
         "single-row nested-loop joins (cost-free), and the fact-scale "
         "join being estimated never executes.",
     ),
+    (
+        "multimodal_image_dedup_dhash (un-persisted decode+hash)",
+        ["MapInPandas"],
+        ["CartesianProduct", "BatchEvalPython", "Exchange"],
+        "The perceptual-hash ingest pass as it runs COLD (in steady "
+        "state the session checkpoint truncates this to a stored-hash "
+        "scan — the 'hash computed once at ingest' shape): PNG decode "
+        "+ 65 block sums + 64 compare bits in ONE sanctioned Arrow "
+        "mapInPandas stage over the document scan — pure map, no "
+        "exchange anywhere before the hash is stored.",
+    ),
+    (
+        "multimodal_image_dedup_hamming (banded pair join)",
+        ["HashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "MapInPandas"],
+        "The banded Hamming candidate join over DISTINCT stored "
+        "hashes (the component labeling above it is iterative and "
+        "checkpointed per round): band explosion, hot-bucket guard, "
+        "band-key equality self-join, integer bit_count verify — all "
+        "JVM-side hash joins; no all-pairs comparison in the plan.",
+    ),
+    (
+        "ann_incremental_pq_parity",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "IVF-PQ codes maintenance: the published codes table anti-"
+        "joins the broadcast affected-key set (delete arm), the delta "
+        "re-encodes map-side against frozen literal codebooks and "
+        "re-assigns cells against frozen literal centroids — the only "
+        "joins are the broadcast anti-join and the union's exchange.",
+    ),
+    (
+        "pipeline_incremental_parity",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython"],
+        "The chained single-pass increment (builder criteria + "
+        "proposals, GL, traceability, broker trace in one maintenance "
+        "transaction): every delete arm is a broadcast anti-join "
+        "against the delta-scale affected keys, the delta cascade's "
+        "shared c3/c8 are lazy localCheckpoints (computed once, read "
+        "by three arms), and each arm unions baseline-survivors with "
+        "its recomputed delta.",
+    ),
 ]
 
 
@@ -238,6 +281,22 @@ def main() -> None:
             from apl_commissions_etl_spark.queries.builder import _criteria
 
             df = modes.finest_configs(_criteria(spark, SF))
+        elif name.startswith("multimodal_image_dedup_dhash"):
+            from apl_commissions_etl_spark.operators import multimodal
+            from apl_commissions_etl_spark.sources.testdata import load_table
+
+            d = load_table(spark, SF, "documents")
+            df = multimodal.dhash_features(
+                multimodal.attach_png_payload(d, "doc_id", "text"), "doc_id"
+            )
+        elif name.startswith("multimodal_image_dedup_hamming"):
+            from apl_commissions_etl_spark.operators import dedup as dd
+            from apl_commissions_etl_spark.queries.llmdata import _dhash_feats
+
+            hs = _dhash_feats(spark, SF).select("dhash").distinct()
+            df = dd.hamming_banded_pairs(
+                hs, "dhash", bits=64, bands=4, max_hamming=3, max_bucket=20
+            )
         else:
             df = qs[name].spark_fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()

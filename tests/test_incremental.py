@@ -100,3 +100,91 @@ def test_builder_incremental_replaces_stale_amended_rows(spark, sf_dir):
         ).select(*cols).collect()
     }
     assert m == f
+
+
+def _multiset(df):
+    from collections import Counter
+
+    return Counter(tuple(r) for r in df.collect())
+
+
+def test_broker_trace_incremental_equals_full_rebuild(spark, sf_dir):
+    """The lineage-grain merge: group-replace keyed on the derived
+    report id must reproduce the full rebuild exactly — including
+    scrubbing every corrupted affected row from the stored baseline."""
+    from apl_commissions_etl_spark.queries import calcdomain
+    from apl_commissions_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    merged = qs["calc_incremental_broker_trace_parity"].spark_fn(
+        spark, sf_dir
+    )
+    full = calcdomain._stages(spark, sf_dir)["broker_trace"]
+    cols = sorted(full.columns)  # merge reorders (join key first)
+    assert _multiset(merged.select(*cols)) == _multiset(full.select(*cols))
+
+
+def test_pipeline_incremental_covers_all_five_outputs(spark, sf_dir):
+    """The chained single-pass increment must emit every maintained
+    output's tag and, per tag, exactly the full-rebuild row set."""
+    from apl_commissions_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    out = qs["pipeline_incremental_parity"].spark_fn(spark, sf_dir)
+    tags = {
+        r["output"]: r["n"]
+        for r in out.groupBy("output").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(tags) == {
+        "criteria", "proposals", "gl", "trace", "broker_trace"
+    }
+    assert all(n > 0 for n in tags.values())
+    # no residue of the corrupted baseline: ids are unique per tag for
+    # the keyed outputs (a failed delete arm would duplicate an id)
+    dup = (
+        out.groupBy("output", "id")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") > 1) & (F.col("output") != "broker_trace"))
+        .count()
+    )
+    assert dup == 0
+
+
+def test_ann_pq_incremental_moves_cells_and_reencodes(spark, sf_dir):
+    """Amended vectors (reversed embeddings) must be able to change
+    BOTH cell and code — the cross-partition group-replace the
+    within-partition upsert cannot express — and the merged index must
+    equal the full rebuild over the final embedding state."""
+    from apl_commissions_etl_spark.queries import llmdata
+    from apl_commissions_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    merged = qs["ann_incremental_pq_parity"].spark_fn(spark, sf_dir)
+    base = spark.read.parquet(
+        llmdata._ivfpq_table_path(spark, sf_dir)
+    ).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("base_cell"),
+        F.concat(
+            *[
+                F.col(f"code{s}").cast("string")
+                for s in range(llmdata._PQ_SUBS)
+            ]
+        ).alias("base_code"),
+    )
+    amended = merged.filter(F.col("vec_id") % 11 == 5).join(
+        base, "vec_id"
+    )
+    moved = amended.filter(F.col("cell") != F.col("base_cell")).count()
+    recoded = amended.filter(F.col("pq_code") != F.col("base_code")).count()
+    assert moved > 0, "no amended vector changed cell: fixture too weak"
+    assert recoded > 0, "no amended vector re-encoded: fixture too weak"
+    # untouched ids keep their stored rows verbatim
+    untouched = merged.filter(
+        (F.col("vec_id") % 7 != 2) & (F.col("vec_id") % 11 != 5)
+    ).join(base, "vec_id")
+    drift = untouched.filter(
+        (F.col("cell") != F.col("base_cell"))
+        | (F.col("pq_code") != F.col("base_code"))
+    ).count()
+    assert drift == 0
