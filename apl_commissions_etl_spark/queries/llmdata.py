@@ -504,6 +504,27 @@ _SIMHASH_CTES_SQL = f"""toks AS (
       FROM s)"""
 
 
+#: session-scoped simhash signature frame (doc_id, simhash) — the
+#: shingle explode + parity fold runs once per (session, sf), the
+#: "signature computed once at ingest and stored" shape (same pattern
+#: as _dhash_feats); both SimHash queries and the label build read
+#: the stored signatures
+_SIMHASH_SIGS_CACHE: dict[tuple[str, str], DataFrame] = SessionCache()
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def build() -> DataFrame:
+        return session_ckpt(
+            dedup.simhash_signature(
+                _docs(spark, sf_dir), "doc_id", "text", bits=16
+            )
+        )
+
+    return locked_get(_SIMHASH_SIGS_CACHE, key, build)
+
+
 @query(
     "dedup_simhash",
     oracle=f"""
@@ -513,8 +534,7 @@ _SIMHASH_CTES_SQL = f"""toks AS (
     survey_ref="north-star: SimHash (md5-hex-parity bits, engine-independent)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return dedup.simhash_signature(d, "doc_id", "text", bits=16)
+    return _simhash_sigs(spark, sf_dir)
 
 
 #: session-scoped simhash-signature component labels for the banded-
@@ -536,13 +556,7 @@ def _simhash_hamming_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
 
     def build() -> DataFrame:
-        hs = (
-            dedup.simhash_signature(
-                _docs(spark, sf_dir), "doc_id", "text", bits=16
-            )
-            .select("simhash")
-            .distinct()
-        )
+        hs = _simhash_sigs(spark, sf_dir).select("simhash").distinct()
         hp = dedup.hamming_banded_pairs(
             hs, "simhash", bits=16, bands=2, max_hamming=1, max_bucket=20
         )
@@ -614,9 +628,7 @@ def _simhash_hamming_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    sigs = dedup.simhash_signature(
-        _docs(spark, sf_dir), "doc_id", "text", bits=16
-    )
+    sigs = _simhash_sigs(spark, sf_dir)
     labeled = sigs.join(
         _simhash_hamming_labels(spark, sf_dir).select(
             "simhash", F.col("cluster_id").alias("hroot")
