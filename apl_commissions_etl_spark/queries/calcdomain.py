@@ -635,13 +635,18 @@ def _corrupted_baseline(
     broker-trace grain (which does not carry the premium id as a
     column)."""
     mark = affected.withColumn("_aff", F.lit(1))
+    # the corruption branch casts back to the column's own type so the
+    # when/otherwise unification cannot coerce a DECIMAL money column
+    # to DOUBLE for the surviving rows (exact-decimal accumulation is
+    # part of the engine's determinism contract)
+    corrupt = (F.col(money_col) + F.lit(1.0)).cast(
+        dict(full.dtypes)[money_col]
+    )
     return (
         full.join(F.broadcast(mark), key, "left")
         .withColumn(
             money_col,
-            F.when(
-                F.col("_aff") == 1, F.col(money_col) + F.lit(1.0)
-            ).otherwise(F.col(money_col)),
+            F.when(F.col("_aff") == 1, corrupt).otherwise(F.col(money_col)),
         )
         .drop("_aff")
     )

@@ -3237,7 +3237,8 @@ def ann_incremental_index_parity(
              CASE WHEN vec_id % 11 = 5
                   THEN list_reverse(embedding::DOUBLE[])
                   ELSE embedding::DOUBLE[] END AS v
-      FROM embeddings),
+      FROM embeddings
+      WHERE vec_id % 13 <> 4),
     assigned AS (
       SELECT vec_id, cid FROM (
         SELECT f.vec_id, c.cid,
@@ -3277,18 +3278,23 @@ def ann_incremental_index_parity(
     "no raw vectors). ann_incremental_index_parity proved the CELL "
     "assignment maintainable; this proves the codes: between retrains "
     "the index absorbs deltas with FROZEN centroids AND frozen "
-    "codebooks — brand-new vectors (vec_id % 7 == 2) re-encode and "
-    "insert, re-embedded documents (vec_id % 11 == 5, vector replaced "
-    "by its reverse) re-encode AND can change cell, so on the "
-    "partitionBy(cell) table the maintenance is group-replace by "
-    "vec_id ACROSS partitions (delete-by-key everywhere, insert into "
-    "the new cell). The stored baseline is the PUBLISHED codes table "
-    "read back (stale codes and cells for every affected id by "
-    "construction); only the delta re-runs assignment + encoding. "
-    "Oracle = the FULL-rebuild assignment + encoding over the final "
-    "embedding state with the frozen centroid/codebook snapshots, so "
-    "the value hash proves incremental codes maintenance == rebuild "
-    "exactly — including every moved cell and every re-encoded code",
+    "codebooks, covering all three CRUD arms — brand-new vectors "
+    "(vec_id % 7 == 2) re-encode and insert, re-embedded documents "
+    "(vec_id % 11 == 5, vector replaced by its reverse) re-encode AND "
+    "can change cell, and RETIRED documents (vec_id % 13 == 4, "
+    "tombstone deletes) must vanish from whatever partition holds "
+    "them — so on the partitionBy(cell) table the maintenance is "
+    "group-replace by vec_id ACROSS partitions (delete-by-key "
+    "everywhere, insert into the new cell; the MERGE ... WHEN NOT "
+    "MATCHED BY SOURCE THEN DELETE shape). The stored baseline is the "
+    "PUBLISHED codes table read back (stale codes/cells for every "
+    "affected id, ghost rows for every retired id, by construction); "
+    "only the delta re-runs assignment + encoding. Oracle = the FULL-"
+    "rebuild assignment + encoding over the final embedding state "
+    "(retired ids excluded) with the frozen centroid/codebook "
+    "snapshots, so the value hash proves incremental codes "
+    "maintenance == rebuild exactly — every moved cell, every "
+    "re-encoded code, every scrubbed tombstone",
 )
 def ann_incremental_pq_parity(
     spark: SparkSession, sf_dir: str
@@ -3298,12 +3304,19 @@ def ann_incremental_pq_parity(
     _, seeds = _ann_constants(spark, sf_dir)
     is_new = F.col("vec_id") % 7 == 2
     is_amend = F.col("vec_id") % 11 == 5
-    affected = emb.filter(is_new | is_amend).select("vec_id")
-    delta = emb.filter(is_new | is_amend).withColumn(
-        "embedding",
-        F.when(is_amend, F.reverse("embedding")).otherwise(
-            F.col("embedding")
-        ),
+    is_delete = F.col("vec_id") % 13 == 4
+    # every touched key leaves the base (delete arm); only the
+    # surviving upserts re-enter — a retired id that is also "new" or
+    # "amended" in the same batch stays deleted (tombstone wins)
+    affected = emb.filter(is_new | is_amend | is_delete).select("vec_id")
+    delta = (
+        emb.filter((is_new | is_amend) & ~is_delete)
+        .withColumn(
+            "embedding",
+            F.when(is_amend, F.reverse("embedding")).otherwise(
+                F.col("embedding")
+            ),
+        )
     )
     # stored baseline: READ the published cell-partitioned codes table
     # (the same parquet directory ann_topk_ivfpq_partitioned probes)

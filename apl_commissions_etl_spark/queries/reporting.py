@@ -666,6 +666,118 @@ def report_gl_period_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _period_close_oracle() -> str:
+    from ..registry import REGISTRY
+
+    return REGISTRY["report_gl_period_close"].oracle
+
+
+def _period_journal(s8: DataFrame) -> DataFrame:
+    """The period-close view's pre-aggregation journal (its ``gl``
+    CTE) WITH the premium key — the explode-grain base table the
+    two-level maintenance below group-replaces by premium before
+    re-aggregating affected periods."""
+    period = F.trunc("TransactionDate", "month").alias("period")
+    amt = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    original = s8.select(
+        "PremiumTransactionId",
+        period,
+        F.lit("Original").alias("EntryType"),
+        F.col("EntityId").alias("BrokerId"),
+        amt("RetainedCommission").alias("amt"),
+    )
+    assigned = s8.filter(
+        F.col("RecipientBrokerId").isNotNull()
+        & (F.col("AssignedCommission") != 0)
+    ).select(
+        "PremiumTransactionId",
+        period,
+        F.lit("Assigned").alias("EntryType"),
+        F.col("RecipientBrokerId").alias("BrokerId"),
+        amt("AssignedCommission").alias("amt"),
+    )
+    return original.unionByName(assigned)
+
+
+@query(
+    "report_incremental_period_close_parity",
+    oracle=_period_close_oracle(),
+    survey_ref="north-star: TWO-LEVEL materialized-view maintenance — "
+    "the period-close rollup maintained FROM the maintained journal, "
+    "not from scratch. The view's n_brokers is COUNT(DISTINCT), a "
+    "non-distributive aggregate no delta algebra can subtract from, "
+    "so the correct increment is: (1) group-replace the explode-grain "
+    "journal by premium (the calc_incremental_gl_parity merge, one "
+    "level down), (2) re-aggregate ONLY the affected PERIODS from the "
+    "maintained journal — every other period row of the stored "
+    "period-close baseline survives verbatim. At 100 TB the journal "
+    "is bucketed by premium, the close table is partitioned by "
+    "period, the affected-period set is delta-scale (broadcast "
+    "semi-join = partition pruning on the close table), and the "
+    "re-aggregation scans only the touched month partitions. Oracle = "
+    "the FULL-rebuild period close verbatim "
+    "(report_gl_period_close), so the value hash proves the chained "
+    "view-over-view maintenance exact — including the corrupted "
+    "baseline rows the period delete arm must scrub",
+)
+def report_incremental_period_close_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans import calc
+    from .calcdomain import _corrupted_baseline, _gl_incremental_frames
+
+    batch, affected = _gl_incremental_frames(spark, sf_dir)
+    full_journal = _period_journal(_stages(spark, sf_dir)["s8"])
+
+    def s8_of(fact: DataFrame) -> DataFrame:
+        staging = dict(_staging(spark, sf_dir))
+        par = spark.sparkContext.defaultParallelism
+        staging["stg_premium_transactions"] = fact.repartition(par)
+        return calc.run_calc(staging)["s8"]
+
+    delta_journal = _period_journal(s8_of(batch))
+    # level 1: group-replace the journal by premium (stored baseline =
+    # full journal, value-corrupted on every affected premium's rows)
+    maintained_journal = (
+        _corrupted_baseline(full_journal, affected, "amt")
+        .join(F.broadcast(affected), "PremiumTransactionId", "left_anti")
+        .select(*full_journal.columns)
+        .unionByName(delta_journal)
+    )
+    # affected periods: months carrying any affected premium's rows —
+    # old rows (they leave the aggregate) or recomputed rows (they
+    # enter it); distinct month count is delta-scale
+    affected_periods = (
+        full_journal.join(F.broadcast(affected), "PremiumTransactionId")
+        .select("period")
+        .unionByName(delta_journal.select("period"))
+        .distinct()
+    )
+    # level 2: re-aggregate ONLY the affected periods from the
+    # maintained journal (COUNT DISTINCT needs the period's full row
+    # set, which the maintained journal provides without a rebuild)
+    recomputed_close = (
+        maintained_journal.join(F.broadcast(affected_periods), "period")
+        .groupBy("period", "EntryType")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.sum("amt").cast("double").alias("total_amount"),
+            F.countDistinct("BrokerId").alias("n_brokers"),
+        )
+    )
+    full_close = report_gl_period_close(spark, sf_dir)
+    baseline_close = _corrupted_baseline(
+        full_close, affected_periods, "total_amount", key="period"
+    )
+    return (
+        baseline_close.join(
+            F.broadcast(affected_periods), "period", "left_anti"
+        )
+        .select(*full_close.columns)
+        .unionByName(recomputed_close)
+    )
+
+
 #: registered query -> reference view name (create-reporting-schema.sql);
 #: GLPeriodClose is the beyond-reference addition
 REPORTING_VIEW_QUERIES: dict[str, str] = {

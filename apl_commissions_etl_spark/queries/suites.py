@@ -370,7 +370,10 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "pass increment across all five maintained outputs, the "
         "IVF-PQ codes serving index, and both STREAMED forms "
         "(criteria and GL maintained across checkpointed restarts "
-        "through the exactly-once merge/replace sinks). "
+        "through the exactly-once merge/replace sinks), plus the "
+        "TWO-LEVEL view-over-view maintenance of the period-close "
+        "rollup (COUNT DISTINCT re-aggregated from the maintained "
+        "journal, affected periods only). "
         "ann_incremental_index_parity stays fingerprinted in "
         "llmdata_extras_suite",
         (
@@ -382,6 +385,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "calc_incremental_broker_trace_parity",
             "pipeline_incremental_parity",
             "ann_incremental_pq_parity",
+            "report_incremental_period_close_parity",
             "stream_incremental_criteria_parity",
             "stream_incremental_gl_parity",
         ),

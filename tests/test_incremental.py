@@ -179,12 +179,55 @@ def test_ann_pq_incremental_moves_cells_and_reencodes(spark, sf_dir):
     recoded = amended.filter(F.col("pq_code") != F.col("base_code")).count()
     assert moved > 0, "no amended vector changed cell: fixture too weak"
     assert recoded > 0, "no amended vector re-encoded: fixture too weak"
+    # tombstones: retired ids existed in the stored base and must be
+    # absent from the maintained index
+    n_retired_in_base = base.filter(F.col("vec_id") % 13 == 4).count()
+    assert n_retired_in_base > 0, "no retired id in base: fixture too weak"
+    assert merged.filter(F.col("vec_id") % 13 == 4).count() == 0
     # untouched ids keep their stored rows verbatim
     untouched = merged.filter(
-        (F.col("vec_id") % 7 != 2) & (F.col("vec_id") % 11 != 5)
+        (F.col("vec_id") % 7 != 2)
+        & (F.col("vec_id") % 11 != 5)
+        & (F.col("vec_id") % 13 != 4)
     ).join(base, "vec_id")
     drift = untouched.filter(
         (F.col("cell") != F.col("base_cell"))
         | (F.col("pq_code") != F.col("base_code"))
     ).count()
     assert drift == 0
+
+
+def test_period_close_incremental_is_not_a_rebuild(spark, sf_dir):
+    """The two-level maintenance must (a) equal the full view and
+    (b) actually be incremental: some period rows must survive from
+    the stored baseline verbatim (if every period were affected the
+    'increment' would degenerate to a rebuild and prove nothing)."""
+    from apl_commissions_etl_spark.queries import reporting
+    from apl_commissions_etl_spark.queries.calcdomain import (
+        _gl_incremental_frames,
+        _stages,
+    )
+    from apl_commissions_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    merged = qs["report_incremental_period_close_parity"].spark_fn(
+        spark, sf_dir
+    )
+    full = qs["report_gl_period_close"].spark_fn(spark, sf_dir)
+    cols = sorted(full.columns)
+    assert _multiset(merged.select(*cols)) == _multiset(full.select(*cols))
+    # strictness: affected periods are a proper subset of all periods
+    batch, affected = _gl_incremental_frames(spark, sf_dir)
+    journal = reporting._period_journal(_stages(spark, sf_dir)["s8"])
+    n_affected = (
+        journal.join(F.broadcast(affected), "PremiumTransactionId")
+        .select("period")
+        .distinct()
+        .count()
+    )
+    n_all = journal.select("period").distinct().count()
+    assert 0 < n_affected, "delta touches no period: fixture too weak"
+    assert n_affected < n_all, (
+        "every period affected: the maintenance degenerates to a "
+        "rebuild and the parity proves nothing"
+    )
