@@ -723,19 +723,15 @@ def _period_journal(s8: DataFrame) -> DataFrame:
 def report_incremental_period_close_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..plans import calc
-    from .calcdomain import _corrupted_baseline, _gl_incremental_frames
+    from .calcdomain import (
+        _corrupted_baseline,
+        _delta_stages,
+        _gl_incremental_frames,
+    )
 
-    batch, affected = _gl_incremental_frames(spark, sf_dir)
+    _, affected = _gl_incremental_frames(spark, sf_dir)
     full_journal = _period_journal(_stages(spark, sf_dir)["s8"])
-
-    def s8_of(fact: DataFrame) -> DataFrame:
-        staging = dict(_staging(spark, sf_dir))
-        par = spark.sparkContext.defaultParallelism
-        staging["stg_premium_transactions"] = fact.repartition(par)
-        return calc.run_calc(staging)["s8"]
-
-    delta_journal = _period_journal(s8_of(batch))
+    delta_journal = _period_journal(_delta_stages(spark, sf_dir)["s8"])
     # level 1: group-replace the journal by premium (stored baseline =
     # full journal, value-corrupted on every affected premium's rows)
     maintained_journal = (

@@ -301,11 +301,14 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
     ),
     "export_entities_suite": (
         "per-entity export family (sql/export/01..17-*.sql S9/S10 "
-        "shapes beyond the dedicated export_merge_upsert slot): "
-        "anti-join insert-missing, UPDATE-join enrichment, schedule "
-        "rate tiers, rate-tier volume summary, hierarchy product "
-        "rates, snapshot diff, bucketed blob staging",
+        "shapes): anti-join insert-missing, UPDATE-join enrichment, "
+        "schedule rate tiers, rate-tier volume summary, hierarchy "
+        "product rates, snapshot diff, bucketed blob staging, plus "
+        "export_merge_upsert itself (rotated out of its dedicated "
+        "r1-era slot in r9 after seven consecutive driver-green "
+        "rounds; its slot funds incremental_stream_parity_suite)",
         (
+            "export_merge_upsert",
             "export_upsert_missing",
             "export_update_join",
             "export_schedule_rate_tiers",
@@ -375,17 +378,38 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "rollup (COUNT DISTINCT re-aggregated from the maintained "
         "journal, affected periods only). "
         "ann_incremental_index_parity stays fingerprinted in "
-        "llmdata_extras_suite",
+        "llmdata_extras_suite. calc_incremental_gl (the r7-era "
+        "slice-union proof) stays a standalone swept entry: it runs "
+        "the cascade on BOTH complement slices — nearly two extra "
+        "full cascades of gate-session heap — and its proof content "
+        "is superseded by the keyed-MERGE parity members here. The "
+        "chained/streamed/serving members live in "
+        "incremental_stream_parity_suite: one combined suite "
+        "intermittently tipped the gate's 1g heap over after the "
+        "prefix's 37 prior slots (the batch+stream burst on top of "
+        "the session caches), so the family spans two driver slots "
+        "with a cleanup boundary between them",
         (
             "builder_incremental_criteria",
             "builder_incremental_proposals",
-            "calc_incremental_gl",
             "calc_incremental_gl_parity",
             "calc_incremental_trace_parity",
             "calc_incremental_broker_trace_parity",
+            "report_incremental_period_close_parity",
+        ),
+    ),
+    "incremental_stream_parity_suite": (
+        "the incremental-maintenance family's chained, streamed and "
+        "serving-tier members (second driver slot — see "
+        "incremental_parity_suite's note on the 1g-heap split): the "
+        "CHAINED single-pass increment across all five maintained "
+        "outputs, IVF-PQ codes maintenance with cross-partition moves "
+        "and tombstone deletes, and both STREAMED forms (criteria and "
+        "GL maintained across checkpointed restarts through the "
+        "exactly-once merge/replace sinks)",
+        (
             "pipeline_incremental_parity",
             "ann_incremental_pq_parity",
-            "report_incremental_period_close_parity",
             "stream_incremental_criteria_parity",
             "stream_incremental_gl_parity",
         ),
@@ -442,6 +466,17 @@ def _register_suites() -> None:
                     ).collect()
                 )
                 spark.catalog.dropTempView(view)
+                # Spark's ContextCleaner reclaims dropped broadcasts /
+                # localCheckpoint RDDs only after a DRIVER GC enqueues
+                # their references; in the gate's 1g-heap session the
+                # heavy maintenance subs (delta cascades, streamed
+                # merges) can exhaust the heap before an organic GC
+                # happens, so nudge one per sub — measured session
+                # death mid-suite without it, ~0.1s per call with it
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass  # diagnostics-only; never fail the suite
             return spark.createDataFrame(rows, FINGERPRINT_SCHEMA)
 
         spark_fn.__name__ = suite_name

@@ -80,12 +80,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # §2.5 windows / §2.6 ordering / §2.7 set ops
     "win_patterns_suite",
     "ord_setop_suite",
-    # §2.1 sources/sinks (ingest_zip_prefix_summary rotated out in r9
-    # after seven consecutive driver-green rounds; it is fingerprinted
-    # as a prep_patterns_suite sub since r9, so S5 stays driver-covered
-    # while its slot funds the incremental-maintenance family below)
+    # §2.1 sources/sinks (r9 rotations, each after 7 consecutive
+    # driver-green rounds: ingest_zip_prefix_summary is fingerprinted
+    # as a prep_patterns_suite sub, export_merge_upsert as an
+    # export_entities_suite sub — S5/S9/S10 stay driver-covered while
+    # their slots fund the two incremental-maintenance suites below)
     "ingest_csv_typed",
-    "export_merge_upsert",
     "pipeline_materialize_suite",
     # §2.9 calculation cascade + outputs
     "calc_stage1_premium_context",
@@ -114,10 +114,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # §2.10 streaming
     "stream_patterns_suite",
     # north-star incremental-maintenance family (every grain: builder
-    # criteria/proposals, GL, traceability, broker trace, the chained
-    # single-pass increment, IVF-PQ codes, both streamed forms) — each
-    # sub hash-proven equal to its verbatim full-rebuild oracle
+    # criteria/proposals, GL, traceability, broker trace, period-close
+    # view-over-view, the chained single-pass increment, IVF-PQ codes,
+    # both streamed forms) — each sub hash-proven equal to its
+    # verbatim full-rebuild oracle; two slots because one combined
+    # suite intermittently tipped the gate's 1g heap (see suites.py)
     "incremental_parity_suite",
+    "incremental_stream_parity_suite",
     # LLM-data north-star operators (ann_topk_bruteforce rotated out in
     # r4: it is the labeled O(n*q) baseline and the ANN family stays
     # driver-covered by ann_topk_ivf + llmdata_extras_suite)
