@@ -719,6 +719,69 @@ def consolidate_proposals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consolidate_proposals(spark.table("prestage_proposals"))
 
 
+_CONSOLIDATE_COLS = [
+    "GroupId", "RetainedId", "EffectiveDateFrom", "EffectiveDateTo",
+    "DateRangeFrom", "DateRangeTo", "ProductCodes", "PlanCodes",
+    "ConsumedCount",
+]
+
+
+@query(
+    "consolidate_incremental_parity",
+    oracle=CONSOLIDATE_ORACLE.format(fixtures=builder_cte_sql()),
+    survey_ref="north-star: INCREMENTAL maintenance of the consolidation "
+    "fold — the last maintained output without an incremental variant "
+    "(r9 verdict item 1). The fold never crosses groups "
+    "(consolidate-proposals.ts:130-245 keeps per-group state only), so "
+    "a delta batch of prestage proposals touching a set of GROUPS "
+    "re-folds ONLY those groups from their full prestage history and "
+    "keeps every other consolidated row verbatim — the same group-"
+    "propagation shape as builder_incremental_proposals. Delta slice: "
+    "groups custkey%10==3 are brand-new (all their proposals arrive in "
+    "the batch), groups custkey%10==7 receive a LATE final proposal "
+    "(their last fold input arrives after the baseline fold ran, so "
+    "the baseline's retained rows for those groups are genuinely stale "
+    "— wrong merges, wrong ConsumedCount — and a missed delete arm "
+    "fails the hash). Oracle = the verbatim full-rebuild recursive-CTE "
+    "fold, so the driver hash proves incremental re-fold == full "
+    "re-fold exactly. At 100 TB the consolidated table is bucketed by "
+    "GroupId: the affected-group fetch is a broadcast semi-join "
+    "(delta-scale), only touched groups shuffle through the sorted "
+    "mapInPandas fold, and the merge rewrites only delta buckets",
+)
+def consolidate_incremental_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    register_builder_views(spark, sf_dir)
+    prestage = spark.table("prestage_proposals")
+    gk = F.substring("GroupId", 2, 20).cast("long")
+    # last proposal of each group carries n == 1 + custkey % 3
+    seq = F.element_at(F.split("Id", "-"), 3).cast("int")
+    is_new_group = gk % 10 == 3
+    is_amendment = (gk % 10 == 7) & (seq == 1 + gk % 3)
+    is_batch = is_new_group | is_amendment
+    old = prestage.filter(~is_batch)
+    batch = prestage.filter(is_batch)
+    # baseline: the consolidated table as published BEFORE the batch
+    # (stale for amended groups, missing the brand-new groups)
+    baseline = consolidate_proposals(old)
+    touched = batch.select("GroupId").distinct()
+    # group-propagation: re-fold ONLY the touched groups over their
+    # FULL prestage history (old rows + batch rows) — the fold is
+    # order-sensitive within a group, so group grain is the finest
+    # correct increment
+    refold = consolidate_proposals(
+        prestage.join(F.broadcast(touched), "GroupId").select(
+            *prestage.columns
+        )
+    )
+    return (
+        baseline.join(F.broadcast(touched), "GroupId", "left_anti")
+        .select(*_CONSOLIDATE_COLS)
+        .unionByName(refold.select(*_CONSOLIDATE_COLS))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entropy routing (ref proposal-builder.ts:784-880, A10) — thresholds
 # have no committed defaults in the reference (SURVEY §7.5); these are

@@ -376,7 +376,10 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "through the exactly-once merge/replace sinks), plus the "
         "TWO-LEVEL view-over-view maintenance of the period-close "
         "rollup (COUNT DISTINCT re-aggregated from the maintained "
-        "journal, affected periods only). "
+        "journal, affected periods only), and (r10) the CONSOLIDATION "
+        "fold — the ordered mapInPandas fold is group-local, so a "
+        "delta batch re-folds only touched groups against the verbatim "
+        "recursive-CTE full-rebuild oracle. "
         "ann_incremental_index_parity stays fingerprinted in "
         "llmdata_extras_suite. calc_incremental_gl (the r7-era "
         "slice-union proof) stays a standalone swept entry: it runs "
@@ -396,6 +399,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "calc_incremental_trace_parity",
             "calc_incremental_broker_trace_parity",
             "report_incremental_period_close_parity",
+            "consolidate_incremental_parity",
         ),
     ),
     "incremental_stream_parity_suite": (

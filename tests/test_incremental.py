@@ -197,6 +197,55 @@ def test_ann_pq_incremental_moves_cells_and_reencodes(spark, sf_dir):
     assert drift == 0
 
 
+def test_consolidate_incremental_equals_full_refold(spark, sf_dir):
+    """The group-propagation re-fold must equal the full fold exactly,
+    and the baseline must be genuinely stale for amended groups (a
+    late-arriving final proposal changes the retained row's merge
+    state), so a missed delete arm would fail — not pass vacuously."""
+    from apl_commissions_etl_spark.operators.consolidate import (
+        consolidate_proposals,
+    )
+    from apl_commissions_etl_spark.plans.builder_fixtures import (
+        register_builder_views,
+    )
+    from apl_commissions_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    merged = qs["consolidate_incremental_parity"].spark_fn(spark, sf_dir)
+    register_builder_views(spark, sf_dir)
+    prestage = spark.table("prestage_proposals")
+    full = consolidate_proposals(prestage)
+    cols = sorted(full.columns)
+    assert _multiset(merged.select(*cols)) == _multiset(full.select(*cols))
+
+    # strictness: the pre-batch baseline disagrees with the full fold
+    # on at least one AMENDED group (custkey%10==7 with a late final
+    # proposal), so the delete arm had real replacement work to do
+    gk = F.substring("GroupId", 2, 20).cast("long")
+    seq = F.element_at(F.split("Id", "-"), 3).cast("int")
+    is_batch = (gk % 10 == 3) | ((gk % 10 == 7) & (seq == 1 + gk % 3))
+    baseline = consolidate_proposals(prestage.filter(~is_batch))
+    amended_gids = [
+        r[0]
+        for r in prestage.filter((gk % 10 == 7) & (gk % 3 > 0))
+        .select("GroupId")
+        .distinct()
+        .limit(50)
+        .collect()
+    ]
+    stale = _multiset(
+        baseline.filter(F.col("GroupId").isin(amended_gids)).select(*cols)
+    )
+    fresh = _multiset(
+        full.filter(F.col("GroupId").isin(amended_gids)).select(*cols)
+    )
+    assert amended_gids, "no amended multi-proposal group: fixture too weak"
+    assert stale != fresh, (
+        "baseline not stale for amended groups: the parity would pass "
+        "even with a missed delete arm"
+    )
+
+
 def test_period_close_incremental_is_not_a_rebuild(spark, sf_dir):
     """The two-level maintenance must (a) equal the full view and
     (b) actually be incremental: some period rows must survive from
