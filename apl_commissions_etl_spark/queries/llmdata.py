@@ -3299,6 +3299,16 @@ def ann_incremental_index_parity(
 def ann_incremental_pq_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _maintained_pq_codes(spark, sf_dir)
+
+
+def _maintained_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTAINED codes table (vec_id, cell, pq_code): the published
+    cell-partitioned base read back, delta-maintained with frozen
+    centroids/codebooks (see ann_incremental_pq_parity's survey_ref).
+    Deliberately NOT session-cached: both consumers (the parity query —
+    a gate-prefix suite member — and the retrain lifecycle) build it
+    lazily, so it adds zero retained heap to the gate session."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = _pq_codebooks(spark, sf_dir)
     _, seeds = _ann_constants(spark, sf_dir)
@@ -3344,4 +3354,421 @@ def ann_incremental_pq_parity(
         base.join(F.broadcast(affected), "vec_id", "left_anti")
         .select("vec_id", "cell", "pq_code")
         .unionByName(recomputed)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN retrain lifecycle (r9 verdict item 2): the maintenance family
+# freezes centroids and codebooks by design; the missing production
+# event is the RETRAIN — new centroids/codebooks trained on the final
+# corpus state, full re-assignment + re-encode of the SURVIVING corpus
+# (keys driven by the maintained index), atomic versioned publish
+# alongside the old index, and an old-vs-new recall-delta report.
+# ---------------------------------------------------------------------------
+
+#: final embedding state shared by the maintenance + retrain oracles:
+#: amendments (vec_id % 11 == 5) replaced by their reverse, retirals
+#: (vec_id % 13 == 4) excluded — identical text to the `final` CTE in
+#: ann_incremental_pq_parity's oracle.
+_FINAL_STATE_DUCK = """
+      SELECT vec_id,
+             CASE WHEN vec_id % 11 = 5
+                  THEN list_reverse(embedding::DOUBLE[])
+                  ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings
+      WHERE vec_id % 13 <> 4
+"""
+
+#: retrained coarse centroids: the 16 highest-id SURVIVING vectors in
+#: their final state, renumbered 0..15 by descending id (production
+#: retrains k-means a fresh sample; a deterministic seed rule keeps the
+#: lifecycle oracle-checkable — the re-assignment/re-encode/publish
+#: mechanics are identical, and the k-means math itself is already
+#: proven by ann_topk_ivf_kmeans).
+_NEWCENT_DUCK = """
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id DESC) - 1 AS BIGINT)
+               AS cid,
+             v AS cvec
+      FROM (SELECT vec_id, v FROM final ORDER BY vec_id DESC LIMIT 16) _s
+"""
+
+
+def _final_embedding_state(emb: DataFrame) -> DataFrame:
+    """The corpus AFTER the maintenance deltas: reversed embeddings for
+    amended ids, retired ids gone (the Spark twin of _FINAL_STATE_DUCK,
+    still in the raw array<float> store form)."""
+    is_amend = F.col("vec_id") % 11 == 5
+    is_delete = F.col("vec_id") % 13 == 4
+    return emb.filter(~is_delete).withColumn(
+        "embedding",
+        F.when(is_amend, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+    )
+
+
+_REINDEX_SEED_CACHE: dict[tuple[str, str], tuple] = SessionCache()
+
+
+def _reindex_seeds(spark: SparkSession, sf_dir: str):
+    """(new_seeds, new_books): the retrained coarse centroids (16
+    highest-id survivors, final state, cids 0..15 by descending id) and
+    the retrained PQ codebooks (subvectors of the first _PQ_K new
+    centroids — the same seeding convention as _pq_codebooks). One tiny
+    driver job per (session, sf), cached like _ann_constants."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = (
+            _final_embedding_state(emb)
+            .orderBy(F.desc("vec_id"))
+            .select("vec_id", "embedding")
+            .limit(16)
+            .collect()
+        )
+        seeds = [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
+        books = [
+            [seeds[k][1][s * 8 : s * 8 + 8] for k in range(_PQ_K)]
+            for s in range(_PQ_SUBS)
+        ]
+        return seeds, books
+
+    return locked_get(_REINDEX_SEED_CACHE, key, build)
+
+
+#: session-scoped path of the RETRAINED (v2) codes table. Published
+#: ALONGSIDE the v1 index: _ivfpq_table_path's directory is never
+#: touched, the v2 write lands in its own versioned directory, and a
+#: _LATEST pointer file is written only AFTER the data write returns —
+#: the pointer flip is the atomic publish (readers resolving _LATEST
+#: see either the complete old index or the complete new one, never a
+#: partial write; on a real object store this is the manifest swap).
+_IVFPQ_V2_TABLE_CACHE: dict[tuple[str, str], str] = SessionCache()
+
+
+def _ivfpq_v2_table_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def build() -> str:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="ivfpq_v2_table_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = root + "/index_v2"
+        seeds, books = _reindex_seeds(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        # the retrain reads the MAINTAINED index's key set — the
+        # lifecycle chains: maintenance proved the key set equals the
+        # final corpus state (ann_incremental_pq_parity), the retrain
+        # re-encodes exactly those survivors. At 100 TB both sides are
+        # bucketed by vec_id so this join is shuffle-free.
+        survivors = _maintained_pq_codes(spark, sf_dir).select("vec_id")
+        corpus = (
+            _final_embedding_state(emb)
+            .join(survivors, "vec_id")
+            .select("vec_id", "embedding")
+        )
+        code_cols = []
+        for s in range(_PQ_SUBS):
+            entries = ",".join(
+                f"named_struct('d', {_pq_spark_dist(s, books[s][k])},"
+                f" 'c', {k})"
+                for k in range(_PQ_K)
+            )
+            code_cols.append(
+                F.expr(f"array_min(array({entries})).c").alias(f"code{s}")
+            )
+        similarity.ivf_assign(corpus, seeds).select(
+            "vec_id", "cell", *code_cols
+        ).write.partitionBy("cell").parquet(path)
+        # data write complete -> flip the pointer (the atomic publish)
+        with open(os.path.join(root, "_LATEST"), "w") as f:
+            f.write("index_v2")
+        return path
+
+    return locked_get(_IVFPQ_V2_TABLE_CACHE, key, build)
+
+
+@query(
+    "ann_reindex_parity",
+    oracle=f"""
+    WITH final AS ({_FINAL_STATE_DUCK}),
+    newcent AS ({_NEWCENT_DUCK}),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT f.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+                 list_dot_product(f.v, c.cvec)
+                   / (sqrt(list_dot_product(f.v, f.v))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                 c.cid) AS rn
+        FROM final f CROSS JOIN newcent c) _r WHERE rn = 1),
+    d AS (
+      SELECT f.vec_id, s.sub, b.cid AS k,
+             CAST(SUM(CAST(round(
+               (f.v[s.sub * 8 + i.i] - b.cvec[s.sub * 8 + i.i])
+               * (f.v[s.sub * 8 + i.i] - b.cvec[s.sub * 8 + i.i])
+               * 1e9) AS BIGINT)) AS BIGINT) AS dist
+      FROM final f
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+      CROSS JOIN (SELECT cid, cvec FROM newcent WHERE cid < {_PQ_K}) b
+      CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) i
+      GROUP BY f.vec_id, s.sub, b.cid),
+    best AS (
+      SELECT vec_id, sub, MIN(struct_pack(d := dist, k := k)).k AS code
+      FROM d GROUP BY vec_id, sub),
+    codes AS (
+      SELECT vec_id, string_agg(CAST(code AS VARCHAR), '' ORDER BY sub)
+               AS pq_code
+      FROM best GROUP BY vec_id)
+    SELECT a.vec_id, a.cid AS cell, c.pq_code
+    FROM assigned a JOIN codes c USING (vec_id)
+    """,
+    survey_ref="north-star: the ANN RETRAIN lifecycle (r9 verdict item "
+    "2) — the maintenance family (ann_incremental_index_parity / "
+    "ann_incremental_pq_parity) absorbs deltas with FROZEN centroids "
+    "and codebooks; the remaining production event is the retrain. "
+    "This query performs it end to end: NEW coarse centroids + NEW PQ "
+    "codebooks trained on the final corpus state (deterministic seed "
+    "rule — the k-means math is separately proven by "
+    "ann_topk_ivf_kmeans), full re-assignment + re-encode of the "
+    "SURVIVING corpus with the survivor set read from the MAINTAINED "
+    "index (the lifecycle chains: maintenance proved the key set, the "
+    "retrain consumes it), and an ATOMIC VERSIONED PUBLISH — the v2 "
+    "codes table lands in its own cell-partitioned directory next to "
+    "the untouched v1 index and a _LATEST pointer flips only after "
+    "the data write returns. The returned frame is the v2 table READ "
+    "BACK from its published directory. Oracle = the from-scratch "
+    "rebuild over the final embedding state with the same new "
+    "centroid/codebook snapshot, so the value hash proves "
+    "maintained-then-retrained == rebuilt-from-scratch exactly. At "
+    "100 TB the re-encode is one map-side pass over the bucketed "
+    "survivor join (centroids/codebooks ride the plan as literals) "
+    "and the publish is the table format's atomic manifest swap",
+)
+def ann_reindex_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = spark.read.parquet(_ivfpq_v2_table_path(spark, sf_dir))
+    return idx.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.concat(
+            *[F.col(f"code{s}").cast("string") for s in range(_PQ_SUBS)]
+        ).alias("pq_code"),
+    )
+
+
+def _pq_code_probe_top10(
+    spark: SparkSession,
+    codes: DataFrame,
+    cents: list,
+    books: list,
+    qvec: list,
+    final_emb: DataFrame,
+) -> DataFrame:
+    """IVF-PQ probe over a (vec_id, cell, pq_code) codes frame with the
+    given centroid/codebook snapshot: nprobe-4 cell selection, ADC from
+    the stored code digits (query distance table constant-folded to 32
+    literals), top-20 shortlist, keyed raw-vector fetch, exact re-rank
+    to top-10 — ann_topk_ivfpq_partitioned's read path, parameterized
+    over the index version."""
+    qcol = F.lit([float(x) for x in qvec]).cast("array<double>")
+    cent_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "vec_id long, cvec array<double>"
+    )
+    probe = [
+        r[0]
+        for r in cent_df.select(
+            "vec_id", similarity.cosine(F.col("cvec"), qcol).alias("sim")
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(4)
+        .collect()
+    ]
+    adc_terms = []
+    for s in range(_PQ_SUBS):
+        q_sub = [float(x) for x in qvec[s * 8 : s * 8 + 8]]
+        table = ",".join(
+            _pq_lit_dist_sql(q_sub, books[s][k]) for k in range(_PQ_K)
+        )
+        adc_terms.append(
+            f"element_at(array({table}),"
+            f" CAST(substr(pq_code, {s + 1}, 1) AS INT) + 1)"
+        )
+    adc = F.expr("(" + " + ".join(adc_terms) + ")")
+    cand = (
+        codes.filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .select("vec_id", adc.alias("adc_scaled"))
+        .orderBy("adc_scaled", "vec_id")
+        .limit(20)
+    )
+    exact = F.expr(
+        "aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), "
+        + similarity._vec_sql([float(x) for x in qvec])
+        + ", (x, y) -> CAST(round((x - y) * (x - y) * 1e9) AS BIGINT)),"
+        " 0L, (acc, t) -> acc + t)"
+    )
+    return (
+        final_emb.select("vec_id", "embedding")
+        .join(F.broadcast(cand), "vec_id")
+        .withColumn("exact_scaled", exact)
+        .orderBy("exact_scaled", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+
+
+@query(
+    "ann_reindex_recall_report",
+    oracle=f"""
+    WITH final AS ({_FINAL_STATE_DUCK}),
+    newcent AS ({_NEWCENT_DUCK}),
+    qn AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id = 0),
+    exact_all AS (
+      SELECT f.vec_id,
+             CAST(SUM(CAST(round(
+               (f.v[i.i] - q.qe[i.i]) * (f.v[i.i] - q.qe[i.i]) * 1e9)
+               AS BIGINT)) AS BIGINT) AS exact_scaled
+      FROM final f
+      CROSS JOIN qn q
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+      GROUP BY f.vec_id),
+    exact_top AS (
+      SELECT vec_id FROM exact_all WHERE vec_id <> 0
+      ORDER BY exact_scaled, vec_id LIMIT 10),
+    old_idx AS (SELECT * FROM ({_registered_oracle("ann_incremental_pq_parity")}) _o),
+    new_idx AS (SELECT * FROM ({_registered_oracle("ann_reindex_parity")}) _n),
+    oldcent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+                FROM embeddings ORDER BY vec_id LIMIT 16),
+    old_probe AS (
+      SELECT c.cid FROM oldcent c, qn
+      ORDER BY list_dot_product(c.cvec, qn.qe)
+                 / (sqrt(list_dot_product(c.cvec, c.cvec))
+                    * sqrt(list_dot_product(qn.qe, qn.qe))) DESC, c.cid
+      LIMIT 4),
+    new_probe AS (
+      SELECT c.cid FROM newcent c, qn
+      ORDER BY list_dot_product(c.cvec, qn.qe)
+                 / (sqrt(list_dot_product(c.cvec, c.cvec))
+                    * sqrt(list_dot_product(qn.qe, qn.qe))) DESC, c.cid
+      LIMIT 4),
+    old_adc_table AS ({_PQ_ADC_DUCK_TABLE}),
+    new_adc_table AS (
+      SELECT s.sub, b.cid AS k,
+             CAST(SUM(CAST(round(
+               (q.qe[s.sub * 8 + i.i] - b.cvec[s.sub * 8 + i.i])
+               * (q.qe[s.sub * 8 + i.i] - b.cvec[s.sub * 8 + i.i])
+               * 1e9) AS BIGINT)) AS BIGINT) AS entry
+      FROM qn q
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+      CROSS JOIN (SELECT cid, cvec FROM newcent WHERE cid < {_PQ_K}) b
+      CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) i
+      GROUP BY s.sub, b.cid),
+    old_scored AS (
+      SELECT o.vec_id, CAST(SUM(t.entry) AS BIGINT) AS adc_scaled
+      FROM old_idx o
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+      JOIN old_adc_table t
+        ON t.sub = s.sub
+       AND t.k = CAST(substr(o.pq_code, s.sub + 1, 1) AS INT)
+      WHERE o.vec_id <> 0 AND o.cell IN (SELECT cid FROM old_probe)
+      GROUP BY o.vec_id),
+    new_scored AS (
+      SELECT o.vec_id, CAST(SUM(t.entry) AS BIGINT) AS adc_scaled
+      FROM new_idx o
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+      JOIN new_adc_table t
+        ON t.sub = s.sub
+       AND t.k = CAST(substr(o.pq_code, s.sub + 1, 1) AS INT)
+      WHERE o.vec_id <> 0 AND o.cell IN (SELECT cid FROM new_probe)
+      GROUP BY o.vec_id),
+    old_cand AS (SELECT vec_id FROM old_scored
+                 ORDER BY adc_scaled, vec_id LIMIT 20),
+    new_cand AS (SELECT vec_id FROM new_scored
+                 ORDER BY adc_scaled, vec_id LIMIT 20),
+    old_top AS (
+      SELECT e.vec_id FROM old_cand c JOIN exact_all e USING (vec_id)
+      ORDER BY e.exact_scaled, e.vec_id LIMIT 10),
+    new_top AS (
+      SELECT e.vec_id FROM new_cand c JOIN exact_all e USING (vec_id)
+      ORDER BY e.exact_scaled, e.vec_id LIMIT 10),
+    report AS (
+      SELECT 'v1_maintained' AS index_version, vec_id FROM old_top
+      UNION ALL
+      SELECT 'v2_retrained' AS index_version, vec_id FROM new_top)
+    SELECT r.index_version,
+           CAST(COUNT(*) AS INT) AS n_returned,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS INT) AS n_matched,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 10 AS recall_at_10
+    FROM report r LEFT JOIN exact_top e ON e.vec_id = r.vec_id
+    GROUP BY r.index_version
+    """,
+    survey_ref="north-star: the retrain lifecycle's RECALL-DELTA "
+    "report — after an atomic reindex a deployment decides whether to "
+    "flip traffic by comparing the OLD (maintained, frozen v1 "
+    "centroids/codebooks) and NEW (retrained v2) indexes against the "
+    "exact top-10 over the final corpus state, in one plan: both "
+    "indexes probed through the identical IVF-PQ read path "
+    "(nprobe-4 partition-pruned cell scan, ADC from stored code "
+    "digits, top-20 shortlist, keyed raw-vector fetch, exact re-rank) "
+    "and one aggregation emits (n_returned, n_matched, recall@10) per "
+    "index version — ann_recall_report's harness pointed at index "
+    "VERSIONS instead of index methods. The oracle composes both "
+    "indexes' own hash-verified oracle SQL verbatim (the maintained "
+    "table from ann_incremental_pq_parity, the retrained table from "
+    "ann_reindex_parity), so the evaluation cannot drift from the "
+    "indexes it evaluates",
+)
+def ann_reindex_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    final_emb = _final_embedding_state(emb)
+    qvec, old_cents = _ann_constants(spark, sf_dir)
+    old_books = _pq_codebooks(spark, sf_dir)
+    new_seeds, new_books = _reindex_seeds(spark, sf_dir)
+    old_codes = _maintained_pq_codes(spark, sf_dir)
+    new_codes = ann_reindex_parity(spark, sf_dir)
+    old_top = _pq_code_probe_top10(
+        spark, old_codes, old_cents, old_books, qvec, final_emb
+    )
+    new_top = _pq_code_probe_top10(
+        spark, new_codes, new_seeds, new_books, qvec, final_emb
+    )
+    exact_expr = F.expr(
+        "aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), "
+        + similarity._vec_sql([float(x) for x in qvec])
+        + ", (x, y) -> CAST(round((x - y) * (x - y) * 1e9) AS BIGINT)),"
+        " 0L, (acc, t) -> acc + t)"
+    )
+    exact_top = (
+        final_emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", exact_expr.alias("exact_scaled"))
+        .orderBy("exact_scaled", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("_hit"))
+    )
+    m = old_top.select(
+        F.lit("v1_maintained").alias("index_version"), "vec_id"
+    ).unionByName(
+        new_top.select(F.lit("v2_retrained").alias("index_version"), "vec_id")
+    )
+    return (
+        m.join(F.broadcast(exact_top), "vec_id", "left")
+        .groupBy("index_version")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_returned"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("int")
+            .alias("n_matched"),
+        )
+        .withColumn(
+            "recall_at_10", F.col("n_matched").cast("double") / F.lit(10.0)
+        )
     )

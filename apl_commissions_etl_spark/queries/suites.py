@@ -361,6 +361,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "ann_topk_batch",
             "ann_topk_ivf_kmeans",
             "ann_incremental_index_parity",
+            "ann_reindex_recall_report",
         ),
     ),
     "incremental_parity_suite": (
@@ -408,12 +409,16 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "incremental_parity_suite's note on the 1g-heap split): the "
         "CHAINED single-pass increment across all five maintained "
         "outputs, IVF-PQ codes maintenance with cross-partition moves "
-        "and tombstone deletes, and both STREAMED forms (criteria and "
+        "and tombstone deletes, the (r10) ANN RETRAIN lifecycle — new "
+        "centroids/codebooks, survivor re-encode from the maintained "
+        "key set, atomic versioned publish, proven equal to the "
+        "from-scratch rebuild — and both STREAMED forms (criteria and "
         "GL maintained across checkpointed restarts through the "
         "exactly-once merge/replace sinks)",
         (
             "pipeline_incremental_parity",
             "ann_incremental_pq_parity",
+            "ann_reindex_parity",
             "stream_incremental_criteria_parity",
             "stream_incremental_gl_parity",
         ),
