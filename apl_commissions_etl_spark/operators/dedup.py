@@ -578,6 +578,62 @@ def connected_components_star(
     return clustered.unionByName(singletons)
 
 
+def connected_components_auto(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    dense_degree_threshold: float = 1.5,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Density-dispatching entry point over the two CC variants — the
+    ONE place signature families should call, so the r8 wiring mistake
+    (a dense 16-bit signature graph fed to min-label propagation, which
+    blew its round bound at sf0.1) cannot repeat.
+
+    Both variants compute the identical exact result — (id, cluster_id
+    = component minimum, cluster_size), singletons included — so the
+    dispatch is purely a performance/termination choice:
+
+    - propagation (``connected_components``) runs O(diameter) rounds:
+      right for sparse near-dup graphs (unions of small dense clusters,
+      avg degree ≈ 1, tiny diameter);
+    - star contraction (``connected_components_star``) runs O(log n)
+      rounds: right for dense collision graphs (banded pairs over a
+      SMALL signature space), whose giant components have diameters
+      that kill propagation.
+
+    Dispatch signal: average degree of the materialized edge list (two
+    counts over a frame both variants checkpoint anyway — at 100 TB
+    this is two cheap jobs over the delta-scale pair set, noise next
+    to the rounds they steer). Measured on this repo's graphs: the
+    sparse families (MinHash-LSH pairs, 64-bit dhash) sit at ~1.0 at
+    both sf0.01 and sf0.1, the dense 16-bit simhash graph — the r8
+    failure — at 2.15-2.49; 1.5 splits them with margin on both sides.
+    A graph that still exhausts propagation's round bound falls back
+    to star contraction instead of failing (the loud RuntimeError stays
+    in the direct-call path; through the wrapper the budget blow is a
+    re-dispatch, never a wrong label)."""
+    e = (
+        edges.select("id_a", "id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    touched = (
+        e.select(F.col("id_a").alias("n"))
+        .unionByName(e.select(F.col("id_b").alias("n")))
+        .distinct()
+        .count()
+    )
+    avg_degree = 2.0 * n_edges / max(touched, 1)
+    if avg_degree >= dense_degree_threshold:
+        return connected_components_star(e, nodes, id_col)
+    try:
+        return connected_components(e, nodes, id_col, max_iter=max_iter)
+    except RuntimeError:
+        return connected_components_star(e, nodes, id_col)
+
+
 def embedding_lsh_pairs(
     emb: DataFrame,
     id_col: str,

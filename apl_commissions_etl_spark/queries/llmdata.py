@@ -238,7 +238,9 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return locked_get(
         _CLUSTER_LABELS_CACHE,
         key,
-        lambda: dedup.connected_components(
+        # sparse pair graph (avg degree ~1.0 at both SFs): the wrapper
+        # dispatches to min-label propagation
+        lambda: dedup.connected_components_auto(
             _lsh_pairs(spark, sf_dir).select("id_a", "id_b"),
             _docs(spark, sf_dir).select("doc_id"),
             "doc_id",
@@ -560,8 +562,10 @@ def _simhash_hamming_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         hp = dedup.hamming_banded_pairs(
             hs, "simhash", bits=16, bands=2, max_hamming=1, max_bucket=20
         )
+        # dense 16-bit signature graph (avg degree 2.15-2.49 — the r8
+        # failure shape): the wrapper dispatches to star contraction
         return session_ckpt(
-            dedup.connected_components_star(
+            dedup.connected_components_auto(
                 hp.select(
                     F.col("sig_a").alias("id_a"),
                     F.col("sig_b").alias("id_b"),
@@ -982,8 +986,10 @@ def _dhash_hamming_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         hp = dedup.hamming_banded_pairs(
             hs, "dhash", bits=64, bands=4, max_hamming=3, max_bucket=20
         )
+        # sparse 64-bit hash graph (avg degree ~1.0): the wrapper
+        # dispatches to min-label propagation
         return session_ckpt(
-            dedup.connected_components(
+            dedup.connected_components_auto(
                 hp.select(
                     F.col("sig_a").alias("id_a"),
                     F.col("sig_b").alias("id_b"),

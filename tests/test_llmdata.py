@@ -724,6 +724,48 @@ def test_star_cc_matches_propagation_and_beats_diameter(spark):
         ).collect()
 
 
+def test_auto_cc_dispatches_and_survives_long_chains(spark):
+    """connected_components_auto must return the exact CC labels on
+    BOTH graph shapes: a sparse pair graph (avg degree ~1 -> it picks
+    propagation) and a long chain whose degree is sparse but whose
+    diameter exceeds propagation's round bound — the shape where the
+    wrapper's star-contraction FALLBACK, not a RuntimeError, is the
+    contract (the r8 wiring-mistake defense)."""
+    # sparse pairs: degree 1.0, propagation path
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    auto = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup.connected_components_auto(
+            pairs, nodes, "doc_id"
+        ).collect()
+    }
+    assert auto == {1: (1, 2), 2: (1, 2), 3: (3, 2), 4: (3, 2),
+                    5: (5, 2), 6: (5, 2), 7: (7, 1)}
+
+    # 64-long chain with max_iter=10: direct propagation raises; the
+    # wrapper falls back to star contraction and still returns the
+    # exact labels (avg degree ~2 on a chain also crosses the dense
+    # threshold, so this doubles as the dense-dispatch check)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
+    )
+    cnodes = spark.createDataFrame(
+        [(i,) for i in range(1, 65)], "doc_id long"
+    )
+    labels = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup.connected_components_auto(
+            chain, cnodes, "doc_id", max_iter=10
+        ).collect()
+    }
+    assert all(labels[i] == (1, 64) for i in range(1, 65))
+
+
 def test_incremental_index_parity_moves_cells(spark, sf_dir):
     """The re-embedded delta must actually MOVE some vectors across
     cells (otherwise the cross-partition group-replace path is
