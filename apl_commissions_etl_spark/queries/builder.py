@@ -783,6 +783,78 @@ def consolidate_incremental_parity(
 
 
 # ---------------------------------------------------------------------------
+# Skew stress (r9 verdict item 3), builder side: the builder's
+# group-keyed aggregations (criteria -> proposals) over a fixture where
+# ONE group holds ~40% of all certificates. See calcdomain.py's
+# calc_skewed_group_parity for the cascade twin and the scale
+# rationale; scripts/skew_stress.py measures the task-time balance.
+# ---------------------------------------------------------------------------
+
+
+def _skewed_builder_oracle(final_select: str) -> str:
+    # valid group ids are 'G' || custkey; the invalid strata ('00000',
+    # 'G000') parse to NULL/0 and must keep their PHA routing
+    skew_cte = """skewed_certificate_info AS (
+  SELECT * REPLACE (
+    CASE WHEN GroupId LIKE 'G%'
+              AND COALESCE(TRY_CAST(substr(GroupId, 2) AS BIGINT), 0) > 0
+              AND TRY_CAST(substr(GroupId, 2) AS BIGINT) % 5 <= 1
+         THEN 'G1' ELSE GroupId END AS GroupId)
+  FROM input_certificate_info
+)"""
+    builder_ctes = BUILDER_CTES.replace(
+        "FROM input_certificate_info", "FROM skewed_certificate_info"
+    )
+    return (
+        f"WITH {builder_cte_sql()},\n{skew_cte},\n{builder_ctes}\n"
+        f"{final_select}"
+    )
+
+
+@query(
+    "builder_skewed_group_parity",
+    oracle=_skewed_builder_oracle("""
+    SELECT ProposalId, GroupId, ConfigHash, EffectiveDateFrom,
+           EffectiveDateTo, PlanCodes, ProductCodes, CertificateCount,
+           PrimaryBrokerId, GroupName, SitusState
+    FROM proposals"""),
+    survey_ref="§2.9 skew stress, builder side: criteria -> proposals "
+    "over a fixture with ~40% of valid groups folded into G1 (the "
+    "reference's group-skewed volume shape, proposal-builder.ts:"
+    "819-862). Oracle = the verbatim builder SQL over the identically "
+    "skewed input, proving the group-keyed hash aggregations "
+    "(per-split, criteria, proposals) stay exact when one group "
+    "dominates. Scale posture: all three aggregations keep "
+    "certificate- or config-grain keys alongside GroupId, so even the "
+    "hot group's rows spread across reducers (the pure-GroupId "
+    "aggregates are config-scale inputs); AQE skew-split is the "
+    "backstop — measured task-time balance in SCALING.md's skew "
+    "section",
+)
+def builder_skewed_group_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    certs = _certs(spark, sf_dir)
+    gk = F.substring("GroupId", 2, 20).cast("long")
+    valid_numeric = (
+        F.col("GroupId").startswith("G")
+        & (F.coalesce(gk, F.lit(0)) > 0)
+    )
+    skewed = certs.withColumn(
+        "GroupId",
+        F.when(valid_numeric & (gk % 5 <= 1), F.lit("G1")).otherwise(
+            F.col("GroupId")
+        ),
+    )
+    cols = [
+        "ProposalId", "GroupId", "ConfigHash", "EffectiveDateFrom",
+        "EffectiveDateTo", "PlanCodes", "ProductCodes", "CertificateCount",
+        "PrimaryBrokerId", "GroupName", "SitusState",
+    ]
+    return builder.build_proposals(builder.selection_criteria(skewed)).select(
+        *cols
+    )
+
+
+# ---------------------------------------------------------------------------
 # Entropy routing (ref proposal-builder.ts:784-880, A10) — thresholds
 # have no committed defaults in the reference (SURVEY §7.5); these are
 # the engine's documented defaults, overridable per run.
