@@ -115,10 +115,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_patterns_suite",
     # north-star incremental-maintenance family (every grain: builder
     # criteria/proposals, GL, traceability, broker trace, period-close
-    # view-over-view, the chained single-pass increment, IVF-PQ codes,
-    # both streamed forms) — each sub hash-proven equal to its
+    # view-over-view, the consolidation fold (r10), the chained
+    # single-pass increment, IVF-PQ codes, the ANN retrain lifecycle
+    # (r10), both streamed forms) — each sub hash-proven equal to its
     # verbatim full-rebuild oracle; two slots because one combined
-    # suite intermittently tipped the gate's 1g heap (see suites.py)
+    # suite intermittently tipped the gate's 1g heap (see suites.py;
+    # scripts/check_oracle.py --vanilla now asserts post-GC heap
+    # headroom per rehearsal, r10)
     "incremental_parity_suite",
     "incremental_stream_parity_suite",
     # LLM-data north-star operators (ann_topk_bruteforce rotated out in

@@ -209,6 +209,34 @@ def main():
         names = names[:first_n]
     if q_range is not None:
         names = names[q_range[0]:q_range[1]]
+    # Gate-heap headroom guard (r9 verdict item 5): the external gate
+    # runs the 50-slot prefix in ONE vanilla 1g-heap session, and its
+    # only observed failure mode is RETAINED driver footprint growth
+    # (session caches, localCheckpoint RDDs, retained execution graphs)
+    # tipping the heap after ~37 slots. In vanilla rehearsals, sample
+    # the post-GC live set after every query and fail the run loudly if
+    # the peak exceeds HEADROOM_FRACTION of the max heap — so suite
+    # growth is caught here, not in the driver. (Between-query post-GC
+    # samples measure exactly the retained set; transient intra-query
+    # allocation is GC-reclaimable and was never the failure mode.)
+    HEADROOM_FRACTION = 0.65
+    peak_live = [0]
+
+    def heap_sample() -> None:
+        if not vanilla:
+            return
+        try:
+            jvm = spark.sparkContext._jvm
+            jvm.System.gc()
+            rt = jvm.java.lang.Runtime.getRuntime()
+            live = rt.totalMemory() - rt.freeMemory()
+            peak_live[0] = max(peak_live[0], int(live))
+            heap_sample.max_heap = int(rt.maxMemory())
+        except Exception:
+            pass  # diagnostics only; never fail a query on sampling
+
+    heap_sample.max_heap = 0
+
     n_pass = n_fail = n_noor = 0
     for name in names:
         q = qs[name]
@@ -219,6 +247,7 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        heap_sample()
         if q.oracle is None:
             print(f"SKIP {name}: no oracle (rows-only) rows={len(sdf)}")
             n_noor += 1
@@ -292,8 +321,24 @@ def main():
         else:
             print(f"PASS {name}: rows={len(srows)} [{dt:.1f}s]")
             n_pass += 1
+    heap_ok = True
+    if vanilla and heap_sample.max_heap:
+        frac = peak_live[0] / heap_sample.max_heap
+        heap_ok = frac <= HEADROOM_FRACTION
+        print(
+            f"\nHEAP {'OK' if heap_ok else 'FAIL'}: peak post-GC live "
+            f"{peak_live[0] / 1e6:.0f}MB of {heap_sample.max_heap / 1e6:.0f}MB "
+            f"max ({frac:.0%}; guard {HEADROOM_FRACTION:.0%}) — retained "
+            "session footprint across the rehearsed prefix"
+            + (
+                ""
+                if heap_ok
+                else "; the gate's 1g session WILL be at risk — split or "
+                "slim the heaviest suite slot before shipping the prefix"
+            )
+        )
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noor} rows-only, of {len(names)}")
-    sys.exit(1 if n_fail else 0)
+    sys.exit(1 if n_fail or not heap_ok else 0)
 
 
 if __name__ == "__main__":
