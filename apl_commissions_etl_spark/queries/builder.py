@@ -738,11 +738,14 @@ _CONSOLIDATE_COLS = [
     "keeps every other consolidated row verbatim — the same group-"
     "propagation shape as builder_incremental_proposals. Delta slice: "
     "groups custkey%10==3 are brand-new (all their proposals arrive in "
-    "the batch), groups custkey%10==7 receive a LATE final proposal "
-    "(their last fold input arrives after the baseline fold ran, so "
-    "the baseline's retained rows for those groups are genuinely stale "
-    "— wrong merges, wrong ConsumedCount — and a missed delete arm "
-    "fails the hash). Oracle = the verbatim full-rebuild recursive-CTE "
+    "the batch), groups custkey%10==7 receive their FIRST proposal "
+    "LATE (the earliest fold input arrives after the baseline fold "
+    "ran, so the baseline's retained rows are genuinely stale — and "
+    "because the late row sorts FIRST, the re-fold can MERGE AWAY a "
+    "previously-retained run: the group's maintained row set SHRINKS "
+    "and its retained key changes, so only group-replace — never "
+    "upsert-by-key — maintains it, and a missed delete arm fails the "
+    "hash). Oracle = the verbatim full-rebuild recursive-CTE "
     "fold, so the driver hash proves incremental re-fold == full "
     "re-fold exactly. At 100 TB the consolidated table is bucketed by "
     "GroupId: the affected-group fetch is a broadcast semi-join "
@@ -755,10 +758,12 @@ def consolidate_incremental_parity(
     register_builder_views(spark, sf_dir)
     prestage = spark.table("prestage_proposals")
     gk = F.substring("GroupId", 2, 20).cast("long")
-    # last proposal of each group carries n == 1 + custkey % 3
+    # the FIRST proposal (n == 1) arrives late for amended groups —
+    # it sorts first in the fold, so the re-fold can merge away a
+    # previously-retained run (row-set shrink: the group-replace case)
     seq = F.element_at(F.split("Id", "-"), 3).cast("int")
     is_new_group = gk % 10 == 3
-    is_amendment = (gk % 10 == 7) & (seq == 1 + gk % 3)
+    is_amendment = (gk % 10 == 7) & (seq == 1)
     is_batch = is_new_group | is_amendment
     old = prestage.filter(~is_batch)
     batch = prestage.filter(is_batch)
@@ -780,6 +785,102 @@ def consolidate_incremental_parity(
         .select(*_CONSOLIDATE_COLS)
         .unionByName(refold.select(*_CONSOLIDATE_COLS))
     )
+
+
+@query(
+    "stream_consolidate_parity",
+    oracle=CONSOLIDATE_ORACLE.format(fixtures=builder_cte_sql()),
+    survey_ref="north-star: the consolidation-fold increment AS A "
+    "STREAM — prestage-proposal deltas (new groups + late-arriving "
+    "FIRST proposals, the consolidate_incremental_parity slice) arrive "
+    "as micro-batches hash-partitioned by GROUP (a group never splits "
+    "across delta files — the group-replace sink's caller contract), "
+    "and a foreachBatch handler re-folds ONLY the touched groups' full "
+    "history (static pre-batch table keyed-fetched by broadcast "
+    "semi-join + the batch rows), group-replacing them into the "
+    "maintained consolidated table via the exactly-once sink "
+    "(streaming/sinks.py idempotent_replace_sink: replay guard + "
+    "atomic versioned publish) across a checkpointed RESTART. Oracle = "
+    "the verbatim recursive-CTE FULL-rebuild fold, so the final "
+    "published table is hash-proven equal to folding everything from "
+    "scratch. The group-replace (not upsert) arm is load-bearing: a "
+    "late proposal can MERGE two previously separate retained runs, so "
+    "the group's maintained row set SHRINKS — an upsert by RetainedId "
+    "would leave the consumed run's stale row behind. At 100 TB this "
+    "is MERGE ... WHEN NOT MATCHED BY SOURCE AND GroupId IN (affected) "
+    "THEN DELETE on a GroupId-bucketed table",
+)
+def stream_consolidate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed the maintained table with the pre-batch fold, stream the
+    delta in 4 per-group files (2 per run, restart in between), then
+    read the final published table."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.sinks import current_table, idempotent_replace_sink
+
+    register_builder_views(spark, sf_dir)
+    prestage = spark.table("prestage_proposals")
+    gk = F.substring("GroupId", 2, 20).cast("long")
+    seq = F.element_at(F.split("Id", "-"), 3).cast("int")
+    is_batch = (gk % 10 == 3) | ((gk % 10 == 7) & (seq == 1))
+    old = prestage.filter(~is_batch)
+    batch = prestage.filter(is_batch)
+    tmp = tempfile.mkdtemp(prefix="consolidate_stream_")
+    try:
+        src = f"{tmp}/src"
+        ckpt = f"{tmp}/ckpt"
+        target = f"{tmp}/table"
+        sink = idempotent_replace_sink(target, ["GroupId"])
+        # seed: the baseline fold as a pre-stream manual batch (same
+        # exactly-once machinery, version v000001)
+        sink(consolidate_proposals(old).select(*_CONSOLIDATE_COLS), -1)
+
+        def apply_increment(bdf: DataFrame, bid: int) -> None:
+            touched = bdf.select("GroupId").distinct()
+            history = (
+                old.join(F.broadcast(touched), "GroupId")
+                .select(*old.columns)
+                .unionByName(bdf.select(*old.columns))
+            )
+            sink(
+                consolidate_proposals(history).select(*_CONSOLIDATE_COLS),
+                bid,
+                affected=touched,
+            )
+
+        # 4 delta files, each holding WHOLE groups
+        batch.repartition(4, "GroupId").write.mode("overwrite").parquet(
+            f"{tmp}/all"
+        )
+        parts = sorted(
+            f for f in os.listdir(f"{tmp}/all") if f.endswith(".parquet")
+        )
+        os.makedirs(src)
+        for wave in (parts[:2], parts[2:]):
+            for f in wave:
+                shutil.copy(f"{tmp}/all/{f}", f"{src}/{f}")
+            q = (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(apply_increment)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "consolidate stream wave did not finish within 300s"
+                )
+        final = current_table(spark, target).select(*_CONSOLIDATE_COLS)
+        # materialize before the tmp dir (the published parquet) is
+        # removed — the returned frame must not read deleted files
+        return final.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

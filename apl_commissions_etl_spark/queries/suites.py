@@ -412,15 +412,17 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "and tombstone deletes, the (r10) ANN RETRAIN lifecycle — new "
         "centroids/codebooks, survivor re-encode from the maintained "
         "key set, atomic versioned publish, proven equal to the "
-        "from-scratch rebuild — and both STREAMED forms (criteria and "
-        "GL maintained across checkpointed restarts through the "
-        "exactly-once merge/replace sinks)",
+        "from-scratch rebuild — and the THREE streamed forms (criteria "
+        "via keyed merge, GL and the r10 consolidation fold via "
+        "group-replace, each maintained across checkpointed restarts "
+        "through the exactly-once sinks)",
         (
             "pipeline_incremental_parity",
             "ann_incremental_pq_parity",
             "ann_reindex_parity",
             "stream_incremental_criteria_parity",
             "stream_incremental_gl_parity",
+            "stream_consolidate_parity",
         ),
     ),
 }

@@ -199,9 +199,10 @@ def test_ann_pq_incremental_moves_cells_and_reencodes(spark, sf_dir):
 
 def test_consolidate_incremental_equals_full_refold(spark, sf_dir):
     """The group-propagation re-fold must equal the full fold exactly,
-    and the baseline must be genuinely stale for amended groups (a
-    late-arriving final proposal changes the retained row's merge
-    state), so a missed delete arm would fail — not pass vacuously."""
+    and the baseline must be genuinely stale for amended groups (the
+    FIRST proposal arrives late, so the re-fold can merge away a
+    previously-retained run), so a missed delete arm would fail — not
+    pass vacuously."""
     from apl_commissions_etl_spark.operators.consolidate import (
         consolidate_proposals,
     )
@@ -223,7 +224,7 @@ def test_consolidate_incremental_equals_full_refold(spark, sf_dir):
     # proposal), so the delete arm had real replacement work to do
     gk = F.substring("GroupId", 2, 20).cast("long")
     seq = F.element_at(F.split("Id", "-"), 3).cast("int")
-    is_batch = (gk % 10 == 3) | ((gk % 10 == 7) & (seq == 1 + gk % 3))
+    is_batch = (gk % 10 == 3) | ((gk % 10 == 7) & (seq == 1))
     baseline = consolidate_proposals(prestage.filter(~is_batch))
     amended_gids = [
         r[0]
@@ -243,6 +244,27 @@ def test_consolidate_incremental_equals_full_refold(spark, sf_dir):
     assert stale != fresh, (
         "baseline not stale for amended groups: the parity would pass "
         "even with a missed delete arm"
+    )
+
+    # group-replace necessity: for at least one amended group a
+    # RETAINED KEY present in the baseline must be ABSENT from the
+    # final fold (the late first proposal merged that run away), so an
+    # upsert-by-(GroupId, RetainedId) could never maintain this table
+    base_keys = {
+        (r["GroupId"], r["RetainedId"])
+        for r in baseline.filter(F.col("GroupId").isin(amended_gids))
+        .select("GroupId", "RetainedId")
+        .collect()
+    }
+    full_keys = {
+        (r["GroupId"], r["RetainedId"])
+        for r in full.filter(F.col("GroupId").isin(amended_gids))
+        .select("GroupId", "RetainedId")
+        .collect()
+    }
+    assert base_keys - full_keys, (
+        "no baseline retained run vanished under the re-fold: the "
+        "fixture never exercises the group-replace delete arm"
     )
 
 
