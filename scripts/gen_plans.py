@@ -250,6 +250,38 @@ AUDITS: list[tuple[str, list[str], list[str], str]] = [
         "by three arms), and each arm unions baseline-survivors with "
         "its recomputed delta.",
     ),
+    (
+        "consolidate_incremental_parity",
+        ["MapInPandas", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "Consolidation-fold maintenance (r10): the baseline fold "
+        "anti-joins the broadcast touched-group set (delete arm), the "
+        "touched groups' full history keyed-fetches through a "
+        "broadcast semi-join and re-folds through the sanctioned "
+        "sorted mapInPandas stage — only the touched groups ever "
+        "reach Python, everything else is the baseline union arm.",
+    ),
+    (
+        "ann_reindex_recall_report",
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "Retrain recall-delta report (r10): both index versions probe "
+        "through the partition-pruned codes scan, ADC scores from "
+        "constant-folded literal tables, each top-k is a TakeOrdered, "
+        "and the 20-row shortlists broadcast into the raw-vector "
+        "fetch — the vector table never shuffles for either version.",
+    ),
+    (
+        "calc_skewed_group_parity",
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "The group-skew stress cascade (r10): with ~40% of "
+        "certificates remapped into one group, the plan is the SAME "
+        "broadcast-narrow cascade — no join strategy degrades and "
+        "nothing hash-partitions the fact by the hot GroupId, which "
+        "is why SCALING.md's skew section measures max/median task "
+        "ratios near 1 for the skewed run.",
+    ),
 ]
 
 

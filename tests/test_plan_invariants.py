@@ -37,6 +37,8 @@ CARTESIAN_OK = {
 #: must stay JVM-side.
 PANDAS_OK = {
     "consolidate_proposals",
+    # same sanctioned sorted-fold stage, over the touched groups only
+    "consolidate_incremental_parity",
     "multimodal_decode",
     "multimodal_codec_roundtrip",
     "multimodal_png_roundtrip",
