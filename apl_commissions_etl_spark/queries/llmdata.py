@@ -3778,3 +3778,162 @@ def ann_reindex_recall_report(
             "recall_at_10", F.col("n_matched").cast("double") / F.lit(10.0)
         )
     )
+
+
+@query(
+    "ann_recall_batch_report",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+                  FROM embeddings ORDER BY vec_id LIMIT 16),
+    assigned AS ({_IVF_ASSIGN_DUCK}),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS qnorm
+          FROM embeddings WHERE vec_id < 8),
+    probe AS (
+      SELECT qid, cid, qv, qnorm FROM (
+        SELECT q.qid, c.cid, q.qv, q.qnorm,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 list_dot_product(c.cvec, q.qv)
+                   / (sqrt(list_dot_product(c.cvec, c.cvec)) * q.qnorm)
+                 DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c) WHERE rn <= 4),
+    cand AS (
+      SELECT p.qid, e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], p.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * p.qnorm) AS cos
+      FROM probe p
+      JOIN assigned a ON a.cid = p.cid
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE e.vec_id <> p.qid),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id) AS rn
+        FROM cand) WHERE rn <= 10),
+    ex_cand AS (
+      SELECT q.qid, e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * q.qnorm) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id) AS rn
+        FROM ex_cand) WHERE rn <= 10),
+    per AS (
+      SELECT i.qid,
+             CAST(COUNT(*) AS INT) AS n_returned,
+             CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS INT) AS n_matched
+      FROM ivf i
+      LEFT JOIN exact x ON x.qid = i.qid AND x.vec_id = i.vec_id
+      GROUP BY i.qid)
+    SELECT qid, n_returned, n_matched,
+           CAST(n_matched AS DOUBLE) / 10 AS recall_at_10
+    FROM per
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS qid,
+           CAST(SUM(n_returned) AS INT) AS n_returned,
+           CAST(SUM(n_matched) AS INT) AS n_matched,
+           CAST(SUM(n_matched) AS DOUBLE) / SUM(n_returned) AS recall_at_10
+    FROM per
+    """,
+    survey_ref="north-star: BATCHED recall evaluation — "
+    "ann_recall_report measures one query vector; at 100 TB a "
+    "deployment validates an index against a SAMPLED QUERY SET, and "
+    "this is that harness in one plan: the 8-query batch flows the "
+    "batch-IVF read path (probe ranking as one window over the "
+    "query x centroid cross, probe cells broadcast into the "
+    "cell-partitioned index, per-qid top-10 windows) while the exact "
+    "arm brute-forces the same batch (one pass over the corpus with "
+    "the broadcast query relation), and a per-qid LEFT JOIN + "
+    "aggregation emits recall@10 per query plus the macro row "
+    "(qid = -1, pooled recall). Query-set size scales only the "
+    "broadcast side and the window key cardinality — the corpus is "
+    "scanned a constant number of times regardless of Q",
+)
+def ann_recall_batch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = _ann_constants(spark, sf_dir)
+    cent_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid long, cvec array<double>"
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        similarity.norm(F.col("embedding")).alias("qnorm"),
+    )
+    probe_rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(
+            F.desc(
+                similarity.dot(F.col("cvec"), F.col("qv"))
+                / (similarity.norm(F.col("cvec")) * F.col("qnorm"))
+            ),
+            "cid",
+        )
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("rn", probe_rn)
+        .filter(F.col("rn") <= 4)
+        .select("qid", F.col("cid").alias("cell"), "qv", "qnorm")
+    )
+    cos = (
+        similarity.dot(F.col("embedding").cast("array<double>"), F.col("qv"))
+        / (similarity.norm(F.col("embedding")) * F.col("qnorm"))
+    ).alias("cos")
+    topk_rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    )
+    ivf = (
+        _ivf_index(spark, sf_dir)
+        .join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos)
+        .withColumn("rn", topk_rn)
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos)
+        .withColumn("rn", topk_rn)
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id", F.lit(1).alias("_hit"))
+    )
+    per = (
+        ivf.join(F.broadcast(exact), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_returned"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("int")
+            .alias("n_matched"),
+        )
+    )
+    macro = per.agg(
+        F.lit(-1).cast("long").alias("qid"),
+        F.sum("n_returned").cast("int").alias("n_returned"),
+        F.sum("n_matched").cast("int").alias("n_matched"),
+        (
+            F.sum("n_matched").cast("double")
+            / F.sum("n_returned").cast("double")
+        ).alias("recall_at_10"),
+    )
+    return (
+        per.withColumn(
+            "recall_at_10", F.col("n_matched").cast("double") / F.lit(10.0)
+        )
+        .unionByName(macro)
+    )

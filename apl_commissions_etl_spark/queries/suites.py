@@ -362,6 +362,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "ann_topk_ivf_kmeans",
             "ann_incremental_index_parity",
             "ann_reindex_recall_report",
+            "ann_recall_batch_report",
         ),
     ),
     "incremental_parity_suite": (
