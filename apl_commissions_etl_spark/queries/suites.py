@@ -468,7 +468,40 @@ def _register_suites() -> None:
             # mode (see driver-gate notes in registry.py).  Per-sub
             # actions keep each retained graph small and release each
             # sub's temp view as soon as its row is in hand.
+            #
+            # In a SMALL-HEAP session additionally bound the shuffle
+            # fan-out for the suite's own actions: the bare defaults
+            # spawn 200 reducers per exchange, and with ~3,000 stages
+            # of mostly-empty tasks behind it the gate session's
+            # transient load (task/listener/event objects a System.gc
+            # cannot reclaim while in flight) measured 690MB ON TOP of
+            # the ~270MB retained state — GC logs show live-after-
+            # full-GC peaking at 958M of 1024M inside the tail suite,
+            # and 2 of 6 r10 rehearsals died there with a task
+            # OutOfMemoryError. Partition count never changes values
+            # (every query also passes in the 32-partition configured
+            # session — partition-order independence is the engine's
+            # determinism contract); it only bounds the burst. The
+            # previous setting is restored after the suite.
             rows = []
+            prev_parts = None
+            try:
+                rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+                if rt.maxMemory() < 8 * (1 << 30):
+                    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+                    spark.conf.set("spark.sql.shuffle.partitions", "8")
+            except Exception:
+                prev_parts = None  # connect mode / no JVM handle
+            try:
+                _run_subs(spark, sf_dir, _subs, rows)
+            finally:
+                if prev_parts is not None:
+                    spark.conf.set(
+                        "spark.sql.shuffle.partitions", prev_parts
+                    )
+            return spark.createDataFrame(rows, FINGERPRINT_SCHEMA)
+
+        def _run_subs(spark, sf_dir, _subs, rows):
             for s in _subs:
                 view = f"suite_src_{s}"
                 REGISTRY[s].spark_fn(spark, sf_dir).createOrReplaceTempView(view)
@@ -489,7 +522,6 @@ def _register_suites() -> None:
                     spark.sparkContext._jvm.System.gc()
                 except Exception:
                     pass  # diagnostics-only; never fail the suite
-            return spark.createDataFrame(rows, FINGERPRINT_SCHEMA)
 
         spark_fn.__name__ = suite_name
         spark_fn.__doc__ = (
