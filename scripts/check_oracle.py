@@ -221,6 +221,33 @@ def main():
     # allocation is GC-reclaimable and was never the failure mode.)
     HEADROOM_FRACTION = 0.65
     peak_live = [0]
+    peak_used = [0]  # raw in-flight max (sampler thread, report-only)
+
+    if vanilla:
+        # The post-GC guard below missed the r10 tail OOM: between-slot
+        # samples read 25% while live-after-full-GC hit 93% INSIDE a
+        # suite. Sample raw used heap every 250ms on a daemon thread
+        # and report the in-flight peak. Report-only: a healthy G1
+        # legitimately runs the heap near-full between young GCs, so
+        # the number is a trend signal (compare across rounds), not a
+        # pass/fail — the enforced guard stays the post-GC live set.
+        import threading
+
+        def _sampler() -> None:
+            try:
+                jvm = spark.sparkContext._jvm
+                rt = jvm.java.lang.Runtime.getRuntime()
+            except Exception:
+                return
+            while True:
+                try:
+                    used = int(rt.totalMemory() - rt.freeMemory())
+                    peak_used[0] = max(peak_used[0], used)
+                except Exception:
+                    return
+                time.sleep(0.25)
+
+        threading.Thread(target=_sampler, daemon=True).start()
 
     def heap_sample() -> None:
         if not vanilla:
@@ -329,7 +356,8 @@ def main():
             f"\nHEAP {'OK' if heap_ok else 'FAIL'}: peak post-GC live "
             f"{peak_live[0] / 1e6:.0f}MB of {heap_sample.max_heap / 1e6:.0f}MB "
             f"max ({frac:.0%}; guard {HEADROOM_FRACTION:.0%}) — retained "
-            "session footprint across the rehearsed prefix"
+            "session footprint across the rehearsed prefix; in-flight "
+            f"peak used {peak_used[0] / 1e6:.0f}MB (report-only)"
             + (
                 ""
                 if heap_ok
