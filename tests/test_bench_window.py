@@ -1,0 +1,107 @@
+"""bench.py window self-defense (r10 verdict item 2): the detector
+that flags a host-contention-polluted steady window.
+
+Pure-function tests here; the end-to-end forced-contention validation
+(busy-loop beside a live bench run at sf0.001) is a scripted check —
+see REHEARSAL_r11.log — because a full bench invocation inside pytest
+would add minutes to every suite run.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+BENCH = _bench()
+
+
+def test_contention_signature_fires():
+    prev = {"agg_pricing_summary": 1.0, "calc_gl_entries": 0.8,
+            "dim_policies": 1.7, "win_sessionize": 0.75}
+    now = {"agg_pricing_summary": 11.0, "calc_gl_entries": 9.0,
+           "dim_policies": 9.4, "win_sessionize": 0.7}
+    hits = BENCH.suspect_queries(now, prev)
+    assert hits == ["agg_pricing_summary", "calc_gl_entries",
+                    "dim_policies"]
+
+
+def test_local_regression_does_not_fire():
+    # a single query regressing 10x is a REAL regression, not window
+    # pollution — the artifact must record it, not retry it away
+    prev = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
+    now = {"a": 10.0, "b": 1.1, "c": 0.9, "d": 1.0}
+    assert BENCH.suspect_queries(now, prev) == []
+
+
+def test_two_hits_below_threshold():
+    prev = {"a": 1.0, "b": 1.0, "c": 1.0}
+    now = {"a": 4.0, "b": 4.0, "c": 1.0}
+    assert BENCH.suspect_queries(now, prev) == []
+
+
+def test_micro_query_jitter_ignored():
+    # sub-floor queries 3x-ing is scheduler jitter, not contention
+    prev = {"a": 0.03, "b": 0.02, "c": 0.04, "d": 1.0}
+    now = {"a": 0.1, "b": 0.07, "c": 0.13, "d": 1.1}
+    assert BENCH.suspect_queries(now, prev) == []
+
+
+def test_unknown_or_zero_baseline_ignored():
+    prev = {"a": 0.0, "zzz": 1.0}
+    now = {"a": 5.0, "b": 5.0, "c": 5.0}
+    assert BENCH.suspect_queries(now, prev) == []
+
+
+def test_prev_round_steady_prefers_parsed_queries(tmp_path):
+    # driver-archived shape with the r11+ compact line (embedded
+    # steady dict) must win over legacy tail fragments
+    doc = {
+        "parsed": {
+            "metric": "headline_queries_total",
+            "queries": {"agg_pricing_summary": 1.25, "not_a_query": 9.9},
+        },
+        "tail": '"cold_queries": {"agg_pricing_summary": 99.0}',
+    }
+    (tmp_path / "BENCH_r11.json").write_text(json.dumps(doc))
+    fname, found = BENCH.prev_round_steady(str(tmp_path))
+    assert fname == "BENCH_r11.json"
+    assert found == {"agg_pricing_summary": 1.25}
+
+
+def test_prev_round_steady_skips_cold_only_tail(tmp_path):
+    # the r10-style artifact: steady dict truncated out of the tail,
+    # only cold fragments left — MUST NOT be used as a baseline
+    doc = {
+        "parsed": {"metric": "headline_queries_total", "value": 33.5},
+        "tail": '"agg_pricing_summary": 1.21, "calc_gl_entries": 0.79}',
+    }
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps(doc))
+    fname, found = BENCH.prev_round_steady(str(tmp_path))
+    assert found == {}
+
+
+def test_prev_round_steady_local_fallback(tmp_path):
+    # BENCH_LOCAL.json (bench stdout's own final line) is the
+    # committed clean-window baseline when no r11+ artifact exists
+    line = {
+        "metric": "headline_queries_total",
+        "queries": {"calc_gl_entries": 0.79},
+    }
+    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(line))
+    fname, found = BENCH.prev_round_steady(str(tmp_path))
+    assert fname == "BENCH_LOCAL.json"
+    assert found == {"calc_gl_entries": 0.79}
