@@ -995,6 +995,24 @@ def _pipeline_parity_oracle() -> str:
 def pipeline_incremental_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    _, maintained = _pipeline_tag_frames(spark, sf_dir)
+    out = maintained["criteria"]
+    for name in ("proposals", "gl", "trace", "broker_trace"):
+        out = out.unionByName(maintained[name])
+    return out
+
+
+def _pipeline_tag_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+    """The chained increment's five maintained outputs, twice: the
+    STORED state before the increment (builder baselines; corrupted
+    calc baselines — see _corrupted_baseline) and the MAINTAINED state
+    after it (baseline anti-join ∪ recomputed delta), each projected to
+    the (output, id, ref_id, metric) tag shape so one value hash covers
+    identity + money. Shared by pipeline_incremental_parity (returns
+    the maintained union) and pipeline_txn_commit_parity (publishes
+    both states as two manifest commits)."""
     from ..plans import builder as builder_plans
     from .builder import _incremental_frames as _builder_frames
 
@@ -1038,20 +1056,18 @@ def pipeline_incremental_parity(
             .unionByName(recomputed)
         )
 
-    gl = merge(
-        _corrupted_baseline(full["gl"], affected, "Amount"),
-        affected, "PremiumTransactionId", delta["gl"],
+    gl_base = _corrupted_baseline(full["gl"], affected, "Amount")
+    gl = merge(gl_base, affected, "PremiumTransactionId", delta["gl"])
+    tr_base = _corrupted_baseline(
+        full["trace_full"], affected, "TotalCommission"
     )
-    tr = merge(
-        _corrupted_baseline(full["trace_full"], affected, "TotalCommission"),
-        affected, "PremiumTransactionId", delta["trace_full"],
+    tr = merge(tr_base, affected, "PremiumTransactionId", delta["trace_full"])
+    bt_base = _corrupted_baseline(
+        full["broker_trace"], affected_trace, "CommissionAmount",
+        key="CommissionTraceabilityReportId",
     )
     bt = merge(
-        _corrupted_baseline(
-            full["broker_trace"], affected_trace, "CommissionAmount",
-            key="CommissionTraceabilityReportId",
-        ),
-        affected_trace, "CommissionTraceabilityReportId",
+        bt_base, affected_trace, "CommissionTraceabilityReportId",
         delta["broker_trace"],
     )
 
@@ -1061,57 +1077,167 @@ def pipeline_incremental_parity(
             ref_col.alias("ref_id"), metric_col.cast("long").alias("metric")
 
     sep = F.lit("|")
-    crit_rows = merged.select(*tag(
-        "criteria",
-        F.concat(F.lit("CR|"), "GroupId", sep,
-                 F.col("CertificateId").cast("string")),
-        F.concat("ConfigHash", sep, "ProductCode", sep, "PlanCode", sep,
-                 "SitusState", sep, "WritingBrokerId", sep,
-                 F.col("CertEffectiveDate").cast("string")),
-        F.col("TotalSplitPercent").cast("long") * 1000
-        + F.col("SplitCount").cast("long"),
-    ))
-    prop_rows = props.select(*tag(
-        "proposals",
-        F.concat(F.lit("PR|"), "ProposalId"),
-        F.concat("ConfigHash", sep, "PlanCodes", sep, "ProductCodes", sep,
-                 "GroupName", sep, "SitusState", sep, "PrimaryBrokerId",
-                 sep, F.col("EffectiveDateFrom").cast("string"), sep,
-                 F.coalesce(F.col("EffectiveDateTo").cast("string"),
-                            F.lit("~"))),
-        F.col("CertificateCount"),
-    ))
-    gl_rows = gl.select(*tag(
-        "gl",
-        F.concat(F.lit("GL|"), "GlEntryId"),
-        F.concat("PremiumTransactionId", sep, "EntryType", sep,
-                 F.coalesce(F.col("BrokerId").cast("string"), F.lit("~"))),
-        F.round(F.col("Amount") * 100),
-    ))
-    tr_rows = tr.select(*tag(
-        "trace",
-        F.concat(F.lit("TR|"), "Id"),
-        F.concat(F.coalesce("ProposalId", F.lit("~")), sep,
-                 F.coalesce("GroupId", F.lit("~")), sep,
-                 F.coalesce("ErrorMessages", F.lit("~")), sep,
-                 F.col("ParticipantCount").cast("string"), sep,
-                 F.col("HasErrors").cast("string")),
-        F.round(F.col("TotalCommission") * 100),
-    ))
-    bt_rows = bt.select(*tag(
-        "broker_trace",
-        F.concat(F.lit("BT|"), "Id"),
-        F.concat("CommissionTraceabilityReportId", sep, "RateSource", sep,
-                 "EntryType", sep, F.col("BrokerId").cast("string"), sep,
-                 F.col("TierLevel").cast("string")),
-        F.round(F.col("CommissionAmount") * 100),
-    ))
-    return (
-        crit_rows.unionByName(prop_rows)
-        .unionByName(gl_rows)
-        .unionByName(tr_rows)
-        .unionByName(bt_rows)
+
+    def tag_crit(df: DataFrame) -> DataFrame:
+        return df.select(*tag(
+            "criteria",
+            F.concat(F.lit("CR|"), "GroupId", sep,
+                     F.col("CertificateId").cast("string")),
+            F.concat("ConfigHash", sep, "ProductCode", sep, "PlanCode", sep,
+                     "SitusState", sep, "WritingBrokerId", sep,
+                     F.col("CertEffectiveDate").cast("string")),
+            F.col("TotalSplitPercent").cast("long") * 1000
+            + F.col("SplitCount").cast("long"),
+        ))
+
+    def tag_props(df: DataFrame) -> DataFrame:
+        return df.select(*tag(
+            "proposals",
+            F.concat(F.lit("PR|"), "ProposalId"),
+            F.concat("ConfigHash", sep, "PlanCodes", sep, "ProductCodes",
+                     sep, "GroupName", sep, "SitusState", sep,
+                     "PrimaryBrokerId", sep,
+                     F.col("EffectiveDateFrom").cast("string"), sep,
+                     F.coalesce(F.col("EffectiveDateTo").cast("string"),
+                                F.lit("~"))),
+            F.col("CertificateCount"),
+        ))
+
+    def tag_gl(df: DataFrame) -> DataFrame:
+        return df.select(*tag(
+            "gl",
+            F.concat(F.lit("GL|"), "GlEntryId"),
+            F.concat("PremiumTransactionId", sep, "EntryType", sep,
+                     F.coalesce(F.col("BrokerId").cast("string"),
+                                F.lit("~"))),
+            F.round(F.col("Amount") * 100),
+        ))
+
+    def tag_tr(df: DataFrame) -> DataFrame:
+        return df.select(*tag(
+            "trace",
+            F.concat(F.lit("TR|"), "Id"),
+            F.concat(F.coalesce("ProposalId", F.lit("~")), sep,
+                     F.coalesce("GroupId", F.lit("~")), sep,
+                     F.coalesce("ErrorMessages", F.lit("~")), sep,
+                     F.col("ParticipantCount").cast("string"), sep,
+                     F.col("HasErrors").cast("string")),
+            F.round(F.col("TotalCommission") * 100),
+        ))
+
+    def tag_bt(df: DataFrame) -> DataFrame:
+        return df.select(*tag(
+            "broker_trace",
+            F.concat(F.lit("BT|"), "Id"),
+            F.concat("CommissionTraceabilityReportId", sep, "RateSource",
+                     sep, "EntryType", sep,
+                     F.col("BrokerId").cast("string"), sep,
+                     F.col("TierLevel").cast("string")),
+            F.round(F.col("CommissionAmount") * 100),
+        ))
+
+    baselines = {
+        "criteria": tag_crit(baseline_crit),
+        "proposals": tag_props(baseline_props),
+        "gl": tag_gl(gl_base),
+        "trace": tag_tr(tr_base),
+        "broker_trace": tag_bt(bt_base),
+    }
+    maintained = {
+        "criteria": tag_crit(merged),
+        "proposals": tag_props(props),
+        "gl": tag_gl(gl),
+        "trace": tag_tr(tr),
+        "broker_trace": tag_bt(bt),
+    }
+    return baselines, maintained
+
+
+@query(
+    "pipeline_txn_commit_parity",
+    oracle=_pipeline_parity_oracle(),
+    survey_ref="north-star: MULTI-TABLE ATOMIC PUBLISH — the chained "
+    "increment's five maintained outputs (criteria, proposals, GL, "
+    "traceability, broker trace) committed as ONE version SET through "
+    "the transaction manifest (streaming/txn.py): every table's data "
+    "writes land in fresh immutable versioned directories first, then "
+    "a single atomic pointer flip names ALL of them, so a reader can "
+    "never see GL at commit N+1 while traceability is still at N — "
+    "the consistency the reference's monolithic rebuild gets for free "
+    "(sql/calc/run-calculation.sql:35-45 truncates and reloads every "
+    "output in one run) earned back by the incremental engine. The "
+    "query commits the STORED pre-increment state (stale builder "
+    "baselines + corrupted calc baselines) as commit 1, then attempts "
+    "the increment as commit 2 with a CRASH INJECTED between the "
+    "table data writes (2 of 5 written, manifest untouched), asserts "
+    "the reader still resolves commit 1's exact immutable directories "
+    "(path equality == byte equality), replays commit 2 to "
+    "completion, asserts a second replay is skipped (replay guard), "
+    "and returns the five tables READ BACK through the manifest. "
+    "Oracle = the five full-rebuild oracles verbatim (the same tag "
+    "union as pipeline_incremental_parity), so one value hash proves "
+    "the atomically-published set equals the monolithic rebuild. At "
+    "100 TB the manifest is the catalog's multi-table transaction "
+    "(Iceberg REST-catalog multi-table commit / Delta coordinated "
+    "commits); the flip stays O(1) metadata regardless of data volume",
+)
+def pipeline_txn_commit_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.txn import (
+        TxnAborted,
+        txn_commit,
+        txn_current,
+        txn_resolved_paths,
+        txn_table,
     )
+
+    baselines, maintained = _pipeline_tag_frames(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="txn_commit_")
+    try:
+        # commit 1: the stored state before the increment
+        txn_commit(baselines, root, 1)
+        paths_before = txn_resolved_paths(root)
+        # commit 2, first attempt: crash injected after 2 of 5 data
+        # writes, BEFORE the manifest flip
+        try:
+            txn_commit(maintained, root, 2, fail_after=2)
+        except TxnAborted:
+            pass
+        else:  # pragma: no cover - the injection must fire
+            raise AssertionError("injected crash did not fire")
+        # crash window: readers must still resolve commit 1's exact
+        # directory set (committed dirs are immutable, so path
+        # equality proves the read is byte-identical to pre-crash)
+        if txn_current(root) != 1:
+            raise AssertionError(
+                f"manifest advanced past the crash: {txn_current(root)}"
+            )
+        if txn_resolved_paths(root) != paths_before:
+            raise AssertionError(
+                "mid-crash reader resolves a different set: "
+                f"{txn_resolved_paths(root)} != {paths_before}"
+            )
+        # replay completes the commit; one flip publishes all five
+        if not txn_commit(maintained, root, 2):
+            raise AssertionError("replayed commit 2 was skipped")
+        if txn_current(root) != 2:
+            raise AssertionError("commit 2 did not become current")
+        # replay guard: a re-delivered commit is skipped, data untouched
+        if txn_commit(maintained, root, 2):
+            raise AssertionError("duplicate commit 2 was not skipped")
+        # the result is the PUBLISHED set read back through the
+        # manifest — proving what a reader sees, not what we computed
+        out = txn_table(spark, root, "criteria")
+        for name in ("proposals", "gl", "trace", "broker_trace"):
+            out = out.unionByName(txn_table(spark, root, name))
+        # materialize before the published parquet is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -231,3 +231,82 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size_bytes").cast("long").alias("group_bytes"),
         (F.count(F.lit(1)) > 1).alias("needs_compaction"),
     )
+
+
+#: vacuum planning constants: a synthetic snapshot manifest (one row
+#: per table version with its size and commit order) derived
+#: deterministically from orders. In production this manifest IS the
+#: table format's version log — metadata-scale even at 100 TB.
+_VACUUM_TABLES = 8        # maintained tables in the lakehouse
+_VACUUM_VERSIONS = 13     # published versions per table
+_VACUUM_KEEP_LAST = 2     # retention window per table
+_VACUUM_PIN_MOD = 7       # versions pinned by a named snapshot/manifest
+
+
+@query(
+    "layout_vacuum_plan",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT 't' || CAST(o_orderkey % {_VACUUM_TABLES} AS VARCHAR)
+               AS table_id,
+             CAST(o_orderkey % {_VACUUM_VERSIONS} AS INT) AS version,
+             CAST(COUNT(*) * {_ROW_BYTES} AS BIGINT) AS size_bytes
+      FROM orders
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT table_id, version, size_bytes,
+             ROW_NUMBER() OVER (PARTITION BY table_id
+                                ORDER BY version DESC) AS recency
+      FROM manifest)
+    SELECT table_id, version, size_bytes,
+           CASE WHEN recency <= {_VACUUM_KEEP_LAST} THEN 'keep_recent'
+                WHEN version % {_VACUUM_PIN_MOD} = 0 THEN 'keep_pinned'
+                ELSE 'vacuum' END AS action,
+           CAST(CASE WHEN recency > {_VACUUM_KEEP_LAST}
+                      AND version % {_VACUUM_PIN_MOD} <> 0
+                     THEN size_bytes ELSE 0 END AS BIGINT)
+             AS reclaim_bytes
+    FROM ranked
+    """,
+    survey_ref="beyond-reference table-maintenance surface: VACUUM "
+    "planning — the third member of the layout family next to "
+    "layout_zorder_plan and layout_compaction_plan (the table "
+    "format's VACUUM / expire_snapshots decision). Input is the "
+    "version-log manifest (metadata-scale at 100 TB); the policy is "
+    "keep-last-K per table PLUS any version a named snapshot/manifest "
+    "still pins (here the deterministic pin set version%7==0 — in "
+    "production the txn manifest's retained commits, the `protected` "
+    "arg of sinks.vacuum_versions / txn.txn_vacuum which execute this "
+    "plan). One window rank per table + a CASE — partition-parallel, "
+    "no shuffle beyond the rank, and the emitted reclaim_bytes totals "
+    "are the job's work units",
+)
+def layout_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    manifest = o.groupBy(
+        F.concat(
+            F.lit("t"), (F.col("o_orderkey") % _VACUUM_TABLES).cast("string")
+        ).alias("table_id"),
+        (F.col("o_orderkey") % _VACUUM_VERSIONS).cast("int").alias("version"),
+    ).agg((F.count(F.lit(1)) * _ROW_BYTES).cast("long").alias("size_bytes"))
+    ranked = manifest.withColumn(
+        "recency",
+        F.row_number().over(
+            Window.partitionBy("table_id").orderBy(F.desc("version"))
+        ),
+    )
+    is_recent = F.col("recency") <= _VACUUM_KEEP_LAST
+    is_pinned = F.col("version") % _VACUUM_PIN_MOD == 0
+    return ranked.select(
+        "table_id",
+        "version",
+        "size_bytes",
+        F.when(is_recent, F.lit("keep_recent"))
+        .when(is_pinned, F.lit("keep_pinned"))
+        .otherwise(F.lit("vacuum"))
+        .alias("action"),
+        F.when(~is_recent & ~is_pinned, F.col("size_bytes"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("reclaim_bytes"),
+    )

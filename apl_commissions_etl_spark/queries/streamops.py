@@ -194,3 +194,75 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.dedup_ttl import ttl_dedup_batch
 
     return ttl_dedup_batch(_events(spark, sf_dir))
+
+
+@query(
+    "sink_time_travel_parity",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(o_orderkey % 4 AS INT) AS bid, o_custkey AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS total_cents
+      FROM orders GROUP BY 1, 2),
+    v AS (SELECT * FROM (VALUES (1), (2), (3), (4)) AS t(as_of)),
+    ranked AS (
+      SELECT v.as_of, b.k, b.n_orders, b.total_cents,
+             ROW_NUMBER() OVER (PARTITION BY v.as_of, b.k
+                                ORDER BY b.bid DESC) AS rn
+      FROM v JOIN b ON b.bid < v.as_of)
+    SELECT CAST(as_of AS INT) AS as_of, k, n_orders, total_cents
+    FROM ranked WHERE rn = 1""",
+    survey_ref="beyond-reference table-maintenance surface: TIME-TRAVEL "
+    "read on the exactly-once versioned sinks (streaming/sinks.py "
+    "table_as_of) — four keyed micro-batches (per-customer rollups of "
+    "the orders slice o_orderkey%4==b) feed the idempotent merge sink, "
+    "then EVERY published version v is read back AS OF v and the union "
+    "is hash-checked against the SQL fold of the first v batches "
+    "(latest batch wins per key). Proves read-as-of batch N == folding "
+    "the first N batches — the replayable-log contract the CDC query "
+    "asserts on the read side, now proven against the sink's own "
+    "version history. Retention (vacuum_versions: keep-last-K + "
+    "manifest-protected) is exercised in tests/test_timetravel.py; "
+    "the planner twin is layout_vacuum_plan. At 100 TB this is VERSION "
+    "AS OF on a table format: history is metadata, each read scans one "
+    "snapshot's files",
+)
+def sink_time_travel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed 4 deterministic keyed batches through the merge sink, read
+    each published version back via table_as_of, union tagged."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.sinks import idempotent_merge_sink, table_as_of
+
+    o = load_table(spark, sf_dir, "orders")
+    batches = (
+        o.groupBy(
+            (F.col("o_orderkey") % 4).cast("int").alias("bid"),
+            F.col("o_custkey").alias("k"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="sink_tt_")
+    try:
+        sink = idempotent_merge_sink(tmp, ["k"])
+        for b in range(4):
+            sink(batches.filter(F.col("bid") == b).drop("bid"), b)
+        out = None
+        for v in range(1, 5):
+            r = table_as_of(spark, tmp, version=v).select(
+                F.lit(v).cast("int").alias("as_of"),
+                "k", "n_orders", "total_cents",
+            )
+            out = r if out is None else out.unionByName(r)
+        # materialize before the published parquet is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

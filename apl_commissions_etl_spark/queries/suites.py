@@ -416,7 +416,12 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "from-scratch rebuild — and the THREE streamed forms (criteria "
         "via keyed merge, GL and the r10 consolidation fold via "
         "group-replace, each maintained across checkpointed restarts "
-        "through the exactly-once sinks)",
+        "through the exactly-once sinks), and (r11) the MULTI-TABLE "
+        "ATOMIC PUBLISH — the chained increment's five outputs "
+        "committed as one version set through the transaction "
+        "manifest with a crash injected between table data writes, "
+        "read back through the manifest and hash-proven equal to the "
+        "monolithic rebuild",
         (
             "pipeline_incremental_parity",
             "ann_incremental_pq_parity",
@@ -424,6 +429,7 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "stream_incremental_criteria_parity",
             "stream_incremental_gl_parity",
             "stream_consolidate_parity",
+            "pipeline_txn_commit_parity",
         ),
     ),
 }

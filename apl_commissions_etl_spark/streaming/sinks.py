@@ -126,6 +126,10 @@ def idempotent_merge_sink(
             state["version"] += 1
             state["current"] = version_dir
             state["committed"].append(batch_id)
+            state.setdefault("history", []).append(
+                {"version": state["version"], "dir": version_dir,
+                 "batch_id": batch_id}
+            )
             if obs is not None:
                 state.setdefault("metrics", {})[str(batch_id)] = {
                     k: (v.item() if hasattr(v, "item") else v)
@@ -134,6 +138,94 @@ def idempotent_merge_sink(
             _store_state(target_dir, state)
 
     return sink
+
+
+def table_as_of(
+    spark: SparkSession,
+    target_dir: str,
+    version: int | None = None,
+    batch: int | None = None,
+) -> DataFrame:
+    """TIME-TRAVEL read of a versioned sink's table: the state AS OF a
+    published ``version`` (1-based) or AS OF the commit of ``batch``
+    (the batch_id a merge/replace sink committed). Exactly one of the
+    two must be given.
+
+    Both sinks publish every micro-batch as a fresh immutable
+    directory and log it in the state's ``history``, so read-as-of
+    batch N is definitionally the fold of the first N batches — the
+    replayable-log contract the CDC query asserts on the read side,
+    proven end-to-end by ``sink_time_travel_parity``. Versions retired
+    by ``vacuum_versions`` raise KeyError with the retention boundary.
+
+    At 100 TB this is the table format's VERSION AS OF / TIMESTAMP AS
+    OF: the history is metadata, the read scans one snapshot's files.
+    """
+    if (version is None) == (batch is None):
+        raise ValueError("give exactly one of version= or batch=")
+    state = _load_state(target_dir)
+    history = state.get("history", [])
+    if not history:
+        raise KeyError(f"no published versions under {target_dir}")
+    if version is not None:
+        hits = [h for h in history if h["version"] == version]
+        what = f"version {version}"
+    else:
+        hits = [h for h in history if h["batch_id"] == batch]
+        what = f"batch {batch}"
+    if not hits:
+        lo, hi = history[0]["version"], history[-1]["version"]
+        raise KeyError(
+            f"{what} not readable (retained versions: {lo}..{hi}; "
+            "older ones were retired by vacuum_versions)"
+        )
+    return spark.read.parquet(os.path.join(target_dir, hits[-1]["dir"]))
+
+
+def vacuum_versions(
+    target_dir: str,
+    keep_last: int,
+    protected: set[int] | None = None,
+) -> int:
+    """Retention pass for the versioned (merge/replace) sinks: retire
+    published versions older than the newest ``keep_last``, except any
+    version in ``protected`` (e.g. versions a txn manifest or a named
+    snapshot still references). The current version is always kept.
+    Returns the number of directories removed.
+
+    Complements ``vacuum_journal`` (which reclaims only UNREFERENCED
+    directories and keeps every committed version): this one is the
+    policy pass that bounds the otherwise-unbounded version history,
+    trading time-travel depth for disk — the table format's VACUUM
+    with a snapshot-retention window.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1: the current version stays")
+    protected = protected or set()
+    removed = 0
+    with _state_lock(target_dir):
+        state = _load_state(target_dir)
+        history = state.get("history", [])
+        if not history:
+            return 0
+        keep_floor = history[-1]["version"] - keep_last + 1
+        kept, victims = [], []
+        for h in history:
+            if h["version"] >= keep_floor or h["version"] in protected \
+                    or h["dir"] == state.get("current"):
+                kept.append(h)
+            else:
+                victims.append(h)
+        for h in victims:
+            shutil.rmtree(
+                os.path.join(target_dir, h["dir"]), ignore_errors=True
+            )
+            removed += 1
+        state["history"] = kept
+        _store_state(target_dir, state)
+    return removed
 
 
 def idempotent_replace_sink(target_dir: str, group_keys: list[str]):
@@ -199,6 +291,10 @@ def idempotent_replace_sink(target_dir: str, group_keys: list[str]):
             state["version"] += 1
             state["current"] = version_dir
             state["committed"].append(batch_id)
+            state.setdefault("history", []).append(
+                {"version": state["version"], "dir": version_dir,
+                 "batch_id": batch_id}
+            )
             _store_state(target_dir, state)
 
     return sink
@@ -378,4 +474,12 @@ def vacuum_journal(target_dir: str) -> int:
         ]
         for d in victims:
             shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
+        if victims and state.get("history"):
+            # retired versions leave the time-travel history too, so
+            # table_as_of reports a clean retention boundary instead
+            # of a missing-path read error
+            state["history"] = [
+                h for h in state["history"] if h["dir"] in live
+            ]
+            _store_state(target_dir, state)
     return len(victims)

@@ -1,0 +1,136 @@
+"""Multi-table transactional publish (streaming/txn.py): the crash
+window, replay guard, reader consistency, and retention vacuum.
+
+The registry-level proof is ``pipeline_txn_commit_parity`` (the five
+real maintained outputs through the manifest, hash-checked against
+the full-rebuild oracles); these tests pin the manifest's mechanics
+at synthetic scale, including the hash-level reader-consistency check
+across an injected crash that the in-query path-equality assert
+compresses.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from apl_commissions_etl_spark.streaming.txn import (
+    TxnAborted,
+    txn_commit,
+    txn_current,
+    txn_resolved_paths,
+    txn_table,
+    txn_vacuum,
+)
+
+
+def _frames(spark, salt: int):
+    a = spark.createDataFrame(
+        [(i, i * 10 + salt) for i in range(6)], "k int, v int"
+    )
+    b = spark.createDataFrame(
+        [(i, f"s{i}_{salt}") for i in range(4)], "k int, s string"
+    )
+    return {"alpha": a, "beta": b}
+
+
+def _snapshot(spark, root, names, as_of=None):
+    return {
+        n: sorted(map(tuple, txn_table(spark, root, n, as_of).collect()))
+        for n in names
+    }
+
+
+def test_commit_flip_is_all_or_nothing(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert txn_current(root) is None
+    assert txn_commit(_frames(spark, 1), root, 1)
+    assert txn_current(root) == 1
+    before = _snapshot(spark, root, ["alpha", "beta"])
+
+    # crash after 1 of 2 data writes: manifest untouched, reader
+    # still sees commit 1's DATA (hash-level, not just paths)
+    with pytest.raises(TxnAborted):
+        txn_commit(_frames(spark, 2), root, 2, fail_after=1)
+    assert txn_current(root) == 1
+    assert _snapshot(spark, root, ["alpha", "beta"]) == before
+
+    # replay completes; one flip publishes BOTH tables
+    assert txn_commit(_frames(spark, 2), root, 2)
+    assert txn_current(root) == 2
+    after = _snapshot(spark, root, ["alpha", "beta"])
+    assert after != before
+    assert after == {
+        n: sorted(map(tuple, df.collect()))
+        for n, df in _frames(spark, 2).items()
+    }
+
+
+def test_replay_guard_keeps_directories_immutable(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txn_commit(_frames(spark, 1), root, 1)
+    paths = txn_resolved_paths(root)
+    # a re-delivered commit is skipped without touching data
+    assert txn_commit(_frames(spark, 99), root, 1) is False
+    assert txn_resolved_paths(root) == paths
+    assert _snapshot(spark, root, ["alpha"]) == {
+        "alpha": sorted(map(tuple, _frames(spark, 1)["alpha"].collect()))
+    }
+
+
+def test_time_travel_reads_old_committed_set(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txn_commit(_frames(spark, 1), root, 1)
+    txn_commit(_frames(spark, 2), root, 2)
+    assert _snapshot(spark, root, ["alpha"], as_of=1) == {
+        "alpha": sorted(map(tuple, _frames(spark, 1)["alpha"].collect()))
+    }
+    assert _snapshot(spark, root, ["alpha"]) == {
+        "alpha": sorted(map(tuple, _frames(spark, 2)["alpha"].collect()))
+    }
+    with pytest.raises(KeyError):
+        txn_resolved_paths(root, as_of=7)
+
+
+def test_vacuum_retention_and_orphan_reclaim(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txn_commit(_frames(spark, 1), root, 1)
+    txn_commit(_frames(spark, 2), root, 2)
+    # crashed commit 3 leaves an orphan directory for table 'alpha'
+    with pytest.raises(TxnAborted):
+        txn_commit(_frames(spark, 3), root, 3, fail_after=1)
+    orphan = os.path.join(root, "alpha", "c000003")
+    assert os.path.isdir(orphan)
+    txn_commit(_frames(spark, 4), root, 4)
+
+    removed = txn_vacuum(root, keep_last=2)
+    # victims: commit 1's two dirs + the crashed orphan (commit 3's
+    # data write landed before the abort)
+    assert removed == 3
+    assert not os.path.isdir(orphan)
+    # retained commits still read, both current and as-of
+    assert txn_current(root) == 4
+    assert _snapshot(spark, root, ["alpha"], as_of=2) == {
+        "alpha": sorted(map(tuple, _frames(spark, 2)["alpha"].collect()))
+    }
+    # vacuumed commit no longer resolvable
+    with pytest.raises(KeyError):
+        txn_resolved_paths(root, as_of=1)
+    with pytest.raises(ValueError):
+        txn_vacuum(root, keep_last=0)
+
+
+def test_partial_overlap_tables_across_commits(spark, tmp_path):
+    # a commit may publish a DIFFERENT table set; reads resolve the
+    # committed set as-of, never a blend
+    root = str(tmp_path / "t")
+    txn_commit(_frames(spark, 1), root, 1)
+    only_alpha = {"alpha": _frames(spark, 5)["alpha"]}
+    txn_commit(only_alpha, root, 2)
+    assert sorted(txn_resolved_paths(root)) == ["alpha"]
+    with pytest.raises(KeyError):
+        txn_table(spark, root, "beta")  # not in the CURRENT set
+    assert _snapshot(spark, root, ["beta"], as_of=1) == {
+        "beta": sorted(map(tuple, _frames(spark, 1)["beta"].collect()))
+    }
