@@ -652,11 +652,21 @@ def _corrupted_baseline(
     )
 
 
-def _gl_of(spark: SparkSession, sf_dir: str, fact: DataFrame) -> DataFrame:
+def _outputs_of(
+    spark: SparkSession, sf_dir: str, fact: DataFrame
+) -> dict[str, DataFrame]:
+    """All cascade outputs recomputed over ``fact`` only (the
+    per-micro-batch maintenance pass: every stage is premium-row-local,
+    so the batch's outputs are exactly the full rebuild's rows for
+    those premiums)."""
     staging = dict(_staging(spark, sf_dir))
     par = spark.sparkContext.defaultParallelism
     staging["stg_premium_transactions"] = fact.repartition(par)
-    return calc.run_calc(staging)["gl"]
+    return calc.run_calc(staging)
+
+
+def _gl_of(spark: SparkSession, sf_dir: str, fact: DataFrame) -> DataFrame:
+    return _outputs_of(spark, sf_dir, fact)["gl"]
 
 
 #: session-scoped cascade over the DELTA batch: the maintenance pass
@@ -1238,6 +1248,208 @@ def pipeline_txn_commit_parity(
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _stream_txn_oracle() -> str:
+    """GL + traceability full-rebuild oracles verbatim, projected to
+    the (output, id, ref_id, metric) tag union."""
+    from ..registry import REGISTRY
+
+    gl = REGISTRY["calc_gl_entries"].oracle
+    tr = REGISTRY["calc_traceability_full"].oracle
+    return f"""
+    WITH gl AS ({gl}),
+    tr AS ({tr})
+    SELECT 'gl' AS output,
+           'GL|' || GlEntryId AS id,
+           PremiumTransactionId || '|' || EntryType || '|'
+             || COALESCE(CAST(BrokerId AS VARCHAR), '~') AS ref_id,
+           CAST(round(Amount * 100) AS BIGINT) AS metric
+    FROM gl
+    UNION ALL
+    SELECT 'trace',
+           'TR|' || Id,
+           COALESCE(ProposalId, '~') || '|' || COALESCE(GroupId, '~')
+             || '|' || COALESCE(ErrorMessages, '~') || '|'
+             || CAST(ParticipantCount AS VARCHAR) || '|'
+             || CAST(HasErrors AS VARCHAR),
+           CAST(round(TotalCommission * 100) AS BIGINT)
+    FROM tr
+    """
+
+
+@query(
+    "stream_txn_commit_parity",
+    oracle=_stream_txn_oracle(),
+    survey_ref="north-star: the multi-table atomic publish AS A STREAM "
+    "— premium deltas arrive as micro-batches (readStream, "
+    "maxFilesPerTrigger=1) and each foreachBatch commits TWO "
+    "maintained outputs (GL at explode grain, traceability at rollup "
+    "grain) as ONE version set through the transaction manifest: both "
+    "group-replace merges write to fresh versioned directories, then "
+    "a single pointer flip publishes them together, so no reader can "
+    "ever see a premium's GL at batch N+1 with its traceability at N. "
+    "A crash is INJECTED inside one commit (between the two table "
+    "writes) — the streaming query fails, the manifest still resolves "
+    "the previous consistent set, and the restarted stream (same "
+    "checkpoint) REDELIVERS the batch, whose replayed commit "
+    "completes; the txn replay guard meanwhile makes re-delivered "
+    "COMMITTED batches no-ops, which is exactly-once across both "
+    "failure windows. The final two tables are read back through the "
+    "manifest and hash-checked against the GL + traceability "
+    "full-rebuild oracles verbatim — streamed, crash-interrupted "
+    "multi-table maintenance == monolithic rebuild "
+    "(sql/calc/run-calculation.sql:35-45)",
+)
+def stream_txn_commit_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seed the manifest with the corrupted stored baselines of BOTH
+    outputs (commit -1), stream the delta in 4 per-premium files (2
+    per wave, restart between waves, a crash injected between the two
+    table writes of wave 2's first commit), read both tables back."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.txn import txn_commit, txn_current, txn_table
+
+    batch, affected_all = _gl_incremental_frames(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="txn_stream_")
+    try:
+        root = f"{tmp}/root"
+        src = f"{tmp}/src"
+        ckpt = f"{tmp}/ckpt"
+        full = _stages(spark, sf_dir)
+        txn_commit(
+            {
+                "gl": _corrupted_baseline(full["gl"], affected_all, "Amount"),
+                "trace": _corrupted_baseline(
+                    full["trace_full"], affected_all, "TotalCommission"
+                ),
+            },
+            root,
+            -1,
+        )
+
+        crash_arm = {"armed": False}
+
+        def apply_increment(bdf: DataFrame, bid: int) -> None:
+            # the deletion set comes from the INPUT delta's keys: a
+            # premium whose recompute emits zero rows must still have
+            # its stale rows deleted from BOTH tables
+            affected = bdf.select("PremiumTransactionId").distinct()
+            outs = _outputs_of(spark, sf_dir, bdf)
+            gl_cur = txn_table(spark, root, "gl")
+            tr_cur = txn_table(spark, root, "trace")
+
+            def replace(cur: DataFrame, delta: DataFrame) -> DataFrame:
+                return (
+                    cur.join(
+                        F.broadcast(affected),
+                        "PremiumTransactionId",
+                        "left_anti",
+                    )
+                    .select(*cur.columns)
+                    .unionByName(delta.select(*cur.columns))
+                )
+
+            fail_after = None
+            if crash_arm["armed"]:
+                crash_arm["armed"] = False
+                fail_after = 1  # crash between the two table writes
+            txn_commit(
+                {
+                    "gl": replace(gl_cur, outs["gl"]),
+                    "trace": replace(tr_cur, outs["trace_full"]),
+                },
+                root,
+                bid,
+                fail_after=fail_after,
+            )
+
+        batch.repartition(4, "PremiumTransactionId").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/all")
+        parts = sorted(
+            f for f in os.listdir(f"{tmp}/all") if f.endswith(".parquet")
+        )
+        os.makedirs(src)
+
+        def run_wave(expect_crash: bool) -> Exception | None:
+            q = (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(apply_increment)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise TimeoutError(
+                        "txn stream wave did not finish within 300s"
+                    )
+                return None
+            except TimeoutError:
+                raise
+            except Exception as e:  # the injected TxnAborted surfaces
+                q.stop()
+                if not expect_crash:
+                    raise
+                return e
+
+        for f in parts[:2]:
+            shutil.copy(f"{tmp}/all/{f}", f"{src}/{f}")
+        assert run_wave(expect_crash=False) is None
+
+        before_wave2 = txn_current(root)
+        crash_arm["armed"] = True
+        for f in parts[2:]:
+            shutil.copy(f"{tmp}/all/{f}", f"{src}/{f}")
+        crash = run_wave(expect_crash=True)
+        if crash is None or "injected crash" not in str(crash):
+            raise AssertionError(f"expected the injected crash, got {crash}")
+        # crash window: the manifest still resolves the pre-crash set
+        if txn_current(root) != before_wave2:
+            raise AssertionError(
+                f"manifest advanced through a crashed commit: "
+                f"{txn_current(root)} != {before_wave2}"
+            )
+        # restart from the same checkpoint: the failed batch is
+        # REDELIVERED and its replayed commit completes
+        assert run_wave(expect_crash=False) is None
+
+        sep = F.lit("|")
+        gl_rows = txn_table(spark, root, "gl").select(
+            F.lit("gl").alias("output"),
+            F.concat(F.lit("GL|"), "GlEntryId").alias("id"),
+            F.concat(
+                "PremiumTransactionId", sep, "EntryType", sep,
+                F.coalesce(F.col("BrokerId").cast("string"), F.lit("~")),
+            ).alias("ref_id"),
+            F.round(F.col("Amount") * 100).cast("long").alias("metric"),
+        )
+        tr_rows = txn_table(spark, root, "trace").select(
+            F.lit("trace").alias("output"),
+            F.concat(F.lit("TR|"), "Id").alias("id"),
+            F.concat(
+                F.coalesce("ProposalId", F.lit("~")), sep,
+                F.coalesce("GroupId", F.lit("~")), sep,
+                F.coalesce("ErrorMessages", F.lit("~")), sep,
+                F.col("ParticipantCount").cast("string"), sep,
+                F.col("HasErrors").cast("string"),
+            ).alias("ref_id"),
+            F.round(F.col("TotalCommission") * 100)
+            .cast("long")
+            .alias("metric"),
+        )
+        # materialize before the published parquet is removed
+        return gl_rows.unionByName(tr_rows).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

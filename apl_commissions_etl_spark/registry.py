@@ -204,6 +204,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: Rotation plan if driver slots free up (or the prefix grows): the
 #: next queries to pin are currently driver-"local" only — each
 #: already passes the full local sweep + vanilla rehearsal.
+#:   0. sink_time_travel_parity / layout_vacuum_plan (r11 table-
+#:                                 maintenance surface; swept + scale-
+#:                                 smoked; pipeline_txn_commit_parity is
+#:                                 already driver-gated as an
+#:                                 incremental_stream_parity_suite sub)
 #:   1. graph_pagerank / multimodal_png_roundtrip (beyond-§2 extras,
 #:                                 also fingerprinted in llmdata_extras)
 #:   2. agg_conditional (evicted r5, fingerprinted in

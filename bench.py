@@ -82,48 +82,66 @@ def prev_round_steady(repo_dir: str) -> tuple[str | None, dict[str, float]]:
     import glob
     import re
 
-    candidates = sorted(
-        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True
-    ) + [os.path.join(repo_dir, "BENCH_LOCAL.json")]
-    for path in candidates:
+    def load(path):
         try:
             with open(path) as fh:
                 doc = json.load(fh)
         except (OSError, json.JSONDecodeError):
-            continue
-        if not isinstance(doc, dict):
-            continue
+            return None
+        return doc if isinstance(doc, dict) else None
+
+    def from_parsed(doc):
         # driver-archived shape: {"parsed": <final line>, "tail": ...};
         # local shape (BENCH_LOCAL.json): bench stdout's final line
-        # itself. From this round on the final line embeds the steady
+        # itself. From r11 on the final line embeds the steady
         # per-query dict, so "queries" is present in both.
         parsed = doc.get("parsed") if isinstance(doc.get("parsed"), dict) \
             else doc
         q = parsed.get("queries")
-        if isinstance(q, dict):
-            found = {
-                n: float(v) for n, v in q.items()
-                if n in HEADLINE and isinstance(v, (int, float))
-            }
-            if found:
-                return os.path.basename(path), found
+        if not isinstance(q, dict):
+            return {}
+        return {
+            n: float(v) for n, v in q.items()
+            if n in HEADLINE and isinstance(v, (int, float))
+        }
+
+    def from_tail(doc):
         # legacy tails (pre-r11) truncate the steady dict away and keep
         # only cold_queries fragments — cold numbers are NOT a steady
         # baseline, so only use tail pairs that follow an explicit
         # '"queries": {' marker.
         tail = doc.get("tail", "")
         marker = tail.find('"queries": {')
-        if marker >= 0:
-            seg = tail[marker:]
-            end = seg.find("}")
-            seg = seg if end < 0 else seg[: end + 1]
-            found = {
-                m.group(1): float(m.group(2))
-                for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', seg)
-                if m.group(1) in HEADLINE
-            }
-            if found:
-                return os.path.basename(path), found
+        if marker < 0:
+            return {}
+        seg = tail[marker:]
+        end = seg.find("}")
+        seg = seg if end < 0 else seg[: end + 1]
+        return {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', seg)
+            if m.group(1) in HEADLINE
+        }
+
+    rounds = sorted(
+        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True
+    )
+    local = os.path.join(repo_dir, "BENCH_LOCAL.json")
+    # preference order: newest round artifact whose parsed line carries
+    # the steady dict (r11+), then the committed clean-window local
+    # baseline, and only then a legacy tail fragment (stale rounds).
+    tiers = (
+        [(p, from_parsed) for p in rounds]
+        + [(local, from_parsed)]
+        + [(p, from_tail) for p in rounds]
+    )
+    for path, extract in tiers:
+        doc = load(path)
+        if doc is None:
+            continue
+        found = extract(doc)
+        if found:
+            return os.path.basename(path), found
     return None, {}
 
 

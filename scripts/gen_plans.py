@@ -282,6 +282,42 @@ AUDITS: list[tuple[str, list[str], list[str], str]] = [
         "is why SCALING.md's skew section measures max/median task "
         "ratios near 1 for the skewed run.",
     ),
+    (
+        "pipeline_txn_commit_parity",
+        [],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "Multi-table atomic publish (r11): the returned frame is the "
+        "PUBLISHED five-table set read back through the transaction "
+        "manifest (materialized before the temp root is removed), so "
+        "this plan is by design a snapshot scan — the compute plan is "
+        "pipeline_incremental_parity's audited broadcast-narrow "
+        "increment, and the transactional invariants (crash window "
+        "between table writes leaves readers on the previous set's "
+        "exact immutable directories; replay guard; one-flip publish) "
+        "are asserted inside the query and in tests/test_txn.py.",
+    ),
+    (
+        "sink_time_travel_parity",
+        [],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "Time-travel parity (r11): the returned frame unions the four "
+        "published versions read back AS OF through the sink's version "
+        "history (materialized before the temp sink is removed — a "
+        "snapshot-scan plan by design). Each version write is the "
+        "merge sink's broadcast upsert; the as-of resolution is pure "
+        "metadata (the state file's history), which is the point: at "
+        "100 TB VERSION AS OF costs one snapshot scan, no recompute.",
+    ),
+    (
+        "layout_vacuum_plan",
+        [],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "Vacuum planning (r11): one hash aggregation builds the "
+        "version-log manifest, one window rank per table_id orders "
+        "versions by recency, and the keep-last-K + pinned policy is "
+        "a CASE projection — metadata-scale input, a single exchange "
+        "on table_id, no joins at all.",
+    ),
 ]
 
 

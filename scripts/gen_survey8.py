@@ -31,7 +31,13 @@ the full calc cascade running in STREAMING mode
 batch GL), audit assertion suite (§5.3, `plans/audit.py`), stratified
 sampling validator (§5.2, `plans/validate.py`), differential
 overlap-fix test vs a simulation of the reference loop
-(`tests/test_overlap_differential.py`) — each covered by `tests/`."""
+(`tests/test_overlap_differential.py`), multi-table transactional
+publish — one version-SET manifest so every maintained output commits
+atomically, with crash-window + replay-guard tests
+(`streaming/txn.py`, `tests/test_txn.py`), and time-travel reads +
+retention vacuum on the versioned sinks (`streaming/sinks.py`
+`table_as_of`/`vacuum_versions`, `tests/test_timetravel.py`) — each
+covered by `tests/`."""
 
 
 def prefix_of(name: str) -> str:
