@@ -220,29 +220,49 @@ def main():
     # samples measure exactly the retained set; transient intra-query
     # allocation is GC-reclaimable and was never the failure mode.)
     HEADROOM_FRACTION = 0.65
+    #: in-flight live headroom target (r10 verdict item 1): the peak of
+    #: live-after-last-GC DURING queries must stay under this fraction
+    #: of max heap — this is the metric whose r10 value (958M/1024M,
+    #: GC-logged) predicted the two rehearsal OOMs. Raw used heap is
+    #: NOT comparable: a healthy G1 runs allocation up to ~max between
+    #: young collections regardless of live set, so raw used reads
+    #: ~93% even in a comfortable session.
+    INFLIGHT_FRACTION = 0.85
     peak_live = [0]
-    peak_used = [0]  # raw in-flight max (sampler thread, report-only)
+    peak_used = [0]        # raw in-flight max (report-only trend)
+    peak_inflight = [0]    # in-flight live-after-last-GC max (enforced)
 
     if vanilla:
         # The post-GC guard below missed the r10 tail OOM: between-slot
         # samples read 25% while live-after-full-GC hit 93% INSIDE a
-        # suite. Sample raw used heap every 250ms on a daemon thread
-        # and report the in-flight peak. Report-only: a healthy G1
-        # legitimately runs the heap near-full between young GCs, so
-        # the number is a trend signal (compare across rounds), not a
-        # pass/fail — the enforced guard stays the post-GC live set.
+        # suite. Sample every 250ms on a daemon thread:
+        # - raw used (Runtime): report-only trend signal;
+        # - sum of MemoryPoolMXBean.getCollectionUsage().used across
+        #   heap pools — the JVM's own live-after-last-GC estimate,
+        #   updated at EVERY collection (young included), i.e. the
+        #   in-flight version of the r10 GC-log number. Enforced
+        #   against INFLIGHT_FRACTION.
         import threading
 
         def _sampler() -> None:
             try:
                 jvm = spark.sparkContext._jvm
                 rt = jvm.java.lang.Runtime.getRuntime()
+                mf = jvm.java.lang.management.ManagementFactory
+                pools = list(mf.getMemoryPoolMXBeans())
             except Exception:
                 return
             while True:
                 try:
                     used = int(rt.totalMemory() - rt.freeMemory())
                     peak_used[0] = max(peak_used[0], used)
+                    live = 0
+                    for p in pools:
+                        cu = p.getCollectionUsage()
+                        if cu is not None:
+                            live += int(cu.getUsed())
+                    if live:
+                        peak_inflight[0] = max(peak_inflight[0], live)
                 except Exception:
                     return
                 time.sleep(0.25)
@@ -351,13 +371,18 @@ def main():
     heap_ok = True
     if vanilla and heap_sample.max_heap:
         frac = peak_live[0] / heap_sample.max_heap
-        heap_ok = frac <= HEADROOM_FRACTION
+        infl = peak_inflight[0] / heap_sample.max_heap
+        heap_ok = frac <= HEADROOM_FRACTION and infl <= INFLIGHT_FRACTION
         print(
             f"\nHEAP {'OK' if heap_ok else 'FAIL'}: peak post-GC live "
             f"{peak_live[0] / 1e6:.0f}MB of {heap_sample.max_heap / 1e6:.0f}MB "
             f"max ({frac:.0%}; guard {HEADROOM_FRACTION:.0%}) — retained "
             "session footprint across the rehearsed prefix; in-flight "
-            f"peak used {peak_used[0] / 1e6:.0f}MB (report-only)"
+            f"live-after-GC peak {peak_inflight[0] / 1e6:.0f}MB "
+            f"({infl:.0%}; guard {INFLIGHT_FRACTION:.0%}) — the r10 OOM "
+            "signature metric; raw used peak "
+            f"{peak_used[0] / 1e6:.0f}MB (report-only: G1 runs "
+            "allocation near max between young GCs by design)"
             + (
                 ""
                 if heap_ok
