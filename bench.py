@@ -70,13 +70,18 @@ HEADLINE = [
 ]
 
 
-def prev_round_steady(repo_dir: str) -> tuple[str | None, dict[str, float]]:
+def prev_round_steady(
+    repo_dir: str, sf: object = None
+) -> tuple[str | None, dict[str, float]]:
     """Per-query steady timings from the newest committed BENCH_r*.json.
 
     The driver archives only a 2000-char TAIL of stdout, so the
     previous round's per-query dict may be truncated at the front —
     recover whatever ``"name": seconds`` pairs survive (only names in
     HEADLINE count; totals/metadata keys never collide with them).
+    ``sf``: when given, a candidate whose recorded scale factor
+    DIFFERS is skipped — cross-SF timings would make every query look
+    3x+ slower/faster and poison the contention detector.
     Returns (filename, {query: sec}); ({}, None) when no usable file.
     """
     import glob
@@ -97,6 +102,8 @@ def prev_round_steady(repo_dir: str) -> tuple[str | None, dict[str, float]]:
         # per-query dict, so "queries" is present in both.
         parsed = doc.get("parsed") if isinstance(doc.get("parsed"), dict) \
             else doc
+        if sf is not None and "sf" in parsed and parsed["sf"] != sf:
+            return {}  # cross-SF baseline: not comparable
         q = parsed.get("queries")
         if not isinstance(q, dict):
             return {}
@@ -260,8 +267,9 @@ def main() -> None:
     # and record the better (lower-total) window; both totals and the
     # flag land in the output either way so the artifact tells the
     # judge what happened.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     prev_file, prev = prev_round_steady(
-        os.path.dirname(os.path.abspath(__file__))
+        os.path.dirname(os.path.abspath(__file__)), sf=sf_val
     )
     suspects = suspect_queries(timings, prev)
     window_suspect = bool(suspects)

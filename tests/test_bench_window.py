@@ -105,3 +105,22 @@ def test_prev_round_steady_local_fallback(tmp_path):
     fname, found = BENCH.prev_round_steady(str(tmp_path))
     assert fname == "BENCH_LOCAL.json"
     assert found == {"calc_gl_entries": 0.79}
+
+
+def test_prev_round_steady_skips_cross_sf_baseline(tmp_path):
+    # a baseline recorded at a different scale factor must be skipped
+    # (every query would look 3x+ off and poison the detector)
+    line = {
+        "metric": "headline_queries_total",
+        "sf": 0.001,
+        "queries": {"calc_gl_entries": 0.06},
+    }
+    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(line))
+    fname, found = BENCH.prev_round_steady(str(tmp_path), sf=0.1)
+    assert found == {}
+    # same SF: accepted
+    fname, found = BENCH.prev_round_steady(str(tmp_path), sf=0.001)
+    assert found == {"calc_gl_entries": 0.06}
+    # no SF filter requested: accepted (legacy behavior)
+    fname, found = BENCH.prev_round_steady(str(tmp_path))
+    assert found == {"calc_gl_entries": 0.06}
