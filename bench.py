@@ -82,7 +82,7 @@ def prev_round_steady(
     ``sf``: when given, a candidate whose recorded scale factor
     DIFFERS is skipped — cross-SF timings would make every query look
     3x+ slower/faster and poison the contention detector.
-    Returns (filename, {query: sec}); ({}, None) when no usable file.
+    Returns (filename, {query: sec}); (None, {}) when no usable file.
     """
     import glob
     import re
@@ -95,11 +95,17 @@ def prev_round_steady(
             return None
         return doc if isinstance(doc, dict) else None
 
-    def from_parsed(doc):
+    def from_parsed(doc, min_coverage=0.0):
         # driver-archived shape: {"parsed": <final line>, "tail": ...};
         # local shape (BENCH_LOCAL.json): bench stdout's final line
         # itself. From r11 on the final line embeds the steady
-        # per-query dict, so "queries" is present in both.
+        # per-query dict, so "queries" is present in both — but so
+        # does the r02-ERA line (a 19-query dict from a long-retired
+        # headline set), which the r11 detector preferred over
+        # BENCH_LOCAL.json and committed as a 9-round-stale baseline
+        # (BENCH_r11.json window_baseline=BENCH_r02.json). A round
+        # artifact therefore only qualifies when its dict COVERS the
+        # current headline set (>= ``min_coverage`` of HEADLINE).
         parsed = doc.get("parsed") if isinstance(doc.get("parsed"), dict) \
             else doc
         if sf is not None and "sf" in parsed and parsed["sf"] != sf:
@@ -107,10 +113,13 @@ def prev_round_steady(
         q = parsed.get("queries")
         if not isinstance(q, dict):
             return {}
-        return {
+        found = {
             n: float(v) for n, v in q.items()
             if n in HEADLINE and isinstance(v, (int, float))
         }
+        if len(found) < min_coverage * len(HEADLINE):
+            return {}  # stale-era artifact: too few current queries
+        return found
 
     def from_tail(doc):
         # legacy tails (pre-r11) truncate the steady dict away and keep
@@ -135,10 +144,13 @@ def prev_round_steady(
     )
     local = os.path.join(repo_dir, "BENCH_LOCAL.json")
     # preference order: newest round artifact whose parsed line carries
-    # the steady dict (r11+), then the committed clean-window local
-    # baseline, and only then a legacy tail fragment (stale rounds).
+    # a steady dict COVERING the current headline set (r11+ artifacts;
+    # the >=80% gate excludes r02-era 19-query lines), then the
+    # committed clean-window local baseline (any coverage — it is
+    # curated, and a partial clean baseline beats a legacy tail), and
+    # only then a legacy tail fragment (stale rounds).
     tiers = (
-        [(p, from_parsed) for p in rounds]
+        [(p, lambda d: from_parsed(d, min_coverage=0.8)) for p in rounds]
         + [(local, from_parsed)]
         + [(p, from_tail) for p in rounds]
     )
@@ -173,6 +185,31 @@ def suspect_queries(
         and t > ratio * prev[n]
     ]
     return sorted(hits) if len(hits) >= min_hits else []
+
+
+def lone_outliers(
+    timings: dict[str, float],
+    prev: dict[str, float],
+    ratio: float = 5.0,
+    floor_sec: float = 0.5,
+) -> list[str]:
+    """Single-query blow-ups the window detector ignores BY DESIGN
+    (``suspect_queries`` needs >=3 simultaneous hits because contention
+    smears; a lone hit could be a real regression). But a lone >=5x
+    hit on a non-trivial query can ALSO be one unlucky stall landing
+    on one query (r11: builder_overlap_fix 11.9 s vs a 1.3 s clean
+    value, source untouched) — and with min_hits=3 it sat in the
+    committed artifact unflagged and unexplained. These names get ONE
+    automatic re-measure after a settle pause; BOTH samples land in
+    the artifact (``outliers``) so the round adjudicates itself —
+    record, never retry away: the first sample stays the recorded
+    steady number."""
+    return sorted(
+        n
+        for n, t in timings.items()
+        if n in prev and prev[n] > 0 and max(t, prev[n]) >= floor_sec
+        and t >= ratio * prev[n]
+    )
 
 
 def steady_pass(spark, qs, names, sf_dir, label: str) -> dict[str, float]:
@@ -286,6 +323,22 @@ def main() -> None:
         if second_total < first_total:
             timings = second
 
+    # Lone-outlier self-adjudication (r11 verdict item 2): a single
+    # >=5x hit on a >=0.5 s query is re-measured ONCE after a settle
+    # pause and BOTH samples are recorded — the recorded steady number
+    # stays the FIRST sample (a real regression must not be retried
+    # away); the retry tells the judge whether it was a stall.
+    outliers: dict[str, list[float]] = {}
+    for name in lone_outliers(timings, prev):
+        print(
+            f"[bench] LONE OUTLIER {name} {timings[name]:.3f}s vs "
+            f"baseline {prev.get(name, 0.0):.3f}s — settle + re-measure",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(10)  # let a transient host stall pass
+        retry = steady_pass(spark, qs, [name], sf_dir, "adjudicate")[name]
+        outliers[name] = [timings[name], retry]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -317,6 +370,10 @@ def main() -> None:
                 # window is the one recorded above
                 "window_suspect": window_suspect,
                 "suspect_queries": suspects,
+                # lone >=5x hits: {name: [first_sample, settle_retry]}
+                # — the first sample is the recorded steady number
+                # above; the retry adjudicates stall vs regression
+                "outliers": outliers,
                 "window_baseline": prev_file,
                 "first_window_total": first_total,
                 "second_window_total": second_total,
@@ -348,6 +405,12 @@ def main() -> None:
                 "session_init": session_init,
                 "n_queries": len(timings),
                 "window_suspect": window_suspect,
+                # rides the tail-safe line so the adjudicating retry
+                # survives the driver's 2000-char tail capture
+                "outliers": {
+                    n: [round(v, 2) for v in pair]
+                    for n, pair in outliers.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         ),

@@ -68,18 +68,21 @@ def test_unknown_or_zero_baseline_ignored():
 
 def test_prev_round_steady_prefers_parsed_queries(tmp_path):
     # driver-archived shape with the r11+ compact line (embedded
-    # steady dict) must win over legacy tail fragments
+    # steady dict, full headline coverage) must win over legacy tail
+    # fragments; unknown names are dropped from the result
+    qdict = {n: 1.25 for n in BENCH.HEADLINE}
+    qdict["not_a_query"] = 9.9
     doc = {
         "parsed": {
             "metric": "headline_queries_total",
-            "queries": {"agg_pricing_summary": 1.25, "not_a_query": 9.9},
+            "queries": qdict,
         },
         "tail": '"cold_queries": {"agg_pricing_summary": 99.0}',
     }
     (tmp_path / "BENCH_r11.json").write_text(json.dumps(doc))
     fname, found = BENCH.prev_round_steady(str(tmp_path))
     assert fname == "BENCH_r11.json"
-    assert found == {"agg_pricing_summary": 1.25}
+    assert found == {n: 1.25 for n in BENCH.HEADLINE}
 
 
 def test_prev_round_steady_skips_cold_only_tail(tmp_path):
@@ -105,6 +108,77 @@ def test_prev_round_steady_local_fallback(tmp_path):
     fname, found = BENCH.prev_round_steady(str(tmp_path))
     assert fname == "BENCH_LOCAL.json"
     assert found == {"calc_gl_entries": 0.79}
+
+
+def test_prev_round_steady_rejects_verbatim_r02_artifact(tmp_path):
+    # The r11 live bug (VERDICT r11 item 1): BENCH_r02.json's parsed
+    # line carries a 19-query dict from the r02-era headline set, so
+    # tier 1 preferred it over BENCH_LOCAL.json and the committed
+    # driver artifact recorded window_baseline=BENCH_r02.json — a
+    # 9-round-stale baseline. Feed the VERBATIM committed artifacts:
+    # the low-coverage round line must lose to BENCH_LOCAL.json.
+    import shutil
+
+    shutil.copy(os.path.join(REPO, "BENCH_r02.json"),
+                tmp_path / "BENCH_r02.json")
+    shutil.copy(os.path.join(REPO, "BENCH_LOCAL.json"),
+                tmp_path / "BENCH_LOCAL.json")
+    # sanity: the trap is still armed — r02's parsed line really does
+    # carry a queries dict with some still-current headline names
+    r02 = json.loads((tmp_path / "BENCH_r02.json").read_text())
+    overlap = [n for n in r02["parsed"]["queries"] if n in BENCH.HEADLINE]
+    assert overlap, "BENCH_r02.json no longer overlaps HEADLINE"
+    fname, found = BENCH.prev_round_steady(str(tmp_path), sf=0.1)
+    assert fname == "BENCH_LOCAL.json"
+    assert len(found) >= 0.8 * len(BENCH.HEADLINE)
+
+
+def test_prev_round_steady_low_coverage_round_skipped(tmp_path):
+    # a round artifact with a queries dict covering <80% of HEADLINE
+    # is stale-era; with no other file at all it yields NO baseline
+    # (tail tier has nothing) rather than a poisoned one
+    few = {n: 1.0 for n in BENCH.HEADLINE[:5]}
+    doc = {"parsed": {"metric": "headline_queries_total",
+                      "queries": few}, "tail": ""}
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(doc))
+    fname, found = BENCH.prev_round_steady(str(tmp_path))
+    assert (fname, found) == (None, {})
+
+
+def test_prev_round_steady_full_coverage_round_wins(tmp_path):
+    # an r11+-style round artifact covering the full headline set
+    # outranks BENCH_LOCAL.json (newest committed round is tier 1)
+    full = {n: 1.0 for n in BENCH.HEADLINE}
+    doc = {"parsed": {"metric": "headline_queries_total",
+                      "queries": full}, "tail": ""}
+    (tmp_path / "BENCH_r11.json").write_text(json.dumps(doc))
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps({"queries": {n: 2.0 for n in BENCH.HEADLINE}})
+    )
+    fname, found = BENCH.prev_round_steady(str(tmp_path))
+    assert fname == "BENCH_r11.json"
+    assert found[BENCH.HEADLINE[0]] == 1.0
+
+
+def test_lone_outlier_fires_on_single_5x_hit():
+    # the r11 shape: ONE query 9x its baseline, window detector silent
+    prev = {"builder_overlap_fix": 1.3, "calc_gl_entries": 0.8}
+    now = {"builder_overlap_fix": 11.9, "calc_gl_entries": 0.79}
+    assert BENCH.suspect_queries(now, prev) == []  # by design
+    assert BENCH.lone_outliers(now, prev) == ["builder_overlap_fix"]
+
+
+def test_lone_outlier_floor_and_ratio():
+    # sub-floor queries and <5x regressions do not trigger re-measure
+    prev = {"a": 0.05, "b": 1.0, "c": 1.0}
+    now = {"a": 0.4, "b": 4.9, "c": 5.0}
+    assert BENCH.lone_outliers(now, prev) == ["c"]
+
+
+def test_lone_outlier_multiple_hits_all_listed():
+    prev = {"a": 1.0, "b": 1.0, "c": 1.0}
+    now = {"a": 6.0, "b": 7.0, "c": 1.0}
+    assert BENCH.lone_outliers(now, prev) == ["a", "b"]
 
 
 def test_prev_round_steady_skips_cross_sf_baseline(tmp_path):
