@@ -174,10 +174,12 @@ def table_as_of(
         hits = [h for h in history if h["batch_id"] == batch]
         what = f"batch {batch}"
     if not hits:
-        lo, hi = history[0]["version"], history[-1]["version"]
+        # the retained set is NON-contiguous after vacuum_versions with
+        # protected pins, so report the actual list, not a lo..hi range
+        retained = sorted(h["version"] for h in history)
         raise KeyError(
-            f"{what} not readable (retained versions: {lo}..{hi}; "
-            "older ones were retired by vacuum_versions)"
+            f"{what} not readable (retained versions: {retained}; "
+            "unpinned older ones were retired by vacuum_versions)"
         )
     return spark.read.parquet(os.path.join(target_dir, hits[-1]["dir"]))
 
@@ -443,13 +445,22 @@ def vacuum_journal(target_dir: str) -> int:
     directories under ``target_dir`` that NO committed state references
     — orphan ``b*`` part dirs from batches that crashed between write
     and commit, superseded ``c*`` compactions whose removal itself
-    crashed, and superseded merge-sink ``v*`` versions.  Readers only
-    ever follow the state file, so orphans are invisible; vacuum just
-    reclaims their disk.  Runs under the per-target lock so a sink
-    cannot commit a directory between the liveness snapshot and the
-    deletes (a dir created after the snapshot is not deleted: only
-    dirs ALREADY present and unreferenced at snapshot time go).
+    crashed, and merge-sink ``v*`` versions that neither the current
+    pointer NOR the time-travel ``history`` references (a version
+    written just before a crash that hit before its state commit).
+    Readers only ever follow the state file, so orphans are invisible;
+    vacuum just reclaims their disk.  Runs under the per-target lock
+    so a sink cannot commit a directory between the liveness snapshot
+    and the deletes (a dir created after the snapshot is not deleted:
+    only dirs ALREADY present and unreferenced at snapshot time go).
     Returns the number of directories removed.
+
+    History entries are LIVE: every version ``table_as_of`` can still
+    resolve is retained, so this pass never shortens time-travel depth
+    and never touches versions ``vacuum_versions`` kept or pinned —
+    retention POLICY (keep-last-K + protected) belongs exclusively to
+    ``vacuum_versions``; this pass only collects garbage no committed
+    state can reach.
 
     At 100 TB this is the table format's VACUUM: the transaction log
     (here the state file) defines liveness; everything else under the
@@ -465,6 +476,7 @@ def vacuum_journal(target_dir: str) -> int:
             live.add(comp["dir"])
         if state.get("current"):
             live.add(state["current"])
+        live |= {h["dir"] for h in state.get("history", [])}
         victims = [
             d
             for d in os.listdir(target_dir)
@@ -474,12 +486,4 @@ def vacuum_journal(target_dir: str) -> int:
         ]
         for d in victims:
             shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
-        if victims and state.get("history"):
-            # retired versions leave the time-travel history too, so
-            # table_as_of reports a clean retention boundary instead
-            # of a missing-path read error
-            state["history"] = [
-                h for h in state["history"] if h["dir"] in live
-            ]
-            _store_state(target_dir, state)
     return len(victims)

@@ -32,6 +32,17 @@ the flip is O(1) metadata regardless of data volume. Time travel
 falls out of the same structure — every committed set stays resolvable
 by commit id until ``txn_vacuum`` retires it (keep-last-K retention,
 the table format's VACUUM with a snapshot-retention policy).
+
+WRITER CONTRACT — one driver owns a root (same contract as
+``sinks.py``'s state file): the per-root ``threading.Lock`` serializes
+committers only WITHIN this process, which is the real writer set
+because foreachBatch callbacks and batch committers all run on the
+driver. Two processes committing to the same root would race the
+manifest's load-modify-store and one commit's entry could be lost
+despite the atomic ``os.replace`` — on a real deployment this is the
+slot a catalog service / commit coordinator fills (Iceberg REST
+catalog, Delta coordinated commits); a manifest CAS loop is the
+single-node equivalent if multi-process commit is ever needed.
 """
 
 from __future__ import annotations

@@ -102,16 +102,36 @@ def test_replace_sink_history_and_as_of(spark, tmp_path):
     ]
 
 
-def test_vacuum_journal_prunes_history(spark, tmp_path):
-    # the unreferenced-dir janitor retires superseded merge versions
-    # AND their history entries, so as-of reports the boundary cleanly
+def test_vacuum_journal_keeps_history_reclaims_orphans(spark, tmp_path):
+    # history entries are LIVE to the janitor: superseded-but-still-
+    # time-travelable versions survive vacuum_journal (retention policy
+    # belongs exclusively to vacuum_versions — an earlier incarnation
+    # deleted pinned/kept versions a later janitor pass should have
+    # left alone); only dirs NO committed state references go
     target = str(tmp_path / "t")
     _feed_merge(spark, target, n=3)
-    assert vacuum_journal(target) == 2  # v1, v2 unreferenced
+    os.makedirs(os.path.join(target, "v999999"))  # crash orphan
+    assert vacuum_journal(target) == 1  # only the orphan
+    # every published version is still time-travelable
+    assert _rows(table_as_of(spark, target, version=1)) == [(0, 0)]
     assert _rows(table_as_of(spark, target, version=3))
-    with pytest.raises(KeyError):
-        table_as_of(spark, target, version=1)
-    # the removed dirs are really gone
     assert sorted(
         d for d in os.listdir(target) if d.startswith("v")
-    ) == ["v000003"]
+    ) == ["v000001", "v000002", "v000003"]
+
+
+def test_vacuum_journal_respects_vacuum_versions_pins(spark, tmp_path):
+    # a keep-last-K + pinned retention established via vacuum_versions
+    # is NOT destroyed by a later janitor pass
+    target = str(tmp_path / "t")
+    _feed_merge(spark, target, n=4)
+    assert vacuum_versions(target, keep_last=2, protected={1}) == 1  # v2
+    assert vacuum_journal(target) == 0  # nothing unreferenced remains
+    assert _rows(table_as_of(spark, target, version=1)) == [(0, 0)]
+    assert _rows(table_as_of(spark, target, version=3))
+    assert _rows(table_as_of(spark, target, version=4))
+    with pytest.raises(KeyError) as ei:
+        table_as_of(spark, target, version=2)
+    # the error reports the ACTUAL retained (non-contiguous) set, not
+    # a lo..hi range that would wrongly include the retired v2
+    assert "[1, 3, 4]" in str(ei.value)
