@@ -310,3 +310,119 @@ def layout_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reclaim_bytes"),
     )
+
+
+@query(
+    "layout_compaction_exec_parity",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts, cents
+    FROM m WHERE rn = 1
+    """,
+    survey_ref="r11 verdict item 4: compaction EXECUTION with parity "
+    "proof — layout_compaction_plan plans the next-fit-decreasing "
+    "bin-packing; sinks.compact_current_version EXECUTES it against a "
+    "live versioned sink table: the current version's small files are "
+    "grouped by the same policy, each group rewritten as ONE file into "
+    "a fresh version, atomically re-published through the sink state "
+    "(the Delta OPTIMIZE / Iceberg rewriteDataFiles shape: a new "
+    "snapshot, never in-place). In-query asserts: post-compaction "
+    "file count EQUALS the plan's group count AND dropped vs before, "
+    "content fingerprint-identical before/after, the replaced version "
+    "stays time-travelable until vacuum_versions reclaims it, and the "
+    "vacuumed table still reads. The seed commit writes with a fixed "
+    "24-partition shuffle and AQE coalescing off — the many-small-"
+    "files state a real high-parallelism producer leaves behind, "
+    "which local AQE would otherwise hide. Returned frame: the "
+    "compacted table read through the flipped pointer, hash-checked "
+    "against the straight-from-events oracle",
+)
+def layout_compaction_exec_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.cdc import table_fingerprint
+    from ..streaming.sinks import (
+        compact_current_version,
+        current_table,
+        idempotent_merge_sink,
+        table_as_of,
+        vacuum_versions,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    batch = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="compact_exec_")
+    conf = spark.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    old_coalesce = conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    try:
+        target = f"{tmp}/t"
+        # seed with a high-parallelism producer's file layout: 24
+        # shuffle partitions, AQE coalescing off for this one write
+        conf.set("spark.sql.shuffle.partitions", "24")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        sink = idempotent_merge_sink(target, ["user_id"])
+        sink(batch, 0)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+        conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", old_coalesce
+        )
+        cols = ["user_id", "last_event_id", "last_ts", "cents"]
+        before_fp = table_fingerprint(
+            current_table(spark, target), cols
+        )
+        v1_files = glob.glob(f"{target}/v000001/*.parquet")
+        total = sum(map(os.path.getsize, v1_files))
+        # ~4 target-size groups; the seed wrote ~24 files
+        result = compact_current_version(
+            spark, target, target_bytes=max(1, total // 3)
+        )
+        if result["files_after"] != result["groups"]:
+            raise AssertionError(f"one file per plan group violated: {result}")
+        if result["files_after"] >= result["files_before"]:
+            raise AssertionError(f"no file-count drop: {result}")
+        after_fp = table_fingerprint(current_table(spark, target), cols)
+        if after_fp != before_fp:
+            raise AssertionError(
+                f"compaction changed content: {before_fp} != {after_fp}"
+            )
+        # the replaced version stays time-travelable until vacuumed
+        if table_fingerprint(
+            table_as_of(spark, target, version=1), cols
+        ) != before_fp:
+            raise AssertionError("pre-compaction version unreadable")
+        if vacuum_versions(target, keep_last=1) != 1:
+            raise AssertionError("vacuum did not reclaim the replaced files")
+        if table_fingerprint(current_table(spark, target), cols) != before_fp:
+            raise AssertionError("table unreadable after vacuum")
+        return current_table(spark, target).localCheckpoint()
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+        conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", old_coalesce
+        )
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -421,7 +421,12 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
         "committed as one version set through the transaction "
         "manifest with a crash injected between table data writes, "
         "read back through the manifest and hash-proven equal to the "
-        "monolithic rebuild",
+        "monolithic rebuild, and (r12) CDC CHANGE-FEED EMISSION — "
+        "both sink kinds emit Delta-CDF-shaped per-commit changelogs "
+        "derived from the merge's own arms, proven by fold(log<=N) == "
+        "table_as_of(N) for every commit plus a full emit+apply == "
+        "independent-rebuild driver hash, batch and streamed across a "
+        "crash-interrupted checkpointed restart",
         (
             "pipeline_incremental_parity",
             "ann_incremental_pq_parity",
@@ -430,6 +435,8 @@ SUITE_DEFS: dict[str, tuple[str, tuple[str, ...]]] = {
             "stream_incremental_gl_parity",
             "stream_consolidate_parity",
             "pipeline_txn_commit_parity",
+            "cdc_emit_roundtrip_parity",
+            "stream_cdc_emit_parity",
         ),
     ),
 }

@@ -246,6 +246,7 @@ def all_queries() -> dict[str, Query]:
         builder,
         builder_modes,
         calcdomain,
+        cdcfeed,
         corpusprep,
         dims,
         events,

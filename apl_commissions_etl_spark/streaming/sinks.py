@@ -80,7 +80,7 @@ def current_table(spark: SparkSession, target_dir: str) -> DataFrame | None:
 
 
 def idempotent_merge_sink(
-    target_dir: str, keys: list[str], metrics=None
+    target_dir: str, keys: list[str], metrics=None, emit_changes=False
 ):
     """Build a foreachBatch function maintaining a keyed table at
     ``target_dir`` with exactly-once upsert semantics (see module
@@ -99,10 +99,21 @@ def idempotent_merge_sink(
     scan, same mechanism as the batch path's ``audit_observed_gl``)
     and the per-batch results are recorded in the sink state next to
     the committed batch id: the metrics log IS part of the
-    exactly-once contract, so a replayed batch never double-logs."""
+    exactly-once contract, so a replayed batch never double-logs.
+
+    ``emit_changes``: when True, each commit ALSO writes a
+    Delta-CDF-shaped changelog (insert / update_pre / update_post
+    rows tagged with the commit version, derived from the merge's own
+    arms — see ``cdc.merge_changes``) to ``_changes/x<version>`` and
+    names it in the history entry; ``cdc.read_changes`` is the read
+    path. The changelog write sits inside the same crash window as
+    the data write (before the state flip), so the replay guard and
+    vacuum cover it identically."""
     os.makedirs(target_dir, exist_ok=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from .cdc import merge_changes
+
         with _state_lock(target_dir):
             state = _load_state(target_dir)
             if batch_id in state["committed"]:
@@ -111,8 +122,14 @@ def idempotent_merge_sink(
             target = current_table(spark, target_dir)
             if target is None:
                 merged = batch_df.dropDuplicates(keys)
+                changes = merge_changes(
+                    None, merged, keys, state["version"] + 1
+                ) if emit_changes else None
             else:
                 merged = merge_upsert(target, batch_df, keys)
+                changes = merge_changes(
+                    target, batch_df, keys, state["version"] + 1
+                ) if emit_changes else None
             obs = None
             if metrics is not None:
                 from pyspark.sql import Observation
@@ -123,13 +140,22 @@ def idempotent_merge_sink(
             merged.write.mode("overwrite").parquet(
                 os.path.join(target_dir, version_dir)
             )
+            change_dir = None
+            if changes is not None:
+                change_dir = os.path.join(
+                    "_changes", f"x{state['version'] + 1:06d}"
+                )
+                changes.write.mode("overwrite").parquet(
+                    os.path.join(target_dir, change_dir)
+                )
             state["version"] += 1
             state["current"] = version_dir
             state["committed"].append(batch_id)
-            state.setdefault("history", []).append(
-                {"version": state["version"], "dir": version_dir,
-                 "batch_id": batch_id}
-            )
+            entry = {"version": state["version"], "dir": version_dir,
+                     "batch_id": batch_id}
+            if change_dir is not None:
+                entry["changes"] = change_dir
+            state.setdefault("history", []).append(entry)
             if obs is not None:
                 state.setdefault("metrics", {})[str(batch_id)] = {
                     k: (v.item() if hasattr(v, "item") else v)
@@ -224,13 +250,23 @@ def vacuum_versions(
             shutil.rmtree(
                 os.path.join(target_dir, h["dir"]), ignore_errors=True
             )
+            if "changes" in h:
+                # change-feed retention follows version retention (the
+                # table format ties CDF availability to the snapshot
+                # retention window)
+                shutil.rmtree(
+                    os.path.join(target_dir, h["changes"]),
+                    ignore_errors=True,
+                )
             removed += 1
         state["history"] = kept
         _store_state(target_dir, state)
     return removed
 
 
-def idempotent_replace_sink(target_dir: str, group_keys: list[str]):
+def idempotent_replace_sink(
+    target_dir: str, group_keys: list[str], emit_changes=False
+):
     """Build a foreachBatch function maintaining a keyed table with
     GROUP-REPLACE semantics and the same exactly-once machinery as
     ``idempotent_merge_sink`` (replay guard, atomic versioned publish).
@@ -260,13 +296,21 @@ def idempotent_replace_sink(target_dir: str, group_keys: list[str]):
     removes the first batch's rows and reinserts only its own —
     silently losing data. Sources must therefore be partitioned (or
     the foreachBatch input repartitioned) by ``group_keys`` before
-    reaching this sink, as ``stream_incremental_gl_parity`` does."""
+    reaching this sink, as ``stream_incremental_gl_parity`` does.
+
+    ``emit_changes``: when True each commit also writes the
+    group-replace changelog (delete rows for every replaced target
+    row, insert rows for the batch — ``cdc.replace_changes``) to
+    ``_changes/x<version>``, named in the history entry, inside the
+    same crash window as the data write."""
     os.makedirs(target_dir, exist_ok=True)
 
     def sink(
         batch_df: DataFrame, batch_id: int, affected: DataFrame | None = None
     ) -> None:
         from pyspark.sql import functions as F
+
+        from .cdc import replace_changes
 
         with _state_lock(target_dir):
             state = _load_state(target_dir)
@@ -286,17 +330,29 @@ def idempotent_replace_sink(target_dir: str, group_keys: list[str]):
                 ).select(*target.columns).unionByName(
                     batch_df.select(*target.columns)
                 )
+            changes = replace_changes(
+                target, batch_df, group_keys, keys, state["version"] + 1
+            ) if emit_changes else None
             version_dir = f"v{state['version'] + 1:06d}"
             merged.write.mode("overwrite").parquet(
                 os.path.join(target_dir, version_dir)
             )
+            change_dir = None
+            if changes is not None:
+                change_dir = os.path.join(
+                    "_changes", f"x{state['version'] + 1:06d}"
+                )
+                changes.write.mode("overwrite").parquet(
+                    os.path.join(target_dir, change_dir)
+                )
             state["version"] += 1
             state["current"] = version_dir
             state["committed"].append(batch_id)
-            state.setdefault("history", []).append(
-                {"version": state["version"], "dir": version_dir,
-                 "batch_id": batch_id}
-            )
+            entry = {"version": state["version"], "dir": version_dir,
+                     "batch_id": batch_id}
+            if change_dir is not None:
+                entry["changes"] = change_dir
+            state.setdefault("history", []).append(entry)
             _store_state(target_dir, state)
 
     return sink
@@ -440,6 +496,119 @@ def compact_journal(spark: SparkSession, target_dir: str) -> int:
     return len(old_dirs)
 
 
+def compact_current_version(
+    spark: SparkSession,
+    target_dir: str,
+    target_bytes: int,
+    before_flip=None,
+) -> dict:
+    """EXECUTE the small-file compaction plan against a versioned
+    sink's current table (the execution half of
+    ``layout_compaction_plan``, which plans the same policy over a
+    manifest): bin-pack the current version's parquet files into
+    next-fit-decreasing groups of ``target_bytes`` (files sorted by
+    size descending, exactly the window-cumsum policy the plan query
+    computes), rewrite each group as ONE file into a fresh version
+    directory, and atomically re-publish through the sink state — the
+    same flip every sink commit uses, so readers see the old file set
+    or the new one, never a mix. The replaced version STAYS in the
+    time-travel history; ``vacuum_versions`` reclaims it under the
+    normal retention policy (the Delta OPTIMIZE / Iceberg
+    rewriteDataFiles shape: compaction is a new snapshot, not an
+    in-place mutation).
+
+    Content is IDENTICAL by construction (every input file is read
+    into exactly one group and rewritten); callers assert it anyway
+    via ``cdc.table_fingerprint`` (layout_compaction_exec_parity).
+
+    Returns {"files_before", "files_after", "groups", "version"}.
+    ``files_after == groups`` always — one output file per plan group.
+
+    Scale shape: the file manifest is metadata (the table format's
+    file list — driver-side here, a metadata table at 100 TB); each
+    group rewrite reads only its own files (one task per group via
+    coalesce(1)); groups are independent work units a production
+    rewrite job runs concurrently — the serial loop here keeps the
+    group->file mapping deterministic for the parity proof.
+
+    ``before_flip``: test hook invoked just before the publish
+    (injects the concurrent-commit race the flip defends against)."""
+    import glob
+
+    with _state_lock(target_dir):
+        state = _load_state(target_dir)
+        if state.get("current") is None:
+            raise ValueError(f"no published version under {target_dir}")
+        cur_dir = os.path.join(target_dir, state["current"])
+    files = sorted(
+        (
+            (os.path.getsize(p), p)
+            for p in glob.glob(os.path.join(cur_dir, "*.parquet"))
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    # next-fit-decreasing: same grouping layout_compaction_plan's
+    # window cumsum computes (group = floor((cumsum - size)/target))
+    groups: list[list[str]] = []
+    cumsum = 0
+    for size, path in files:
+        gid = cumsum // target_bytes
+        if gid >= len(groups):
+            groups.append([])
+        groups[gid].append(path)
+        cumsum += size
+    import shutil
+
+    # build OUTSIDE the version namespace: a concurrent sink commit
+    # may claim version+1 while we rewrite, and the staging dir must
+    # never collide with (or, on abandon, delete) a committed dir
+    staging = os.path.join(target_dir, "_compacting")
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    for gid, member_files in enumerate(groups):
+        gtmp = os.path.join(target_dir, f"_compact_g{gid}")
+        spark.read.parquet(*member_files).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(gtmp)
+        part = next(
+            f for f in sorted(os.listdir(gtmp)) if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(gtmp, part),
+            os.path.join(staging, f"part-g{gid:04d}.parquet"),
+        )
+        shutil.rmtree(gtmp, ignore_errors=True)
+    if before_flip is not None:
+        before_flip()
+    with _state_lock(target_dir):
+        # merge at the flip point: a sink commit during the rewrite
+        # would have advanced the version — in that case our rewrite
+        # is stale and must be abandoned (the loser of the optimistic
+        # race, exactly how a table format's rewrite commit conflicts)
+        latest = _load_state(target_dir)
+        if latest["version"] != state["version"]:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(
+                "concurrent commit during compaction; rewrite abandoned"
+            )
+        new_version = latest["version"] + 1
+        new_dir = f"v{new_version:06d}"
+        os.rename(staging, os.path.join(target_dir, new_dir))
+        latest["version"] = new_version
+        latest["current"] = new_dir
+        latest.setdefault("history", []).append(
+            {"version": new_version, "dir": new_dir,
+             "batch_id": None, "compaction_of": state["current"]}
+        )
+        _store_state(target_dir, latest)
+    return {
+        "files_before": len(files),
+        "files_after": len(groups),
+        "groups": len(groups),
+        "version": new_version,
+    }
+
+
 def vacuum_journal(target_dir: str) -> int:
     """The janitor pass both sinks' crash stories promise: delete data
     directories under ``target_dir`` that NO committed state references
@@ -484,6 +653,26 @@ def vacuum_journal(target_dir: str) -> int:
             and d[:1] in ("b", "c", "v")
             and d not in live
         ]
+        # compaction staging left by a crashed rewrite (built outside
+        # the version namespace, never referenced by any state)
+        victims += [
+            d
+            for d in os.listdir(target_dir)
+            if d.startswith("_compact")
+            and os.path.isdir(os.path.join(target_dir, d))
+        ]
+        # orphan change-feed dirs: a crash between the changelog write
+        # and the state flip leaves an x-dir no history entry names
+        live_changes = {
+            h["changes"] for h in state.get("history", []) if "changes" in h
+        }
+        changes_root = os.path.join(target_dir, "_changes")
+        if os.path.isdir(changes_root):
+            victims += [
+                os.path.join("_changes", d)
+                for d in os.listdir(changes_root)
+                if os.path.join("_changes", d) not in live_changes
+            ]
         for d in victims:
             shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
     return len(victims)

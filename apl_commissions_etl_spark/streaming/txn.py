@@ -33,6 +33,18 @@ falls out of the same structure — every committed set stays resolvable
 by commit id until ``txn_vacuum`` retires it (keep-last-K retention,
 the table format's VACUUM with a snapshot-retention policy).
 
+SCHEMA CONTRACT — schema evolution is per-commit snapshot isolation:
+a committed directory is immutable and carries its own schema, so an
+as-of read returns EXACTLY the columns that commit wrote (old commits
+are never retroactively null-filled with later columns, and a dropped
+column stays visible in the commits that had it). The replay guard
+and ``txn_vacuum`` are path-based and schema-agnostic, so version
+sets whose tables evolved mid-history survive both — the contract
+``tests/test_txn.py::test_schema_evolution_across_commits`` pins. A
+reader wanting one unified frame across commits merges schemas at
+read time (``spark.read.option("mergeSchema", ...)`` over resolved
+paths), which stays a reader-side choice, not a log rewrite.
+
 WRITER CONTRACT — one driver owns a root (same contract as
 ``sinks.py``'s state file): the per-root ``threading.Lock`` serializes
 committers only WITHIN this process, which is the real writer set

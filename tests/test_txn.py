@@ -173,3 +173,57 @@ def test_concurrent_committers_serialize_without_loss(spark, tmp_path):
         n: sorted(map(tuple, df.collect()))
         for n, df in _frames(spark, cur).items()
     }
+
+
+def test_schema_evolution_across_commits(spark, tmp_path):
+    """A commit that ADDS a column to one table of the version set
+    (r11 verdict item 5). Contract (documented in txn.py): committed
+    directories are immutable and carry their OWN schema — an as-of
+    read returns exactly the schema that was committed (snapshot
+    isolation of schema; no retroactive null-filling of old commits),
+    the current read has the evolved schema, and the replay guard +
+    vacuum are path-based and schema-agnostic, so mixed-schema
+    version sets survive both."""
+    root = str(tmp_path / "t")
+    a1 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    b = spark.createDataFrame([(1, "x")], "k int, s string")
+    assert txn_commit({"alpha": a1, "beta": b}, root, 1)
+    # commit 2 evolves alpha: adds column w (beta unchanged shape)
+    a2 = spark.createDataFrame(
+        [(1, 11, 7.5), (3, 30, 2.5)], "k int, v int, w double"
+    )
+    assert txn_commit({"alpha": a2, "beta": b}, root, 2)
+
+    # each side of the evolution commit keeps its own schema
+    assert txn_table(spark, root, "alpha", as_of=1).columns == ["k", "v"]
+    assert txn_table(spark, root, "alpha", as_of=2).columns == [
+        "k", "v", "w"
+    ]
+    assert txn_table(spark, root, "alpha").columns == ["k", "v", "w"]
+    assert sorted(map(tuple, txn_table(spark, root, "alpha").collect())) \
+        == [(1, 11, 7.5), (3, 30, 2.5)]
+
+    # replay guard is schema-agnostic: re-delivering commit 2 with
+    # ANY payload is skipped without touching the committed data
+    assert not txn_commit({"alpha": a1, "beta": b}, root, 2)
+    assert txn_table(spark, root, "alpha").columns == ["k", "v", "w"]
+
+    # a SHRINKING evolution (column dropped) also round-trips
+    a3 = spark.createDataFrame([(5, 50)], "k int, v int")
+    assert txn_commit({"alpha": a3, "beta": b}, root, 3)
+    assert txn_table(spark, root, "alpha", as_of=3).columns == ["k", "v"]
+    assert txn_table(spark, root, "alpha", as_of=2).columns == [
+        "k", "v", "w"
+    ]
+
+    # vacuum across mixed-schema versions: keep-last-2 retires only
+    # commit 1's dirs; both retained schemas stay readable
+    removed = txn_vacuum(root, keep_last=2)
+    assert removed == 2  # alpha/c1 + beta/c1
+    with pytest.raises(KeyError):
+        txn_resolved_paths(root, as_of=1)
+    assert txn_table(spark, root, "alpha", as_of=2).columns == [
+        "k", "v", "w"
+    ]
+    assert sorted(map(tuple, txn_table(spark, root, "alpha").collect())) \
+        == [(5, 50)]
