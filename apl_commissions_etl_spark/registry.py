@@ -204,11 +204,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: Rotation plan if driver slots free up (or the prefix grows): the
 #: next queries to pin are currently driver-"local" only — each
 #: already passes the full local sweep + vanilla rehearsal.
-#:   0. sink_time_travel_parity / layout_vacuum_plan (r11 table-
-#:                                 maintenance surface; swept + scale-
-#:                                 smoked; pipeline_txn_commit_parity is
-#:                                 already driver-gated as an
-#:                                 incremental_stream_parity_suite sub)
+#:   0. sink_time_travel_parity / layout_vacuum_plan /
+#:      layout_compaction_exec_parity (r11-r12 table-maintenance
+#:                                 surface; swept + scale-smoked;
+#:                                 pipeline_txn_commit_parity and the
+#:                                 r12 CDC emission parities are
+#:                                 already driver-gated as
+#:                                 incremental_stream_parity_suite subs)
 #:   1. graph_pagerank / multimodal_png_roundtrip (beyond-§2 extras,
 #:                                 also fingerprinted in llmdata_extras)
 #:   2. agg_conditional (evicted r5, fingerprinted in
