@@ -318,6 +318,33 @@ AUDITS: list[tuple[str, list[str], list[str], str]] = [
         "a CASE projection — metadata-scale input, a single exchange "
         "on table_id, no joins at all.",
     ),
+    (
+        "cdc_emit_roundtrip_parity",
+        [],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "CDC emission round trip (r12): the returned frame is the "
+        "changelog-only reconstruction (materialized before the temp "
+        "sinks are removed — a snapshot-scan plan by design). The "
+        "emission arms inside the lifecycle are the merge's own "
+        "broadcast joins (delta keys broadcast against the target, "
+        "which never shuffles to produce its feed), the fold is one "
+        "keyed window over the log, and fold(log<=N)==table_as_of(N) "
+        "is asserted per commit with distributed aggregate "
+        "fingerprints — no data-row collect on either side.",
+    ),
+    (
+        "layout_compaction_exec_parity",
+        [],
+        ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+        "Compaction execution (r12): the returned frame is the "
+        "compacted table read through the flipped pointer (snapshot "
+        "scan by design). The rewrite itself is per-plan-group "
+        "coalesce(1) reads of exactly that group's files — no "
+        "shuffle, no join; the bin-packing runs on the file manifest "
+        "(metadata scale) and the publish is the sink state's O(1) "
+        "flip, with the optimistic-conflict abandon proven in "
+        "tests/test_compaction_exec.py.",
+    ),
 ]
 
 
