@@ -101,3 +101,34 @@ def session_ckpt(df):
     except Exception:
         pass  # connect mode / no JVM handle: keep the safe serialized level
     return df.localCheckpoint(eager=True, storageLevel=level)
+
+
+def session_cache(df, key_cols: tuple[str, ...] = (), eager: bool = True):
+    """Eager columnar ``persist`` that — unlike ``localCheckpoint``
+    under AQE — PRESERVES the frame's output partitioning in the plan
+    (``InMemoryTableScan`` reports the cached child's partitioning;
+    ``LogicalRDD`` from a checkpoint reports ``UnknownPartitioning``).
+
+    For a shared frame whose consumers aggregate / window / join on a
+    key, persisting it hash-partitioned on that key removes the
+    consumers' per-query Exchange outright (guide §2.4): a grouping or
+    window whose keys are a SUPERSET of the cached partitioning keys is
+    satisfied by it (hashpartitioning(k) co-locates every (k, k2)
+    tuple), so the whole aggregation runs exchange-free over the cached
+    batches.  ``key_cols``, when given, repartitions to
+    ``defaultParallelism`` on those columns before caching — one
+    build-time shuffle buys every downstream query's shuffle.  Values
+    are partition-order independent by engine policy (exact DECIMAL /
+    integer accumulation — see test_partition_invariance), so the
+    keyed layout never changes results.
+
+    Storage is the SQL columnar cache (compressed CachedBatch blocks —
+    compact under the external gate's 1g heap, spills to disk under
+    pressure), so no heap-adaptive level switch is needed."""
+    if key_cols:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(par, *key_cols)
+    out = df.persist()
+    if eager:
+        out.count()
+    return out

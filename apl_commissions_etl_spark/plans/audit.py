@@ -19,10 +19,15 @@ from pyspark.sql import functions as F
 def _orphans(
     child: DataFrame, fk: str, parent: DataFrame, pk: str
 ) -> DataFrame:
+    # no .distinct() on the parent side (r12, guide §2.4): a left-anti
+    # join is insensitive to build-side duplicates (the broadcast hash
+    # table dedups keys as it builds), and the distinct cost a full
+    # parent-side Exchange + two HashAggregates per check — 6 of the
+    # suite's 44 Exchanges bought nothing
     return (
         child.select(F.col(fk))
         .filter(F.col(fk).isNotNull())
-        .join(parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti")
+        .join(parent.select(F.col(pk).alias(fk)), fk, "left_anti")
     )
 
 

@@ -53,7 +53,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..caching import SessionCache, locked_get, session_ckpt
+from ..caching import SessionCache, locked_get, session_cache
 from ..sources.testdata import (
     load_table,
     register_base_tables,
@@ -195,12 +195,20 @@ _CERT_INFO_CACHE: dict[tuple[str, str], DataFrame] = SessionCache()
 
 
 def cert_info(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``input_certificate_info`` fact as a session-cached eager
-    localCheckpoint (see ``_CERT_INFO_CACHE``)."""
+    """The ``input_certificate_info`` fact as a session-cached columnar
+    persist, hash-partitioned on CertificateId (see
+    ``_CERT_INFO_CACHE``).  r12: ``session_cache`` instead of an eager
+    localCheckpoint — the cached scan REPORTS its partitioning to the
+    planner (a checkpoint surfaces UnknownPartitioning under AQE), so
+    consumers that aggregate or window per certificate (dim_policies'
+    min-seq window + rollup, the policy dims) run with no Exchange."""
     register_builder_views(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     return locked_get(
         _CERT_INFO_CACHE,
         key,
-        lambda: session_ckpt(spark.table("input_certificate_info")),
+        lambda: session_cache(
+            spark.table("input_certificate_info"),
+            key_cols=("CertificateId",),
+        ),
     )

@@ -638,6 +638,18 @@ def stream_observed_gl_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregations + one key-scale join — never the join itself",
 )
 def audit_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (guide §2.4/§1.2): the r11 shape consumed each per-key
+    # multiplicity frame TWICE (once for the matched-key join, once
+    # for its side total), and Spark plans each consumption as its own
+    # subtree — the premium fact was scanned and key-aggregated twice
+    # per run (plan before: 2x {Scan parquet -> HashAggregate x2 ->
+    # Exchange} + 2 broadcast crossJoins; 20 Exchanges).  Re-expressed
+    # over ONE full-outer join of the two key frames: every side total
+    # is a conditional aggregate of the SAME single-pass frame
+    # (sum(lc) over the full outer = left rows, both-sides-present =
+    # matched), so each input is aggregated exactly once and the two
+    # 1-row broadcasts disappear.  Values are integer counts — order
+    # independent, oracle unchanged.
     s = _staging(spark, sf_dir)
     l = s["stg_premium_transactions"].groupBy(
         F.col("CertificateId").alias("k")
@@ -645,37 +657,29 @@ def audit_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = s["stg_policies"].groupBy(F.col("CertificateId").alias("k")).agg(
         F.count(F.lit(1)).alias("rc")
     )
-    j = l.join(r, "k")
-    # side totals as broadcast 1-row frames, not driver-side counts:
-    # the whole pre-flight is ONE submitted plan with zero collect()s
-    lt = l.agg(F.sum("lc").cast("long").alias("left_rows"))
-    rt = r.agg(F.sum("rc").cast("long").alias("right_rows"))
-    return (
-        j.agg(
-            F.count(F.lit(1)).cast("long").alias("matched_keys"),
-            F.sum(F.col("lc") * F.col("rc")).cast("long").alias(
-                "est_output_rows"
-            ),
-            F.max("lc").cast("long").alias("left_max_mult"),
-            F.max("rc").cast("long").alias("right_max_mult"),
-            F.max(F.col("lc") * F.col("rc")).cast("long").alias(
-                "hot_key_pairs"
-            ),
-        )
-        .crossJoin(F.broadcast(lt))
-        .crossJoin(F.broadcast(rt))
-        .select(
-            "left_rows",
-            "right_rows",
-            "matched_keys",
-            "est_output_rows",
-            "left_max_mult",
-            "right_max_mult",
-            "hot_key_pairs",
-            F.round(
-                F.col("est_output_rows").cast("double")
-                / F.col("left_rows"),
-                6,
-            ).alias("explosion_factor"),
-        )
+    f = l.join(r, "k", "full_outer")
+    both = F.col("lc").isNotNull() & F.col("rc").isNotNull()
+    return f.agg(
+        F.sum("lc").cast("long").alias("left_rows"),
+        F.sum("rc").cast("long").alias("right_rows"),
+        F.count(F.when(both, 1)).cast("long").alias("matched_keys"),
+        F.sum(F.when(both, F.col("lc") * F.col("rc")))
+        .cast("long")
+        .alias("est_output_rows"),
+        F.max(F.when(both, F.col("lc"))).cast("long").alias("left_max_mult"),
+        F.max(F.when(both, F.col("rc"))).cast("long").alias("right_max_mult"),
+        F.max(F.when(both, F.col("lc") * F.col("rc")))
+        .cast("long")
+        .alias("hot_key_pairs"),
+    ).select(
+        "left_rows",
+        "right_rows",
+        "matched_keys",
+        "est_output_rows",
+        "left_max_mult",
+        "right_max_mult",
+        "hot_key_pairs",
+        F.round(
+            F.col("est_output_rows").cast("double") / F.col("left_rows"), 6
+        ).alias("explosion_factor"),
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..caching import SessionCache, locked_get, session_ckpt
+from ..caching import SessionCache, locked_get, session_cache, session_ckpt
 from ..operators.consolidate import consolidate_proposals
 from ..plans import builder
 from ..plans.builder_fixtures import (
@@ -140,15 +140,17 @@ def _per_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     certificate split with canonical tier string + hierarchy hash) —
     the single most expensive shared subplan across builder queries."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    # localCheckpoint, not cache(): every builder query embeds this
-    # frame several times; lineage truncation keeps their analyzed
-    # plans small (AQE re-plans per action, so plan size is a
-    # per-query driver cost, not a one-off)
+    # session_cache keyed on GroupId (r12): the per-split frame's
+    # consumers aggregate and window by GroupId(+CertificateId), so a
+    # GroupId-partitioned columnar cache lets them run exchange-free —
+    # the earlier localCheckpoint surfaced UnknownPartitioning under
+    # AQE and every consumer re-shuffled it (guide §2.4)
     return locked_get(
         _PER_SPLIT_CACHE,
         key,
-        lambda: session_ckpt(
-            builder.split_hierarchies(_certs_raw(spark, sf_dir))
+        lambda: session_cache(
+            builder.split_hierarchies(_certs_raw(spark, sf_dir)),
+            key_cols=("GroupId",),
         ),
     )
 
@@ -164,10 +166,16 @@ def _criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
         # critical path runs (per-split warms concurrently on the
         # slack chain), and both forms produce identical values
         ps = _PER_SPLIT_CACHE.get(key)
-        return session_ckpt(
+        # session_cache keyed on GroupId (r12): build_proposals groups
+        # by (GroupId, ConfigHash[, CertificateId]) and the overlap /
+        # mode cascades window by GroupId — all satisfied by a
+        # GroupId-partitioned cache, so the whole builder family runs
+        # its criteria-scale aggregations with no Exchange
+        return session_cache(
             builder.selection_criteria(
                 _certs_raw(spark, sf_dir), per_split=ps
-            )
+            ),
+            key_cols=("GroupId",),
         )
 
     return locked_get(_CRITERIA_CACHE, key, build)

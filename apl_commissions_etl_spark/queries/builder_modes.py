@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import SessionCache, locked_get, session_ckpt
+from ..caching import SessionCache, locked_get, session_cache
 from ..plans import builder_modes as modes
 from ..registry import query
 from .builder import BUILDER_CTES, _certs, _criteria, _per_split, builder_cte_sql
@@ -149,13 +149,15 @@ _CASCADE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = SessionCache()
 
 def _cascade(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
-    # localCheckpoint (not cache): truncates each stage's lineage so
-    # downstream plans stay LogicalRDD-leaf-sized — see mode_cascade
+    # session_cache (r12): the cached stages report their output
+    # partitioning to the planner (a localCheckpoint surfaced
+    # UnknownPartitioning under AQE), so mode queries keyed the same
+    # way skip their Exchange — see mode_cascade
     return locked_get(
         _CASCADE_CACHE,
         key,
         lambda: modes.mode_cascade(
-            _criteria(spark, sf_dir), persist=session_ckpt
+            _criteria(spark, sf_dir), persist=session_cache
         ),
     )
 

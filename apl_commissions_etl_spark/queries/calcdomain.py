@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import SessionCache, locked_get, session_ckpt
+from ..caching import SessionCache, locked_get, session_cache, session_ckpt
 from ..plans import calc
 from ..plans.fixtures import FIXTURE_VIEWS, fixtures_cte_sql, register_fixture_views
 from ..registry import query
@@ -169,9 +169,6 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
 
     def build() -> dict[str, DataFrame]:
-        # localCheckpoint: the cascade's shared frames are embedded in a
-        # dozen queries; lineage truncation keeps their plans small
-        # (AQE re-plans per action — see mode_cascade's rationale).
         # Repartition the FACT (4 narrow columns) before the cascade,
         # not the wide c3/c8 after it: the cascade is
         # broadcast-join-narrow, so a small fact file yields ONE
@@ -182,12 +179,26 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # broadcast cascade, so persist needs no repartition of its
         # own. On a real cluster the fact arrives in thousands of
         # splits and this spread is what the scan would have provided.
+        #
+        # r12: hash-partition on PremiumTransactionId (unique per fact
+        # row, so the spread is exactly as uniform as round-robin, and
+        # the round-robin path's sort-before-repartition is skipped)
+        # and persist c3/c8 through session_cache instead of
+        # localCheckpoint: the cached frames then REPORT
+        # hashpartitioning(PremiumTransactionId) to the planner, so
+        # every downstream per-premium aggregation or window (trace,
+        # trace_full's three branches, the GL/trace rollups) runs with
+        # NO Exchange at all — the checkpointed form surfaced as
+        # UnknownPartitioning under AQE and re-shuffled the wide
+        # cascade per query (guide §2.4).
         par = spark.sparkContext.defaultParallelism
         stg = dict(_staging(spark, sf_dir))
         stg["stg_premium_transactions"] = (
-            stg["stg_premium_transactions"].repartition(par)
+            stg["stg_premium_transactions"].repartition(
+                par, "PremiumTransactionId"
+            )
         )
-        return calc.run_calc(stg, persist=session_ckpt)
+        return calc.run_calc(stg, persist=session_cache)
 
     return locked_get(_STAGES_CACHE, key, build)
 
@@ -690,8 +701,10 @@ def _delta_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         batch, _ = _gl_incremental_frames(spark, sf_dir)
         staging = dict(_staging(spark, sf_dir))
         par = spark.sparkContext.defaultParallelism
-        staging["stg_premium_transactions"] = batch.repartition(par)
-        return calc.run_calc(staging, persist=session_ckpt)
+        staging["stg_premium_transactions"] = batch.repartition(
+            par, "PremiumTransactionId"
+        )
+        return calc.run_calc(staging, persist=session_cache)
 
     return locked_get(_DELTA_STAGES_CACHE, key, build)
 

@@ -541,7 +541,15 @@ def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     w = d.select("doc_id", F.explode(ta.words("text")).alias("tok"))
     vocab = w.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = vocab.agg(F.sum("c").cast("long").alias("total"))
+    # total corpus tokens == sum of per-doc word-array sizes: one scan
+    # with NO explode and NO token-scale shuffle (r12, guide §2.3 —
+    # deriving the same number through a third full explode +
+    # groupBy(tok) + global-sum chain cost a token-scale pass; explode
+    # row counts and array sizes are equal by construction, so the
+    # integer total is identical)
+    tot = d.select(F.size(ta.words("text")).alias("n")).agg(
+        F.sum("n").cast("long").alias("total")
+    )
     nll = F.round(
         F.sum(-F.log2(F.col("c") * 1.0 / F.col("total")))
         / F.count(F.lit(1)),
@@ -722,7 +730,15 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = d.select("doc_id", F.explode(ta.words("text")).alias("tok"))
     vocab = w.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = vocab.agg(F.sum("c").cast("long").alias("total"))
+    # total corpus tokens == sum of per-doc word-array sizes: one scan
+    # with NO explode and NO token-scale shuffle (r12, guide §2.3 —
+    # deriving the same number through a third full explode +
+    # groupBy(tok) + global-sum chain cost a token-scale pass; explode
+    # row counts and array sizes are equal by construction, so the
+    # integer total is identical)
+    tot = d.select(F.size(ta.words("text")).alias("n")).agg(
+        F.sum("n").cast("long").alias("total")
+    )
     ppl = (
         w.join(vocab, "tok")
         .crossJoin(F.broadcast(tot))
