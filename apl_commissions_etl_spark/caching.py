@@ -50,6 +50,44 @@ class SessionCache(dict):
 _LOCK_TABLE_KEY = object()
 _LOCKS_GUARD = threading.Lock()
 
+#: Every session-shared frame kept alive through Spark's CacheManager
+#: (``session_cache`` persists, ``_staging``'s dim ``.cache()``s).
+#: ``spark.catalog.clearCache()`` evicts the CacheManager ENTRIES but
+#: the module-level SessionCaches keep handing out the same DataFrame
+#: handles — every consumer then silently replans against full
+#: lineage (the criteria/cascade/cert_info frames recompute per
+#: query, and plan-shape contracts that rely on the cached frame's
+#: reported partitioning break). Tests that must clear the cache to
+#: see through InMemoryRelation substitution call ``reattach`` right
+#: after, which re-registers every tracked frame's cache entry.
+_TRACKED: list = []
+
+
+def track_persisted(df):
+    """Record a CacheManager-backed shared frame so ``reattach`` can
+    restore its cache entry after a ``clearCache()``."""
+    _TRACKED.append(df)
+    return df
+
+
+def reattach() -> int:
+    """Re-persist every tracked shared frame whose CacheManager entry
+    was evicted (``clearCache()``/``unpersist``). Lazy: the columnar
+    batches rebuild on next use; what matters is that the ENTRY is
+    back so plans substitute the cached frame (with its partitioning)
+    again. Returns the number of frames re-registered."""
+    from pyspark.storagelevel import StorageLevel
+
+    n = 0
+    for df in _TRACKED:
+        try:
+            if df.storageLevel == StorageLevel.NONE:
+                df.persist()
+                n += 1
+        except Exception:
+            pass  # frame from a stopped session: nothing to restore
+    return n
+
 
 def locked_get(cache: dict, key: Hashable, build: Callable[[], V]) -> V:
     """Memoize ``build()`` under ``cache[key]`` with double-checked
@@ -128,7 +166,7 @@ def session_cache(df, key_cols: tuple[str, ...] = (), eager: bool = True):
     if key_cols:
         par = df.sparkSession.sparkContext.defaultParallelism
         df = df.repartition(par, *key_cols)
-    out = df.persist()
+    out = track_persisted(df.persist())
     if eager:
         out.count()
     return out

@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import SessionCache, locked_get, session_cache, session_ckpt
+from ..caching import (
+    SessionCache,
+    locked_get,
+    session_cache,
+    session_ckpt,
+    track_persisted,
+)
 from ..plans import calc
 from ..plans.fixtures import FIXTURE_VIEWS, fixtures_cte_sql, register_fixture_views
 from ..registry import query
@@ -151,7 +157,9 @@ def _staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             if name != "stg_premium_transactions":
                 # dims are group/broker-scale (≪ fact): cache them;
                 # the premium fact stays a streaming parquet scan
-                df = df.cache()
+                # (tracked so caching.reattach restores the entry
+                # after a test's clearCache)
+                df = track_persisted(df.cache())
             out[name] = df
         return out
 

@@ -8,6 +8,8 @@ import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 
+from pyspark.sql import functions as F
+
 from apl_commissions_etl_spark.caching import locked_get
 
 
@@ -161,3 +163,55 @@ def test_session_ckpt_storage_level_adapts_to_heap():
 
     session_ckpt(FakeDF(48 << 30))  # the 48g service session
     assert captured["level"] == StorageLevel.MEMORY_AND_DISK_DESER
+
+
+def test_reattach_restores_evicted_cache_entries(spark):
+    """clearCache() evicts CacheManager entries while the module
+    SessionCaches keep handing out the same DataFrame handles; without
+    re-attachment every consumer replans against full lineage (r12:
+    the mode-cascade single-fact-shuffle plan bound broke after
+    test_plans' clearCache). reattach() must restore the entry — and
+    the reported partitioning with it — for every tracked frame."""
+    from pyspark.storagelevel import StorageLevel
+
+    from apl_commissions_etl_spark.caching import reattach, session_cache
+
+    df = session_cache(
+        spark.range(100).withColumn("k", (F.col("id") % 7)), ("k",)
+    )
+    assert df.storageLevel != StorageLevel.NONE
+
+    def plan() -> str:
+        return (
+            df.groupBy("k")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # keyed cache substituted: the only hash exchange in the plan is
+    # the BUILD-time repartition stored inside the InMemoryRelation —
+    # the consumer-side aggregation adds none of its own
+    plan_cached = plan()
+    assert "InMemoryTableScan" in plan_cached
+    n_build_exchanges = plan_cached.count("Exchange hashpartitioning")
+
+    spark.catalog.clearCache()
+    assert df.storageLevel == StorageLevel.NONE
+    assert "InMemoryTableScan" not in plan()  # full lineage is back
+
+    n = reattach()
+    assert n >= 1
+    assert df.storageLevel != StorageLevel.NONE
+    plan_restored = plan()
+    assert "InMemoryTableScan" in plan_restored
+    assert (
+        plan_restored.count("Exchange hashpartitioning")
+        == n_build_exchanges
+    )
+    df.unpersist()
+    caching_mod = __import__(
+        "apl_commissions_etl_spark.caching", fromlist=["_TRACKED"]
+    )
+    caching_mod._TRACKED.remove(df)  # keep the scratch frame out of later reattaches

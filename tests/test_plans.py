@@ -69,11 +69,22 @@ def test_dim_filter_prunes_before_join(spark, sf_dir):
         register_fixture_views,
     )
 
+    from apl_commissions_etl_spark import caching
+
     spark.catalog.clearCache()
-    register_fixture_views(spark, sf_dir)
-    staging = {name: spark.table(name) for name, _ in FIXTURE_VIEWS}
-    s3 = calc.run_calc(staging)["s3"]
-    opt = _optimized(s3)
+    try:
+        register_fixture_views(spark, sf_dir)
+        staging = {name: spark.table(name) for name, _ in FIXTURE_VIEWS}
+        s3 = calc.run_calc(staging)["s3"]
+        opt = _optimized(s3)
+    finally:
+        # clearCache evicted every session-shared frame's CacheManager
+        # entry (criteria, cascade, staging dims) while the module
+        # SessionCaches keep handing out the same handles — without
+        # re-attachment every later test replans full lineage and the
+        # cached-partitioning plan contracts (e.g. the mode cascade's
+        # single-fact-shuffle bound) break. Restore the entries.
+        caching.reattach()
     # every dim side of the cascade joins carries the broadcast hint,
     # and the premium>0 filter reached the fact scan subtree
     assert opt.count("strategy=broadcast") >= 3

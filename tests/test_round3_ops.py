@@ -13,6 +13,41 @@ def _q(name, spark, sf_dir):
     return all_queries()[name].spark_fn(spark, sf_dir)
 
 
+def _live_plan(plan: str) -> str:
+    """Drop cached-build subtrees from a printed physical plan.
+
+    Since r12 the shared criteria/cascade frames are columnar persists
+    (session_cache) instead of localCheckpoints, so a consumer's plan
+    prints each InMemoryRelation's BUILD plan inline — including the
+    build-time exchanges that ran once at warm time and never run per
+    query. Plan-shape assertions about per-query work must count only
+    the LIVE part: keep the InMemoryTableScan line (the live scan),
+    strip the InMemoryRelation node and everything indented below it.
+    """
+    def depth(line: str) -> int:
+        # indentation = leading spaces and ':' tree guides; the cached
+        # body renders either as "+- InMemoryRelation ..." children or
+        # as marker-less AQE stage lines ("ResultQueryStage N"), both
+        # strictly deeper than the InMemoryTableScan line itself
+        i = 0
+        while i < len(line) and line[i] in " :":
+            i += 1
+        return i
+
+    out: list[str] = []
+    skip_deeper_than: int | None = None
+    for line in plan.splitlines():
+        d = depth(line)
+        if skip_deeper_than is not None:
+            if line.strip() and d > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        out.append(line)
+        if "InMemoryTableScan" in line:
+            skip_deeper_than = d
+    return "\n".join(out)
+
+
 def test_hll_estimate_within_error_bound(spark, sf_dir):
     """256 registers -> ~1.04/sqrt(256) = 6.5% standard error; 20% is
     a 3-sigma envelope."""
@@ -160,7 +195,7 @@ def test_mode_cascade_single_fact_shuffle(spark, sf_dir):
     from apl_commissions_etl_spark.queries.builder import _criteria
 
     crit = _criteria(spark, sf_dir)
-    fin_plan = (
+    fin_plan = _live_plan(
         modes.finest_configs(crit)._jdf.queryExecution().executedPlan().toString()
     )
     # exactly one exchange moves certificate-scale rows (the finest
@@ -173,7 +208,7 @@ def test_mode_cascade_single_fact_shuffle(spark, sf_dir):
 
     cascade = modes.mode_cascade(crit, persist=lambda df: df.localCheckpoint())
     for member in ("remainder", "nc_certs", "conformant2", "remainder3"):
-        plan = (
+        plan = _live_plan(
             cascade[member]._jdf.queryExecution().executedPlan().toString()
         )
         # the only hash exchange allowed is the multi-config group-list
