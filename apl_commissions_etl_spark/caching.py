@@ -110,6 +110,18 @@ def locked_get(cache: dict, key: Hashable, build: Callable[[], V]) -> V:
     return cache[key]
 
 
+def _big_heap(df) -> bool:
+    """True when the session's JVM heap is >= 8 GiB (the configured
+    bench/test/service sessions); False for the external gate's
+    bare-default 1g session — and, safely, whenever the JVM handle is
+    unavailable (connect mode)."""
+    try:
+        jvm = df.sparkSession.sparkContext._jvm
+        return jvm.java.lang.Runtime.getRuntime().maxMemory() >= 8 * (1 << 30)
+    except Exception:
+        return False
+
+
 def session_ckpt(df):
     """Eager localCheckpoint with a MEMORY-ADAPTIVE storage level —
     what every session-scoped shared frame should use.
@@ -130,14 +142,11 @@ def session_ckpt(df):
     per workload tier."""
     from pyspark.storagelevel import StorageLevel
 
-    level = StorageLevel.MEMORY_AND_DISK  # serialized: the safe default
-    try:
-        jvm = df.sparkSession.sparkContext._jvm
-        max_heap = jvm.java.lang.Runtime.getRuntime().maxMemory()
-        if max_heap >= 8 * (1 << 30):
-            level = StorageLevel.MEMORY_AND_DISK_DESER
-    except Exception:
-        pass  # connect mode / no JVM handle: keep the safe serialized level
+    level = (
+        StorageLevel.MEMORY_AND_DISK_DESER
+        if _big_heap(df)
+        else StorageLevel.MEMORY_AND_DISK  # serialized: the safe default
+    )
     return df.localCheckpoint(eager=True, storageLevel=level)
 
 
@@ -160,9 +169,21 @@ def session_cache(df, key_cols: tuple[str, ...] = (), eager: bool = True):
     integer accumulation — see test_partition_invariance), so the
     keyed layout never changes results.
 
-    Storage is the SQL columnar cache (compressed CachedBatch blocks —
-    compact under the external gate's 1g heap, spills to disk under
-    pressure), so no heap-adaptive level switch is needed."""
+    HEAP-ADAPTIVE (r12 gate-rehearsal finding): in the external gate's
+    bare-default 1g session the columnar cache is NOT safe — building
+    + retaining the cascade/builder frames as CachedBatch blocks
+    measured 91-98% in-flight live-after-GC of the 1g heap and ~2x the
+    retained footprint vs the serialized adaptive checkpoint (34%
+    in-flight), i.e. the r10 OOM signature reintroduced (a serialized
+    columnar persist measured even worse, 94%).  The exchange-free
+    plan shape the reported partitioning buys is a BIG-session
+    performance feature; small sessions fall back to ``session_ckpt``
+    (r11 shape: serialized, disk-spillable, lineage-truncated) and
+    simply pay the per-query exchange again.  Plan-shape tests and the
+    bench all run in >= 8 GiB sessions, so they always see the
+    partitioning-preserving columnar form."""
+    if not _big_heap(df):
+        return session_ckpt(df)
     if key_cols:
         par = df.sparkSession.sparkContext.defaultParallelism
         df = df.repartition(par, *key_cols)
