@@ -150,44 +150,109 @@ def session_ckpt(df):
     return df.localCheckpoint(eager=True, storageLevel=level)
 
 
+#: reentrant AQE-off flip state per session: appId -> [depth, original].
+#: Guarded by _LOCKS_GUARD; the BUILD between flip and restore runs
+#: outside the guard, so concurrent session_cache builds still overlap.
+_AQE_FLIP: dict[str, list] = {}
+_AQE_KEY = "spark.sql.adaptive.enabled"
+
+
+class _aqe_off:
+    """Scoped, reentrant 'AQE off' for checkpoint builds.  A plain
+    save/set/restore races when two warm-up chains overlap (the second
+    chain would save the first's 'false' and restore it, leaving AQE
+    off session-wide); depth-counting restores the ORIGINAL value only
+    when the last overlapping build finishes."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        with _LOCKS_GUARD:
+            st = _AQE_FLIP.setdefault(
+                self.spark.sparkContext.applicationId,
+                [0, self.spark.conf.get(_AQE_KEY, "true")],
+            )
+            st[0] += 1
+            self.spark.conf.set(_AQE_KEY, "false")
+        return self
+
+    def __exit__(self, *exc):
+        with _LOCKS_GUARD:
+            app = self.spark.sparkContext.applicationId
+            st = _AQE_FLIP[app]
+            st[0] -= 1
+            if st[0] == 0:
+                self.spark.conf.set(_AQE_KEY, st[1])
+                del _AQE_FLIP[app]
+        return False
+
+
 def session_cache(df, key_cols: tuple[str, ...] = (), eager: bool = True):
-    """Eager columnar ``persist`` that — unlike ``localCheckpoint``
-    under AQE — PRESERVES the frame's output partitioning in the plan
-    (``InMemoryTableScan`` reports the cached child's partitioning;
-    ``LogicalRDD`` from a checkpoint reports ``UnknownPartitioning``).
+    """Partitioning-preserving session checkpoint: ``session_ckpt``
+    whose LogicalRDD REPORTS the frame's hash partitioning.
 
     For a shared frame whose consumers aggregate / window / join on a
-    key, persisting it hash-partitioned on that key removes the
+    key, publishing it hash-partitioned on that key removes the
     consumers' per-query Exchange outright (guide §2.4): a grouping or
-    window whose keys are a SUPERSET of the cached partitioning keys is
+    window whose keys are a SUPERSET of the partitioning keys is
     satisfied by it (hashpartitioning(k) co-locates every (k, k2)
-    tuple), so the whole aggregation runs exchange-free over the cached
-    batches.  ``key_cols``, when given, repartitions to
-    ``defaultParallelism`` on those columns before caching — one
-    build-time shuffle buys every downstream query's shuffle.  Values
-    are partition-order independent by engine policy (exact DECIMAL /
+    tuple), so the whole aggregation runs exchange-free over the
+    checkpointed blocks.  ``key_cols``, when given, repartitions to
+    ``defaultParallelism`` on those columns first — one build-time
+    shuffle buys every downstream query's shuffle.  Values are
+    partition-order independent by engine policy (exact DECIMAL /
     integer accumulation — see test_partition_invariance), so the
     keyed layout never changes results.
 
-    HEAP-ADAPTIVE (r12 gate-rehearsal finding): in the external gate's
-    bare-default 1g session the columnar cache is NOT safe — building
-    + retaining the cascade/builder frames as CachedBatch blocks
-    measured 91-98% in-flight live-after-GC of the 1g heap and ~2x the
-    retained footprint vs the serialized adaptive checkpoint (34%
-    in-flight), i.e. the r10 OOM signature reintroduced (a serialized
-    columnar persist measured even worse, 94%).  The exchange-free
-    plan shape the reported partitioning buys is a BIG-session
-    performance feature; small sessions fall back to ``session_ckpt``
-    (r11 shape: serialized, disk-spillable, lineage-truncated) and
-    simply pay the per-query exchange again.  Plan-shape tests and the
-    bench all run in >= 8 GiB sessions, so they always see the
-    partitioning-preserving columnar form."""
-    if not _big_heap(df):
-        return session_ckpt(df)
-    if key_cols:
-        par = df.sparkSession.sparkContext.defaultParallelism
-        df = df.repartition(par, *key_cols)
-    out = track_persisted(df.persist())
-    if eager:
-        out.count()
+    Mechanism (r12): ``Dataset.localCheckpoint`` copies the executed
+    plan's ``outputPartitioning`` into the LogicalRDD — but only when
+    the plan is NOT adaptive (an AdaptiveSparkPlanExec reports
+    UnknownPartitioning, which is how the r11 checkpoints lost their
+    layout and re-shuffled per query).  Building the checkpoint with
+    AQE scoped OFF captures hashpartitioning exactly (verified: a
+    keyed aggregation over the result plans with zero Exchange).
+
+    Keyed frames go through TWO checkpoints: first a plain one that
+    truncates the lineage to a LogicalRDD leaf, then the AQE-off
+    repartition+checkpoint of that leaf.  Checkpointing the
+    repartition of the ORIGINAL complex plan silently lost the layout
+    again: ``LogicalRDD.fromDataset`` rewrites the captured
+    partitioning onto the new dataset's attribute ids, and on an
+    aggregate-topped plan the physical ids drift from the logical
+    output, so consumers saw a partitioning referencing stale ids and
+    re-inserted the Exchange (observed on the builder criteria frame;
+    the repartition-over-a-leaf form rewrites cleanly and its
+    consumers plan with zero Exchange, superset grouping keys
+    included).  The intermediate checkpoint's blocks are unpersisted
+    best-effort once the keyed copy is materialized.
+
+    Two earlier r12 designs are deliberately NOT this one: a columnar
+    ``persist`` preserved partitioning but (a) kept the frame's FULL
+    lineage as the InMemoryRelation child, taxing every consumer's
+    planning (same-host bench: steady 35.2s vs 26.6s at r11, cold
+    185s vs 73s, warm 24s vs 16s), and (b) reintroduced the r10 gate
+    OOM signature in the 1g session (91-98% in-flight live-after-GC
+    vs 34% for the serialized adaptive checkpoint).  The AQE-off
+    checkpoint keeps the r11 plan size and memory shape everywhere —
+    no heap-mode split needed."""
+    spark = df.sparkSession
+    if not key_cols:
+        with _aqe_off(spark):
+            return session_ckpt(df)
+    base = session_ckpt(df)
+    par = spark.sparkContext.defaultParallelism
+    with _aqe_off(spark):
+        out = session_ckpt(base.repartition(par, *key_cols))
+    try:
+        # free the un-keyed intermediate: its only consumer (the keyed
+        # shuffle) has materialized. The LogicalRDD leaf holds the
+        # persisted rows; unpersist is safe because nothing else
+        # references this private intermediate.
+        leaf = base._jdf.queryExecution().analyzed()
+        while leaf.children().size() > 0:
+            leaf = leaf.children().head()
+        leaf.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: worst case the blocks age out under pressure
     return out

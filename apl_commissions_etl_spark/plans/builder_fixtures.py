@@ -195,13 +195,14 @@ _CERT_INFO_CACHE: dict[tuple[str, str], DataFrame] = SessionCache()
 
 
 def cert_info(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``input_certificate_info`` fact as a session-cached columnar
-    persist, hash-partitioned on CertificateId (see
-    ``_CERT_INFO_CACHE``).  r12: ``session_cache`` instead of an eager
-    localCheckpoint — the cached scan REPORTS its partitioning to the
-    planner (a checkpoint surfaces UnknownPartitioning under AQE), so
-    consumers that aggregate or window per certificate (dim_policies'
-    min-seq window + rollup, the policy dims) run with no Exchange."""
+    """The ``input_certificate_info`` fact as a session-scoped
+    checkpoint hash-partitioned on CertificateId (see
+    ``_CERT_INFO_CACHE``).  r12: ``session_cache`` instead of a plain
+    localCheckpoint — the checkpoint is built so its LogicalRDD
+    REPORTS the partitioning to the planner (an AQE-built checkpoint
+    surfaces UnknownPartitioning), so consumers that aggregate or
+    window per certificate (dim_policies' min-seq window + rollup,
+    the policy dims) run with no Exchange."""
     register_builder_views(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     return locked_get(

@@ -657,7 +657,13 @@ def audit_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = s["stg_policies"].groupBy(F.col("CertificateId").alias("k")).agg(
         F.count(F.lit(1)).alias("rc")
     )
-    f = l.join(r, "k", "full_outer")
+    # SHUFFLE_HASH hint (guide §3.1): both sides are per-key counts —
+    # one row per key, uniform — so a per-partition hash build is safe
+    # at any scale, and the sort-merge pair of full sorts buys nothing.
+    # The hint matters because the staging frames sit behind
+    # lineage-truncating checkpoints whose stats are unknown, which
+    # otherwise defaults this full-outer join to SortMergeJoin.
+    f = l.join(r.hint("shuffle_hash"), "k", "full_outer")
     both = F.col("lc").isNotNull() & F.col("rc").isNotNull()
     return f.agg(
         F.sum("lc").cast("long").alias("left_rows"),

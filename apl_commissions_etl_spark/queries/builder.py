@@ -142,9 +142,11 @@ def _per_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     # session_cache keyed on GroupId (r12): the per-split frame's
     # consumers aggregate and window by GroupId(+CertificateId), so a
-    # GroupId-partitioned columnar cache lets them run exchange-free —
-    # the earlier localCheckpoint surfaced UnknownPartitioning under
-    # AQE and every consumer re-shuffled it (guide §2.4)
+    # GroupId-partitioned checkpoint (whose LogicalRDD REPORTS that
+    # partitioning — see caching.session_cache) lets them run
+    # exchange-free; the r11 plain localCheckpoint surfaced
+    # UnknownPartitioning under AQE and every consumer re-shuffled it
+    # (guide §2.4)
     return locked_get(
         _PER_SPLIT_CACHE,
         key,
@@ -169,8 +171,8 @@ def _criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
         # session_cache keyed on GroupId (r12): build_proposals groups
         # by (GroupId, ConfigHash[, CertificateId]) and the overlap /
         # mode cascades window by GroupId — all satisfied by a
-        # GroupId-partitioned cache, so the whole builder family runs
-        # its criteria-scale aggregations with no Exchange
+        # GroupId-partitioned checkpoint, so the whole builder family
+        # runs its criteria-scale aggregations with no Exchange
         return session_cache(
             builder.selection_criteria(
                 _certs_raw(spark, sf_dir), per_split=ps

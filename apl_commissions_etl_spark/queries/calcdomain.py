@@ -191,14 +191,15 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # r12: hash-partition on PremiumTransactionId (unique per fact
         # row, so the spread is exactly as uniform as round-robin, and
         # the round-robin path's sort-before-repartition is skipped)
-        # and persist c3/c8 through session_cache instead of
-        # localCheckpoint: the cached frames then REPORT
-        # hashpartitioning(PremiumTransactionId) to the planner, so
+        # and checkpoint c3/c8 through session_cache: the checkpoint
+        # is built so its LogicalRDD REPORTS
+        # hashpartitioning(PremiumTransactionId) to the planner
+        # (propagated from the fact through the broadcast cascade), so
         # every downstream per-premium aggregation or window (trace,
         # trace_full's three branches, the GL/trace rollups) runs with
-        # NO Exchange at all — the checkpointed form surfaced as
-        # UnknownPartitioning under AQE and re-shuffled the wide
-        # cascade per query (guide §2.4).
+        # NO Exchange at all — the r11 AQE-built checkpoint surfaced
+        # UnknownPartitioning and re-shuffled the wide cascade per
+        # query (guide §2.4).
         par = spark.sparkContext.defaultParallelism
         stg = dict(_staging(spark, sf_dir))
         stg["stg_premium_transactions"] = (

@@ -165,51 +165,65 @@ def test_session_ckpt_storage_level_adapts_to_heap():
     assert captured["level"] == StorageLevel.MEMORY_AND_DISK_DESER
 
 
-def test_reattach_restores_evicted_cache_entries(spark):
-    """clearCache() evicts CacheManager entries while the module
-    SessionCaches keep handing out the same DataFrame handles; without
-    re-attachment every consumer replans against full lineage (r12:
-    the mode-cascade single-fact-shuffle plan bound broke after
-    test_plans' clearCache). reattach() must restore the entry — and
-    the reported partitioning with it — for every tracked frame."""
-    from pyspark.storagelevel import StorageLevel
-
-    from apl_commissions_etl_spark.caching import reattach, session_cache
+def test_session_cache_reports_partitioning_and_survives_clearcache(
+    spark,
+):
+    """The keyed session_cache contract (r12): the checkpoint's
+    LogicalRDD REPORTS hashpartitioning(key), so a consumer grouping
+    on the key (or a superset) plans with no consumer-side Exchange —
+    and, unlike a CacheManager-backed persist, the layout survives
+    ``spark.catalog.clearCache()`` untouched (checkpoint blocks are
+    RDD storage, not cache entries)."""
+    from apl_commissions_etl_spark.caching import session_cache
 
     df = session_cache(
         spark.range(100).withColumn("k", (F.col("id") % 7)), ("k",)
     )
-    assert df.storageLevel != StorageLevel.NONE
 
-    def plan() -> str:
+    def consumer_exchanges() -> int:
         return (
-            df.groupBy("k")
+            df.groupBy("k", (F.col("k") * 2).alias("k2"))
             .count()
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
+            .count("Exchange")
         )
 
-    # keyed cache substituted: the only hash exchange in the plan is
-    # the BUILD-time repartition stored inside the InMemoryRelation —
-    # the consumer-side aggregation adds none of its own
-    plan_cached = plan()
-    assert "InMemoryTableScan" in plan_cached
-    n_build_exchanges = plan_cached.count("Exchange hashpartitioning")
+    assert consumer_exchanges() == 0
+    spark.catalog.clearCache()
+    assert consumer_exchanges() == 0  # immune to cache eviction
+
+
+def test_reattach_restores_evicted_cache_entries(spark):
+    """clearCache() evicts CacheManager entries while the module
+    SessionCaches keep handing out the same DataFrame handles; without
+    re-attachment every consumer replans against full lineage (r12:
+    the staging dims are ``.cache()``d through track_persisted).
+    reattach() must restore the entry for every tracked frame."""
+    from pyspark.storagelevel import StorageLevel
+
+    from apl_commissions_etl_spark.caching import (
+        reattach,
+        track_persisted,
+    )
+
+    df = track_persisted(
+        spark.range(100).withColumn("k", (F.col("id") % 7)).cache()
+    )
+    df.count()
+    assert df.storageLevel != StorageLevel.NONE
 
     spark.catalog.clearCache()
     assert df.storageLevel == StorageLevel.NONE
-    assert "InMemoryTableScan" not in plan()  # full lineage is back
 
     n = reattach()
     assert n >= 1
     assert df.storageLevel != StorageLevel.NONE
-    plan_restored = plan()
-    assert "InMemoryTableScan" in plan_restored
-    assert (
-        plan_restored.count("Exchange hashpartitioning")
-        == n_build_exchanges
+    plan_restored = (
+        df.groupBy("k").count()._jdf.queryExecution().executedPlan().toString()
     )
+    assert "InMemoryTableScan" in plan_restored
     df.unpersist()
     caching_mod = __import__(
         "apl_commissions_etl_spark.caching", fromlist=["_TRACKED"]
