@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread
 
 # money columns arrive as DOUBLE in the parquet; they carry 2-4 decimal
 # digits, so DECIMAL(18,6) captures them exactly.
@@ -56,7 +56,13 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the canonical A1 hash
     aggregate with map-side partial aggregation (verify with
     .explain(): HashAggregate(partial) below the shuffle)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread (guide §2.5): the single-row-group fixture scan fuses the
+    # whole partial aggregation into ONE task; the unique line key
+    # hash-spreads it across the session's cores (no-op on a real
+    # multi-split table)
+    li = spread(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber"
+    )
     # tight decimal widths: the inputs are exact 2-decimal values, and
     # DECIMAL(12,2) * DECIMAL(5,2) * DECIMAL(5,2) stays inside
     # DECIMAL(38) on BOTH engines — the earlier DECIMAL(18,6) casts
@@ -101,7 +107,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key MIN/MAX/SUM/COUNT + COUNT(DISTINCT) -- the certificate
     group-stats pattern (one row per GroupId in the reference)."""
-    o = load_table(spark, sf_dir, "orders")
+    # spread on the GROUPING key: parallelizes the single-split scan
+    # AND satisfies the aggregation's distribution in one exchange
+    o = spread(load_table(spark, sf_dir, "orders"), "o_custkey")
     return o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.min(F.col("o_orderdate").cast("date")).alias("first_order"),

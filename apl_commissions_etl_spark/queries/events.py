@@ -17,14 +17,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread
 
 #: funnel step window: each step must follow the previous within 24h
 STEP_HOURS = 24
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events")
+    # spread on user_id (guide §2.5): the single-row-group fixture scan
+    # otherwise runs each consumer's first stage as ONE task, and every
+    # consumer here (funnels, sessionization, as-of, transitions)
+    # windows or aggregates per user — the spread exchange doubles as
+    # their required distribution. No-op on a multi-split table.
+    return spread(load_table(spark, sf_dir, "events"), "user_id")
 
 
 def _funnel_users(e: DataFrame) -> DataFrame:

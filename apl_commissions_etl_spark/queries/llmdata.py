@@ -13,17 +13,18 @@ from pyspark.sql import functions as F
 from ..caching import SessionCache, locked_get, session_ckpt
 from ..operators import corpus, dedup, multimodal, similarity, textanalysis as ta
 from ..registry import query
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents spread across the session's parallelism: the corpus
     file is small enough to arrive as ONE parquet split, which would
-    run the (CPU-heavy) shingle/minhash/simhash pipelines
-    single-threaded; at corpus scale the scan itself provides the
-    spread and the repartition is a no-op cost-wise (docs are tiny
-    rows, the explode happens after)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    run the (CPU-heavy) shingle/minhash/simhash/codec pipelines
+    single-threaded.  r12: ``spread`` instead of an unconditional
+    round-robin repartition — hash on the unique doc_id skips
+    round-robin's sort-before-repartition pass, and at corpus scale
+    (multi-split table) the spread is a NO-OP instead of a full
+    corpus shuffle (guide §2.5)."""
+    return spread(load_table(spark, sf_dir, "documents"), "doc_id")
 
 
 # Shared oracle CTE fragments ------------------------------------------------
@@ -961,7 +962,7 @@ def _dhash_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
 
     def build() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents")
+        d = _docs(spark, sf_dir)
         return session_ckpt(
             multimodal.dhash_features(
                 multimodal.attach_png_payload(d, "doc_id", "text"), "doc_id"

@@ -11,13 +11,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import query
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread
 from ..streaming import joins as sj
 from ..streaming import windows as sw
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events")
+    # spread on user_id: every batch twin here windows/aggregates per
+    # user; see queries/events.py:_events (guide §2.5)
+    return spread(load_table(spark, sf_dir, "events"), "user_id")
 
 
 @query(

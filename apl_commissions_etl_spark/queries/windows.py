@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..registry import query
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread
 
 
 @query(
@@ -74,7 +74,9 @@ def win_partitioned_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep the latest row per key: the reference's
     latest-participant / best-proposal dedup."""
-    o = load_table(spark, sf_dir, "orders")
+    # spread on the window's partition key: parallelizes the
+    # single-split scan and satisfies the window distribution
+    o = spread(load_table(spark, sf_dir, "orders"), "o_custkey")
     w = W.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
     )

@@ -29,6 +29,37 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive spread for narrow-split scans (guide §2.5 "input
+    skew: one huge unsplittable file ... otherwise repartition
+    immediately after the read").
+
+    The fixture tables are single-row-group parquet files, so every
+    scan arrives as ONE task and the stage fused onto it (filter +
+    partial aggregation / explode / window input) runs single-threaded
+    — measured 30-40% of several headline queries' steady time at
+    sf0.1 on local[32].  On a real cluster the same table arrives in
+    thousands of splits and no repartition is wanted: the decision is
+    DERIVED FROM THE SCAN, not a constant — when the frame already
+    provides at least half the session's parallelism this is a no-op.
+
+    ``key_cols`` must functionally determine no grouping used
+    downstream (callers pass a high-cardinality natural key, typically
+    the row's unique id) — hash spread is exactly as uniform as
+    round-robin for a unique key and skips round-robin's
+    sort-before-repartition pass (guide §2.5 on SPARK-23207).  Values
+    never change: the engine's aggregates are partition-order
+    independent by policy (exact DECIMAL / integer accumulation)."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() * 2 >= par:
+            return df
+    except Exception:
+        return df  # connect mode: no RDD handle; leave the scan alone
+    return df.repartition(par, *key_cols) if key_cols else df.repartition(par)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
