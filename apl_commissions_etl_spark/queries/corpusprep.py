@@ -540,7 +540,16 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     w = d.select("doc_id", F.explode(ta.words("text")).alias("tok"))
-    vocab = w.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # aggregate-before-shuffle (r12, guide §2.3): fold the token stream
+    # to term frequencies FIRST — the vocab aggregation, the vocab
+    # join, and the per-doc rollup then all run at (doc, tok) scale
+    # instead of token-occurrence scale, and the second explode the
+    # join subtree used to re-derive disappears.  sum(tf * term) vs
+    # occurrence-row summation reorders float adds, which the 6-dp
+    # round absorbs exactly like partition-order drift (proven
+    # hash-identical at sf0.001/0.01/0.1).
+    tf = w.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
     # total corpus tokens == sum of per-doc word-array sizes: one scan
     # with NO explode and NO token-scale shuffle (r12, guide §2.3 —
     # deriving the same number through a third full explode +
@@ -551,16 +560,16 @@ def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("total")
     )
     nll = F.round(
-        F.sum(-F.log2(F.col("c") * 1.0 / F.col("total")))
-        / F.count(F.lit(1)),
+        F.sum(F.col("tf") * -F.log2(F.col("c") * 1.0 / F.col("total")))
+        / F.sum("tf"),
         6,
     ).cast("double")
     scored = (
-        w.join(vocab, "tok")
+        tf.join(vocab, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").cast("long").alias("n_tokens"),
             nll.alias("avg_nll_bits"),
         )
     )
@@ -729,7 +738,11 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality") >= 0.3).alias("pass_quality"),
     )
     w = d.select("doc_id", F.explode(ta.words("text")).alias("tok"))
-    vocab = w.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # term-frequency fold first (r12, guide §2.3): vocab, join, and
+    # per-doc rollup all run at (doc, tok) scale, one explode total —
+    # see corpus_perplexity_filter for the equivalence argument
+    tf = w.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
     # total corpus tokens == sum of per-doc word-array sizes: one scan
     # with NO explode and NO token-scale shuffle (r12, guide §2.3 —
     # deriving the same number through a third full explode +
@@ -740,13 +753,13 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("total")
     )
     ppl = (
-        w.join(vocab, "tok")
+        tf.join(vocab, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(-F.log2(F.col("c") * 1.0 / F.col("total")))
-                / F.count(F.lit(1)),
+                F.sum(F.col("tf") * -F.log2(F.col("c") * 1.0 / F.col("total")))
+                / F.sum("tf"),
                 6,
             ).alias("nll")
         )
