@@ -28,6 +28,7 @@ WARM_STEPS = {
     "dedup_cluster_labels",
     "ann_constants",
     "ivf_index",
+    "ann_probe",
     "doc_signals",
     "builder_per_split",
 }
