@@ -240,6 +240,14 @@ def session_cache(df, key_cols: tuple[str, ...] = (), eager: bool = True):
     if not key_cols:
         with _aqe_off(spark):
             return session_ckpt(df)
+    if not _big_heap(df):
+        # Small-heap (gate) sessions skip the keyed two-step: its
+        # transient second copy pushed the 1g rehearsal's in-flight
+        # live-after-GC to 92% of max heap (guard 85%; the plain-ckpt
+        # form reads ~56%). The exchange-free consumer plans the keyed
+        # layout buys are a big-session performance feature; the gate
+        # only needs correctness + survival (r11 memory shape).
+        return session_ckpt(df)
     base = session_ckpt(df)
     par = spark.sparkContext.defaultParallelism
     with _aqe_off(spark):
