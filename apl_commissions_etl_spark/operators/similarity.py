@@ -255,6 +255,61 @@ def cosine_topk_ivf(
     )
 
 
+def _java_double_key(x: float):
+    """Total-order sort key matching Spark's double ordering
+    (java.lang.Double.compare): -0.0 < 0.0, NaN greater than every
+    other value."""
+    import math
+
+    if math.isnan(x):
+        return (1, 0.0, 0.0)
+    return (0, x, math.copysign(1.0, x))
+
+
+def select_probe_cells_local(
+    qvec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 4,
+) -> tuple[list[int], float]:
+    """Probe selection as pure DRIVER arithmetic — the per-serving-call
+    form (r13). Ranking nprobe cells against one query is O(n_centroids
+    x dims) float math over constants already held on the driver; at 16
+    centroids that is ~1K flops, so running it INSIDE every serving
+    call costs microseconds — no Spark job, no session memoisation (the
+    r12 probe cache keyed per (session, sf) moved this per-query work
+    out of the timed region; this keeps it honest AND cheap).
+
+    Bit-exactness: the engine path evaluates
+    ``aggregate(zip_with(c, q, (x,y) -> x*y), 0.0, (acc,x) -> acc+x)``
+    — a left-to-right IEEE-754 binary64 multiply/add chain — then
+    ``sqrt`` and one divide. CPython floats are the same binary64 with
+    correctly-rounded *, +, / and math.sqrt, so replaying the identical
+    operation order yields identical BITS for every sim and for qnorm
+    (verified against the engine job for both centroid families at
+    sf0.001/0.01/0.1 — cells and qnorm repr-identical). Ordering
+    replicates Spark's sim DESC, cid ASC including the -0.0/NaN
+    corners via ``_java_double_key``. At 64K+ centroids rank on the
+    cluster instead (``select_probe_cells``) — same contract."""
+    import math
+
+    q = [float(x) for x in qvec]
+    acc = 0.0
+    for x in q:
+        acc = acc + x * x
+    qn = math.sqrt(acc)
+    scored = []
+    for cid, cv in centroids:
+        dot = 0.0
+        nc = 0.0
+        for a, b in zip(cv, q):
+            dot = dot + a * b
+            nc = nc + a * a
+        scored.append((cid, dot / (math.sqrt(nc) * qn)))
+    scored.sort(key=lambda t: t[0])  # cid ASC tiebreak (stable sorts)
+    scored.sort(key=lambda t: _java_double_key(t[1]), reverse=True)
+    return [cid for cid, _ in scored[:nprobe]], qn
+
+
 def select_probe_cells(
     spark,
     query_vec: Column,
@@ -267,7 +322,10 @@ def select_probe_cells(
 
     ONE driver job over the centroid relation; the cosine/norm
     expressions are the same ones the per-row scoring uses, so the
-    returned values are bit-identical to inline evaluation."""
+    returned values are bit-identical to inline evaluation.  This is
+    the carrier for centroid sets too large to rank on the driver;
+    for driver-held centroid lists ``select_probe_cells_local`` gives
+    the same bits with no job at all."""
     cent_df = spark.createDataFrame(
         [(cid, cv) for cid, cv in centroids],
         f"{id_col} long, cvec array<double>",

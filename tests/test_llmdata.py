@@ -785,3 +785,47 @@ def test_incremental_index_parity_moves_cells(spark, sf_dir):
     assert moved.filter(
         ~((F.col("vec_id") % 11 == 5) | (F.col("vec_id") % 7 == 2))
     ).count() == 0
+
+
+def test_pq_lit_dist_python_fold_matches_engine(spark, sf_dir):
+    """_pq_lit_dist_sql folds the literal ADC-table distances on the
+    driver (r13); the integer must equal what the engine's own
+    CAST(round((qx-cx)^2*1e9) AS BIGINT) tree evaluates to, for every
+    table entry of both PQ families (plain + residual), because those
+    literals feed oracle-hashed outputs."""
+    from apl_commissions_etl_spark.queries import llmdata
+
+    qvec, _ = llmdata._ann_constants(spark, sf_dir)
+    qvec = [float(x) for x in qvec]
+    books = llmdata._pq_codebooks(spark, sf_dir)
+    rbooks, cell_vecs = llmdata._pq_residual_books(spark, sf_dir)
+    probe, _ = llmdata._probe_cells(spark, sf_dir)
+
+    def tree_sql(q_sub, cent):  # the pre-r13 engine-folded form
+        terms = []
+        for qx, cx in zip(q_sub, cent):
+            x = f"(CAST('{qx!r}' AS DOUBLE) - CAST('{cx!r}' AS DOUBLE))"
+            terms.append(f"CAST(round({x} * {x} * 1e9) AS BIGINT)")
+        return "(" + " + ".join(terms) + ")"
+
+    pairs = []
+    for s in range(llmdata._PQ_SUBS):
+        q_sub = qvec[s * 8 : s * 8 + 8]
+        for k in range(llmdata._PQ_K):
+            pairs.append((q_sub, books[s][k]))
+        for c in probe:
+            q_res = [
+                qvec[s * 8 + i] - cell_vecs[c][s * 8 + i] for i in range(8)
+            ]
+            for k in range(llmdata._PQ_K):
+                pairs.append((q_res, rbooks[s][k]))
+    engine_row = spark.range(1).select(
+        *[
+            F.expr(tree_sql(q, c)).alias(f"v{i}")
+            for i, (q, c) in enumerate(pairs)
+        ]
+    ).collect()[0]
+    for i, (q, c) in enumerate(pairs):
+        folded = llmdata._pq_lit_dist_sql(q, c)
+        assert folded.endswith("L")
+        assert int(folded[:-1]) == engine_row[f"v{i}"]

@@ -28,7 +28,8 @@ WARM_STEPS = {
     "dedup_cluster_labels",
     "ann_constants",
     "ivf_index",
-    "ann_probe",
+    # NOT here: ann_probe (r12) — probe selection is per-serving-call
+    # driver arithmetic since r13, deliberately unwarmed
     "doc_signals",
     "builder_per_split",
 }
@@ -50,6 +51,41 @@ def test_warm_shared_caches_covers_every_family_and_queries_agree(
     assert labels.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
     topk = qs["ann_topk_ivf"].spark_fn(spark, sf_dir).collect()
     assert len(topk) == 10
+
+
+def test_probe_selection_local_matches_engine_job(spark, sf_dir):
+    """The r13 per-call driver-math probe selection must return the
+    exact bits the engine-job form returns — cells list identical,
+    qnorm repr-identical — for both centroid families (it feeds literal
+    qnorm/probe-cell values into oracle-hashed plans)."""
+    qvec, seeds = llmdata._ann_constants(spark, sf_dir)
+    qcol = llmdata._qcol(qvec)
+    for cents in (seeds, llmdata._kmeans_centroids(spark, sf_dir)):
+        eng_cells, eng_qn = similarity.select_probe_cells(
+            spark, qcol, cents, 4
+        )
+        loc_cells, loc_qn = similarity.select_probe_cells_local(
+            qvec, cents, 4
+        )
+        assert loc_cells == eng_cells
+        assert repr(loc_qn) == repr(eng_qn)
+
+
+def test_probe_selection_local_orders_like_spark_doubles():
+    """-0.0/0.0 and NaN sims must order exactly as Spark sorts doubles
+    (NaN largest, -0.0 < 0.0), with cid as the ascending tiebreak."""
+    # centroids crafted so sims are: cid 1 -> NaN, cid 2/3 -> 0.0 tie,
+    # cid 4 -> negative
+    q = [1.0, 0.0]
+    cents = [
+        (4, [-1.0, 0.0]),   # sim -1.0
+        (3, [0.0, 1.0]),    # sim 0.0
+        (2, [0.0, 1.0]),    # sim 0.0 (cid tie -> 2 before 3)
+        (1, [float("nan"), 0.0]),  # sim NaN -> ranks first
+    ]
+    cells, qn = similarity.select_probe_cells_local(q, cents, 4)
+    assert cells == [1, 2, 3, 4]
+    assert qn == 1.0
 
 
 def test_ivf_prebuilt_index_matches_inline_assignment(spark, sf_dir):
