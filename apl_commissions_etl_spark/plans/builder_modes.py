@@ -537,7 +537,14 @@ def mode_prestage_split_configs(
         F.broadcast(reps)
         .join(per_split, ["GroupId", "CertificateId"])
         .withColumn("split_json", split_json)
-        .groupBy("ProposalId")
+        # group by (GroupId, ProposalId) instead of ProposalId alone
+        # (r13, guide §2.4): ProposalId embeds GroupId ('PROP-<mode>-
+        # <GroupId>-<year>-...' with dash-free GroupIds), so the groups
+        # are identical — but the superset key lets the aggregation
+        # reuse the broadcast join's streamed-side hashpartitioning
+        # (GroupId) from the per_split session cache, removing the
+        # final Exchange outright.
+        .groupBy("GroupId", "ProposalId")
         .agg(
             F.sum("CertSplitPercent").cast("int").alias("TotalSplitPercent"),
             F.concat_ws(

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import SessionCache, locked_get, session_ckpt
+from ..caching import SessionCache, locked_get, session_cache, session_ckpt
 from ..operators import corpus, dedup, multimodal, similarity, textanalysis as ta
 from ..registry import query
 from ..sources.testdata import load_table, spread
@@ -1009,10 +1009,17 @@ def _dhash_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         d = _docs(spark, sf_dir)
-        return session_ckpt(
+        # keyed on dhash (r13): both image-dedup consumers cluster on
+        # the hash — the dhash window (count-per-hash) and the
+        # labels-side distinct run exchange-free over the reported
+        # hashpartitioning(dhash) (guide §2.4; the r12 plain checkpoint
+        # reported UnknownPartitioning and the window re-shuffled the
+        # whole feature frame per query)
+        return session_cache(
             multimodal.dhash_features(
                 multimodal.attach_png_payload(d, "doc_id", "text"), "doc_id"
-            )
+            ),
+            ("dhash",),
         )
 
     return locked_get(_DHASH_FEATS_CACHE, key, build)
