@@ -50,8 +50,10 @@ class SessionCache(dict):
 _LOCK_TABLE_KEY = object()
 _LOCKS_GUARD = threading.Lock()
 
-#: Every session-shared frame kept alive through Spark's CacheManager
-#: (``session_cache`` persists, ``_staging``'s dim ``.cache()``s).
+#: Session-shared frames kept alive through Spark's CacheManager —
+#: only the ``.cache()``'d staging dims register here (``session_cache``
+#: builds checkpoints, which live as RDD blocks outside CacheManager
+#: and survive ``clearCache()`` on their own).
 #: ``spark.catalog.clearCache()`` evicts the CacheManager ENTRIES but
 #: the module-level SessionCaches keep handing out the same DataFrame
 #: handles — every consumer then silently replans against full
@@ -150,10 +152,18 @@ def session_ckpt(df):
     return df.localCheckpoint(eager=True, storageLevel=level)
 
 
-#: reentrant AQE-off flip state per session: appId -> [depth, original].
-#: Guarded by _LOCKS_GUARD; the BUILD between flip and restore runs
-#: outside the guard, so concurrent session_cache builds still overlap.
-_AQE_FLIP: dict[str, list] = {}
+#: reentrant AQE-off flip state per session: id(session) -> [depth,
+#: original]. Keyed by the SparkSession OBJECT (not applicationId —
+#: conf is per-session, and two sessions sharing one app must not
+#: restore each other's value). Guarded by _LOCKS_GUARD; the BUILD
+#: between flip and restore runs outside the guard, so concurrent
+#: session_cache builds still overlap. NOTE: the flip is session-wide
+#: for its duration — unrelated queries PLANNED inside the window lose
+#: AQE's runtime re-optimization; the window is kept to the checkpoint
+#: construction only, and warm-up chains that plan concurrently accept
+#: it (their frames are checkpoint leaves whose consumers re-plan with
+#: AQE on).
+_AQE_FLIP: dict[int, list] = {}
 _AQE_KEY = "spark.sql.adaptive.enabled"
 
 
@@ -162,33 +172,47 @@ class _aqe_off:
     save/set/restore races when two warm-up chains overlap (the second
     chain would save the first's 'false' and restore it, leaving AQE
     off session-wide); depth-counting restores the ORIGINAL value only
-    when the last overlapping build finishes."""
+    when the last overlapping build finishes.  Degrades to a no-op when
+    the session conf is unavailable (connect mode): the checkpoint then
+    reports UnknownPartitioning — consumers re-shuffle, correctness
+    unchanged — matching the other helpers' connect-mode fallbacks."""
 
     def __init__(self, spark):
         self.spark = spark
+        self.active = False
 
     def __enter__(self):
         with _LOCKS_GUARD:
-            st = _AQE_FLIP.setdefault(
-                self.spark.sparkContext.applicationId,
-                [0, self.spark.conf.get(_AQE_KEY, "true")],
-            )
+            try:
+                orig = self.spark.conf.get(_AQE_KEY, "true")
+            except Exception:
+                return self  # conf unavailable: degrade, flip nothing
+            st = _AQE_FLIP.setdefault(id(self.spark), [0, orig])
             st[0] += 1
-            self.spark.conf.set(_AQE_KEY, "false")
+            try:
+                self.spark.conf.set(_AQE_KEY, "false")
+                self.active = True
+            except Exception:
+                st[0] -= 1
+                if st[0] == 0:
+                    del _AQE_FLIP[id(self.spark)]
         return self
 
     def __exit__(self, *exc):
+        if not self.active:
+            return False
         with _LOCKS_GUARD:
-            app = self.spark.sparkContext.applicationId
-            st = _AQE_FLIP[app]
+            st = _AQE_FLIP[id(self.spark)]
             st[0] -= 1
             if st[0] == 0:
-                self.spark.conf.set(_AQE_KEY, st[1])
-                del _AQE_FLIP[app]
+                try:
+                    self.spark.conf.set(_AQE_KEY, st[1])
+                finally:
+                    del _AQE_FLIP[id(self.spark)]
         return False
 
 
-def session_cache(df, key_cols: tuple[str, ...] = (), eager: bool = True):
+def session_cache(df, key_cols: tuple[str, ...] = ()):
     """Partitioning-preserving session checkpoint: ``session_ckpt``
     whose LogicalRDD REPORTS the frame's hash partitioning.
 
@@ -213,7 +237,7 @@ def session_cache(df, key_cols: tuple[str, ...] = (), eager: bool = True):
     AQE scoped OFF captures hashpartitioning exactly (verified: a
     keyed aggregation over the result plans with zero Exchange).
 
-    Keyed frames go through TWO checkpoints: first a plain one that
+    Keyed frames go through TWO checkpoints: first a LAZY one that
     truncates the lineage to a LogicalRDD leaf, then the AQE-off
     repartition+checkpoint of that leaf.  Checkpointing the
     repartition of the ORIGINAL complex plan silently lost the layout
@@ -221,11 +245,18 @@ def session_cache(df, key_cols: tuple[str, ...] = (), eager: bool = True):
     partitioning onto the new dataset's attribute ids, and on an
     aggregate-topped plan the physical ids drift from the logical
     output, so consumers saw a partitioning referencing stale ids and
-    re-inserted the Exchange (observed on the builder criteria frame;
-    the repartition-over-a-leaf form rewrites cleanly and its
-    consumers plan with zero Exchange, superset grouping keys
-    included).  The intermediate checkpoint's blocks are unpersisted
-    best-effort once the keyed copy is materialized.
+    re-inserted the Exchange (observed on the builder criteria frame,
+    re-verified r13 — hashpartitioning(GroupId#56) over a leaf whose
+    output carries GroupId#79; a fresh alias projection does not
+    re-align it.  The repartition-over-a-leaf form rewrites cleanly
+    and its consumers plan with zero Exchange, superset grouping keys
+    included).  r13: the first checkpoint is ``eager=False`` — the
+    leaf's blocks then persist as a side effect of the ONE job that
+    materializes the keyed copy, instead of a separate full
+    materialize-then-reshuffle pass (criteria frame at sf0.1: 2.8 s ->
+    2.2 s steady build, one job instead of two).  The intermediate's
+    blocks are unpersisted best-effort once the keyed copy is
+    materialized, exactly as before.
 
     Two earlier r12 designs are deliberately NOT this one: a columnar
     ``persist`` preserved partitioning but (a) kept the frame's FULL
@@ -248,7 +279,14 @@ def session_cache(df, key_cols: tuple[str, ...] = (), eager: bool = True):
         # layout buys are a big-session performance feature; the gate
         # only needs correctness + survival (r11 memory shape).
         return session_ckpt(df)
-    base = session_ckpt(df)
+    from pyspark.storagelevel import StorageLevel
+
+    # lazy leaf: lineage truncates now, blocks materialize inside the
+    # keyed checkpoint's job (big-heap sessions only reach this path,
+    # so the fast deserialized level is the right one)
+    base = df.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK_DESER
+    )
     par = spark.sparkContext.defaultParallelism
     with _aqe_off(spark):
         out = session_ckpt(base.repartition(par, *key_cols))

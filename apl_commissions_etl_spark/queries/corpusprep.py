@@ -721,13 +721,13 @@ rep AS (
     "four gates then join on doc_id, all co-partitioned)",
 )
 def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
     # repetition, lang-id, and quality are ALL per-row projections (no
     # explode, no shuffle), fused onto ONE scan in the session's
     # shared signal frame (llmdata._doc_signals — also read by
     # pipeline_pretrain_corpus); only the perplexity signal (which
     # genuinely needs the corpus-level vocabulary) joins
-    base = _doc_signals(spark, sf_dir).select(
+    sig = _doc_signals(spark, sf_dir)
+    base = sig.select(
         "doc_id",
         ((F.col("dup_word_frac") <= 0.95) & (F.col("top_word_frac") <= 0.2))
         .alias("pass_repetition"),
@@ -737,21 +737,22 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pass_lang"),
         (F.col("quality") >= 0.3).alias("pass_quality"),
     )
-    w = d.select("doc_id", F.explode(ta.words("text")).alias("tok"))
-    # term-frequency fold first (r12, guide §2.3): vocab, join, and
-    # per-doc rollup all run at (doc, tok) scale, one explode total —
-    # see corpus_perplexity_filter for the equivalence argument
-    tf = w.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
-    # total corpus tokens == sum of per-doc word-array sizes: one scan
-    # with NO explode and NO token-scale shuffle (r12, guide §2.3 —
-    # deriving the same number through a third full explode +
-    # groupBy(tok) + global-sum chain cost a token-scale pass; explode
-    # row counts and array sizes are equal by construction, so the
-    # integer total is identical)
-    tot = d.select(F.size(ta.words("text")).alias("n")).agg(
-        F.sum("n").cast("long").alias("total")
+    # perplexity from the signals frame's per-doc tf MAP (r13): the
+    # r12 form re-tokenized the corpus in TWO subtrees (the tf fold is
+    # consumed by both vocab and the rollup; Spark re-derives it per
+    # consumer) plus a THIRD scan for the token total. Exploding the
+    # stored map starts per-call work at (doc, tok) scale — same rows,
+    # same counts as the explode+fold it replaces (map built from the
+    # identical words() expression at signals-build time).
+    tf = sig.select("doc_id", F.explode("tf")).select(
+        "doc_id", F.col("key").alias("tok"), F.col("value").alias("tf")
     )
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    # total corpus tokens == sum of the per-doc word counts already on
+    # the signals frame — n_words IS size(words(text)), the exact
+    # integer the r12 per-scan sum produced (guide §2.3: no third
+    # pass over the corpus for one number)
+    tot = sig.agg(F.sum("n_words").cast("long").alias("total"))
     ppl = (
         tf.join(vocab, "tok")
         .crossJoin(F.broadcast(tot))

@@ -222,16 +222,42 @@ _DOC_SIGNALS_CACHE: dict[tuple[str, str], DataFrame] = SessionCache()
 
 def _doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    return locked_get(
-        _DOC_SIGNALS_CACHE,
-        key,
-        lambda: corpus.repetition_metrics(
-            _docs(spark, sf_dir), "doc_id", "text", keep=("text", "lang")
+
+    def build() -> DataFrame:
+        d = _docs(spark, sf_dir)
+        sig = (
+            corpus.repetition_metrics(
+                d, "doc_id", "text", keep=("text", "lang")
+            )
+            .withColumn("detected_lang", ta.lang_id("text"))
+            .withColumn("quality", ta.quality_score("text"))
         )
-        .withColumn("detected_lang", ta.lang_id("text"))
-        .withColumn("quality", ta.quality_score("text"))
-        .transform(session_ckpt),
-    )
+        # per-doc term frequencies as a map column (r13): the quality
+        # gate's perplexity signal re-tokenized the corpus TWICE per
+        # run (the tf subtree is consumed by both the vocab aggregation
+        # and the per-doc rollup, and Spark re-derives it per consumer)
+        # plus a third scan for the token total. Folding tf into the
+        # signals frame at build time moves the tokenize+explode to the
+        # one shared pass; per-call work then starts from (doc, tok)
+        # scale. Entirely within the doc_id layout (explode preserves
+        # partitioning, both groupBys and the join key on doc_id), so
+        # the build adds NO exchange. Left join: a doc whose words()
+        # is null keeps its signal row with a null map — exploding a
+        # null map drops the row exactly like exploding null words did.
+        tfm = (
+            d.select("doc_id", F.explode(ta.words("text")).alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("tok", "tf"))
+                ).alias("tf")
+            )
+        )
+        return session_ckpt(sig.join(tfm, "doc_id", "left"))
+
+    return locked_get(_DOC_SIGNALS_CACHE, key, build)
 
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
