@@ -538,27 +538,20 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "last-ulp libm/accumulation-order drift, as in entropy routing",
 )
 def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    w = d.select("doc_id", F.explode(ta.words("text")).alias("tok"))
-    # aggregate-before-shuffle (r12, guide §2.3): fold the token stream
-    # to term frequencies FIRST — the vocab aggregation, the vocab
-    # join, and the per-doc rollup then all run at (doc, tok) scale
-    # instead of token-occurrence scale, and the second explode the
-    # join subtree used to re-derive disappears.  sum(tf * term) vs
-    # occurrence-row summation reorders float adds, which the 6-dp
-    # round absorbs exactly like partition-order drift (proven
-    # hash-identical at sf0.001/0.01/0.1).
-    tf = w.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
-    # total corpus tokens == sum of per-doc word-array sizes: one scan
-    # with NO explode and NO token-scale shuffle (r12, guide §2.3 —
-    # deriving the same number through a third full explode +
-    # groupBy(tok) + global-sum chain cost a token-scale pass; explode
-    # row counts and array sizes are equal by construction, so the
-    # integer total is identical)
-    tot = d.select(F.size(ta.words("text")).alias("n")).agg(
-        F.sum("n").cast("long").alias("total")
+    # per-doc term frequencies from the shared signals frame (r13,
+    # guide §2.3): the r12 form folded the token stream per run — one
+    # corpus tokenize+explode per consumer subtree (vocab AND rollup
+    # re-derive it). The stored map starts per-call work at (doc, tok)
+    # scale; the token total is the sum of the stored per-doc word
+    # counts (n_words IS size(words(text)) — the identical integer).
+    # sum(tf * term) float-add order remains absorbed by the 6-dp
+    # round exactly as in r12 (proven hash-identical at all three SFs).
+    sig = _doc_signals(spark, sf_dir)
+    tf = sig.select("doc_id", F.explode("tf")).select(
+        "doc_id", F.col("key").alias("tok"), F.col("value").alias("tf")
     )
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    tot = sig.agg(F.sum("n_words").cast("long").alias("total"))
     nll = F.round(
         F.sum(F.col("tf") * -F.log2(F.col("c") * 1.0 / F.col("total")))
         / F.sum("tf"),

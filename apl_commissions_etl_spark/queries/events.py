@@ -230,7 +230,14 @@ def seq_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.asof import asof_join_backward
 
-    e = _events(spark, sf_dir)
+    # raw scan, NOT the spread accessor (r13): this query unions two
+    # filtered subtrees, so the shared spread's REPARTITION exchange is
+    # re-derived per branch AND the union still needs its own user_id
+    # exchange for the marker window (union never reports a child
+    # partitioning) — the spread bought nothing and shuffled the full
+    # event table twice (plan: 3 Exchange -> 2, and the remaining two
+    # move only clicks / clicks+purchases, guide §2.3/§2.4)
+    e = load_table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id"
     )

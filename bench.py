@@ -71,7 +71,7 @@ HEADLINE = [
 
 
 def prev_round_steady(
-    repo_dir: str, sf: object = None
+    repo_dir: str, sf: object = None, cpus: object = None
 ) -> tuple[str | None, dict[str, float]]:
     """Per-query steady timings from the newest committed BENCH_r*.json.
 
@@ -82,6 +82,12 @@ def prev_round_steady(
     ``sf``: when given, a candidate whose recorded scale factor
     DIFFERS is skipped — cross-SF timings would make every query look
     3x+ slower/faster and poison the contention detector.
+    ``cpus``: same guard for the core count — the driver ALSO benches
+    at a lower core count and archives it as e.g. BENCH_r12_c8.json,
+    which sorts BEFORE BENCH_r12.json in reverse-lex order ('_'>'.'),
+    so without the guard the r13 detector adopted the 8-core window as
+    its 32-core baseline. Artifacts that predate the recorded "cpus"
+    field qualify only under the canonical BENCH_r<NN>.json name.
     Returns (filename, {query: sec}); (None, {}) when no usable file.
     """
     import glob
@@ -110,6 +116,8 @@ def prev_round_steady(
             else doc
         if sf is not None and "sf" in parsed and parsed["sf"] != sf:
             return {}  # cross-SF baseline: not comparable
+        if cpus is not None and "cpus" in parsed and parsed["cpus"] != cpus:
+            return {}  # cross-core-count baseline: not comparable
         q = parsed.get("queries")
         if not isinstance(q, dict):
             return {}
@@ -140,7 +148,16 @@ def prev_round_steady(
         }
 
     rounds = sorted(
-        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True
+        (
+            p
+            for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+            # only canonical per-round artifacts: variant captures
+            # (BENCH_r12_c8.json = the driver's 8-core scaling run)
+            # predate the recorded "cpus" field and are NOT comparable
+            # steady baselines for the main core count
+            if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+        ),
+        reverse=True,
     )
     local = os.path.join(repo_dir, "BENCH_LOCAL.json")
     # preference order: newest round artifact whose parsed line carries
@@ -305,8 +322,10 @@ def main() -> None:
     # flag land in the output either way so the artifact tells the
     # judge what happened.
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
+    cpus_val = int(cpus_env) if cpus_env.isdigit() else None
     prev_file, prev = prev_round_steady(
-        os.path.dirname(os.path.abspath(__file__)), sf=sf_val
+        os.path.dirname(os.path.abspath(__file__)), sf=sf_val, cpus=cpus_val
     )
     suspects = suspect_queries(timings, prev)
     window_suspect = bool(suspects)
@@ -377,6 +396,9 @@ def main() -> None:
                 "window_baseline": prev_file,
                 "first_window_total": first_total,
                 "second_window_total": second_total,
+                # recorded so future detectors can refuse cross-core
+                # baselines (the r12_c8 scaling artifact trap)
+                "cpus": cpus_val,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -411,6 +433,7 @@ def main() -> None:
                     n: [round(v, 2) for v in pair]
                     for n, pair in outliers.items()
                 },
+                "cpus": cpus_val,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         ),

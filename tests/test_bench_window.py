@@ -198,3 +198,45 @@ def test_prev_round_steady_skips_cross_sf_baseline(tmp_path):
     # no SF filter requested: accepted (legacy behavior)
     fname, found = BENCH.prev_round_steady(str(tmp_path))
     assert found == {"calc_gl_entries": 0.06}
+
+
+def test_prev_round_steady_skips_variant_artifact_names(tmp_path):
+    # the r13 live bug: the driver's 8-core scaling artifact
+    # BENCH_r12_c8.json sorts BEFORE BENCH_r12.json in reverse-lex
+    # order ('_' > '.') and was adopted as the 32-core baseline.
+    # Variant names must never qualify; the canonical round artifact
+    # must win.
+    full = {n: 0.5 for n in BENCH.HEADLINE}
+    c8 = {
+        "parsed": {
+            "metric": "headline_queries_total", "sf": 0.1,
+            "queries": {n: 9.9 for n in BENCH.HEADLINE},
+        }
+    }
+    main = {
+        "parsed": {
+            "metric": "headline_queries_total", "sf": 0.1,
+            "queries": full,
+        }
+    }
+    (tmp_path / "BENCH_r12_c8.json").write_text(json.dumps(c8))
+    (tmp_path / "BENCH_r12.json").write_text(json.dumps(main))
+    fname, found = BENCH.prev_round_steady(str(tmp_path), sf=0.1)
+    assert fname == "BENCH_r12.json"
+    assert found["calc_gl_entries"] == 0.5
+
+
+def test_prev_round_steady_skips_cross_cpu_baseline(tmp_path):
+    # an artifact that RECORDS a different core count is skipped even
+    # under a canonical name; matching or absent cpus qualifies
+    line = {
+        "metric": "headline_queries_total",
+        "sf": 0.1,
+        "cpus": 8,
+        "queries": {n: 0.5 for n in BENCH.HEADLINE},
+    }
+    (tmp_path / "BENCH_r12.json").write_text(json.dumps({"parsed": line}))
+    fname, found = BENCH.prev_round_steady(str(tmp_path), sf=0.1, cpus=32)
+    assert found == {}
+    fname, found = BENCH.prev_round_steady(str(tmp_path), sf=0.1, cpus=8)
+    assert fname == "BENCH_r12.json" and found
