@@ -53,15 +53,41 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
     try:
-        if df.rdd.getNumPartitions() * 2 >= par:
+        n = _SPLIT_COUNTS.get(id(df))
+        if n is None:
+            # one full physical-planning pass (~0.06 s of driver work);
+            # memoised for the session-cached table handles, whose ids
+            # stay live for the cache's lifetime
+            n = df.rdd.getNumPartitions()
+            with _TABLE_FRAMES_LOCK:
+                if any(f is df for f in _TABLE_FRAMES.values()):
+                    _SPLIT_COUNTS[id(df)] = n
+        if n * 2 >= par:
             return df
     except Exception:
         return df  # connect mode: no RDD handle; leave the scan alone
     return df.repartition(par, *key_cols) if key_cols else df.repartition(par)
 
 
+#: (applicationId, sf_dir, table) -> lazy DataFrame HANDLE.  NOT a data
+#: cache: nothing is materialized — building the same scan frame per
+#: call costs ~0.12 s of driver work (relation resolution + schema) and
+#: every query pays it at build time (r13 profile, guide §5 "the
+#: driver should do almost no data work").  Reusing the immutable
+#: handle removes that per-call tax; the scan itself still executes in
+#: full inside every consuming query.
+_TABLE_FRAMES: dict = {}
+_TABLE_FRAMES_LOCK = threading.Lock()
+
+#: id(frame) -> scan split count, for frames held in _TABLE_FRAMES
+#: (their lifetime matches the cache, so ids stay valid).  spread()'s
+#: split probe (df.rdd.getNumPartitions()) costs a full physical
+#: planning pass (~0.06 s) per call otherwise.
+_SPLIT_COUNTS: dict[int, int] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table.
+    """Read one testdata table (one lazy frame handle per session).
 
     ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
     Spark's vectorized reader rejects. We read it with
@@ -69,6 +95,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and convert to a microsecond TimestampType column, truncating like
     DuckDB/Arrow do, so both engines see identical values.
     """
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+    except Exception:
+        key = None  # connect mode: no cheap session identity; rebuild
+    if key is not None:
+        with _TABLE_FRAMES_LOCK:
+            hit = _TABLE_FRAMES.get(key)
+        if hit is not None:
+            return hit
+    df = _read_table(spark, sf_dir, name)
+    if key is not None:
+        with _TABLE_FRAMES_LOCK:
+            df = _TABLE_FRAMES.setdefault(key, df)
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
