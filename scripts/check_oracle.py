@@ -147,6 +147,14 @@ def main():
     vanilla = "--vanilla" in argv
     if vanilla:
         argv.remove("--vanilla")
+    # r13: vanilla runs stream results by default (toLocalIterator —
+    # bounds the JVM transient to one partition; the old whole-result
+    # collect pushed 300K-row parity queries to 98% in-flight in 1g).
+    # --collect-fetch restores the old path for rehearsals that model
+    # a driver harness which collects full results.
+    collect_fetch = "--collect-fetch" in argv
+    if collect_fetch:
+        argv.remove("--collect-fetch")
     if "--scale-smoke" in argv:
         argv.remove("--scale-smoke")
         scale_smoke(argv)
@@ -289,14 +297,39 @@ def main():
         q = qs[name]
         t0 = time.time()
         try:
-            sdf = q.spark_fn(spark, sf_dir).toPandas()
+            if vanilla and not collect_fetch:
+                # r13: stream the result instead of one toPandas
+                # collect — the row-based collect held the ENTIRE
+                # result in the JVM at once (pipeline_incremental_
+                # parity: 312K rows pushed the 1g session's in-flight
+                # live-after-GC from 78% to 98%); toLocalIterator
+                # bounds the JVM transient to one partition. Cell
+                # normalization is shared (norm_cell), so compare
+                # semantics are unchanged.
+                sdf_frame = q.spark_fn(spark, sf_dir)
+                s_cols_raw = list(sdf_frame.columns)
+                s_order = sorted(
+                    range(len(s_cols_raw)), key=lambda i: s_cols_raw[i]
+                )
+                scols = [s_cols_raw[i] for i in s_order]
+                srows = sorted(
+                    (
+                        tuple(norm_cell(row[i]) for i in s_order)
+                        for row in sdf_frame.toLocalIterator()
+                    ),
+                    key=lambda r: tuple((x is None, str(x)) for x in r),
+                )
+                sdf = None
+            else:
+                sdf = q.spark_fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
         heap_sample()
         if q.oracle is None:
-            print(f"SKIP {name}: no oracle (rows-only) rows={len(sdf)}")
+            n_rows = len(srows) if sdf is None else len(sdf)
+            print(f"SKIP {name}: no oracle (rows-only) rows={n_rows}")
             n_noor += 1
             continue
         try:
@@ -325,7 +358,8 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        scols, srows = rows_of(sdf)
+        if sdf is not None:
+            scols, srows = rows_of(sdf)
         order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
         ocols = [ocols_raw[i] for i in order]
         orows = sorted(
